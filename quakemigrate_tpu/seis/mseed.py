@@ -1,0 +1,370 @@
+# -*- coding: utf-8 -*-
+"""
+miniSEED (SEED v2.4 data record) reader and writer.
+
+Supports the encodings the pipeline needs: STEIM1 (10), STEIM2 (11), INT16
+(1), INT32 (3), FLOAT32 (4) and FLOAT64 (5), big- or little-endian headers,
+and 256-8192 byte records. The STEIM codecs are the native C implementations
+in quakemigrate_tpu.core (with a pure-Python fallback).
+
+The writer produces big-endian records with a Blockette 1000 (and a
+Blockette 1001 carrying the microsecond remainder when the record start time
+does not fall on a 100-microsecond boundary).
+
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+
+import numpy as np
+
+from quakemigrate_tpu.core import steim_decode, steim_encode
+from .trace import Stream, Trace
+from .utcdatetime import UTCDateTime
+
+_ENCODING_DTYPES = {
+    1: ("i2", 2),
+    3: ("i4", 4),
+    4: ("f4", 4),
+    5: ("f8", 8),
+}
+
+
+class MSEEDError(Exception):
+    """Raised for malformed or unsupported miniSEED content."""
+
+
+def _parse_btime(buf, offset, endian):
+    year, jday, hour, minute, sec, _, tmilli = struct.unpack_from(
+        endian + "HHBBBBH", buf, offset
+    )
+    return year, jday, hour, minute, sec, tmilli
+
+
+def _detect_endian(buf, offset):
+    """SEED headers carry no endian flag; sniff via the year field."""
+
+    for endian in (">", "<"):
+        year, jday = struct.unpack_from(endian + "HH", buf, offset + 20)
+        if 1900 <= year <= 2100 and 1 <= jday <= 366:
+            return endian
+    raise MSEEDError("Cannot determine miniSEED byte order.")
+
+
+def _read_record_header(buf, offset):
+    endian = _detect_endian(buf, offset)
+    (
+        station,
+        location,
+        channel,
+        network,
+    ) = (
+        buf[offset + 8 : offset + 13].decode("ascii", "replace").strip(),
+        buf[offset + 13 : offset + 15].decode("ascii", "replace").strip(),
+        buf[offset + 15 : offset + 18].decode("ascii", "replace").strip(),
+        buf[offset + 18 : offset + 20].decode("ascii", "replace").strip(),
+    )
+    year, jday, hour, minute, sec, tmilli = _parse_btime(buf, offset + 20, endian)
+    npts, srfactor, srmult = struct.unpack_from(endian + "Hhh", buf, offset + 30)
+    act_flags, _, _, nblockettes = struct.unpack_from("BBBB", buf, offset + 36)
+    (time_corr,) = struct.unpack_from(endian + "i", buf, offset + 40)
+    data_offset, blockette_offset = struct.unpack_from(endian + "HH", buf, offset + 44)
+
+    # Walk the blockette chain for 1000 (encoding/reclen) and 1001 (usec)
+    encoding, reclen, word_order, usec = None, None, 1, 0
+    boff = blockette_offset
+    for _ in range(nblockettes):
+        if boff == 0 or boff + 4 > len(buf) - offset:
+            break
+        btype, next_off = struct.unpack_from(endian + "HH", buf, offset + boff)
+        if btype == 1000:
+            enc, wo, rl = struct.unpack_from("BBB", buf, offset + boff + 4)
+            encoding, word_order, reclen = enc, wo, 2**rl
+        elif btype == 1001:
+            _, us = struct.unpack_from("Bb", buf, offset + boff + 4)
+            usec = us
+        if next_off == 0:
+            break
+        boff = next_off
+
+    if encoding is None:
+        raise MSEEDError("miniSEED record without Blockette 1000 unsupported.")
+
+    if srfactor > 0 and srmult > 0:
+        sampling_rate = srfactor * srmult
+    elif srfactor > 0 > srmult:
+        sampling_rate = -srfactor / srmult
+    elif srfactor < 0 < srmult:
+        sampling_rate = -srmult / srfactor
+    elif srfactor < 0 and srmult < 0:
+        sampling_rate = 1.0 / (srfactor * srmult)
+    else:
+        sampling_rate = 1.0
+
+    start = UTCDateTime(year=year, julday=jday, hour=hour, minute=minute, second=sec)
+    start = start + tmilli / 10000.0 + usec / 1e6
+    if time_corr and not (act_flags & 0x02):
+        start = start + time_corr / 10000.0
+
+    return {
+        "endian": endian,
+        "station": station,
+        "location": location,
+        "channel": channel,
+        "network": network,
+        "starttime": start,
+        "npts": npts,
+        "sampling_rate": sampling_rate,
+        "encoding": encoding,
+        "word_order": word_order,
+        "reclen": reclen,
+        "data_offset": data_offset,
+    }
+
+
+def _decode_record(buf, offset, hdr):
+    npts = hdr["npts"]
+    payload = buf[offset + hdr["data_offset"] : offset + hdr["reclen"]]
+    enc = hdr["encoding"]
+    if enc in (10, 11):
+        return steim_decode(payload, npts, enc)
+    if enc in _ENCODING_DTYPES:
+        code, size = _ENCODING_DTYPES[enc]
+        endian = ">" if hdr["word_order"] == 1 else "<"
+        return np.frombuffer(payload[: npts * size], dtype=endian + code).copy()
+    if enc == 0:  # ASCII log record -- skip
+        return None
+    raise MSEEDError(f"Unsupported miniSEED encoding: {enc}")
+
+
+def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
+    """
+    Read a miniSEED file into a Stream. Records are grouped by SEED id and
+    joined into continuous traces; gaps/overlaps start new traces. If a time
+    window is given, record decoding is skipped entirely for records outside
+    the window.
+
+    """
+
+    with open(path, "rb") as f:
+        buf = f.read()
+
+    segments = {}  # seed id -> list of [start, sr, [data...]]
+    offset = 0
+    while offset + 48 <= len(buf):
+        try:
+            hdr = _read_record_header(buf, offset)
+        except (MSEEDError, struct.error):
+            # Possibly a non-data record; skip 64 bytes and resync
+            offset += 64
+            continue
+        reclen = hdr["reclen"]
+        if offset + reclen > len(buf):
+            logging.info(
+                f"Skipping truncated miniSEED record at offset {offset} in {path}."
+            )
+            break
+        if hdr["npts"] > 0 and hdr["encoding"] != 0:
+            rec_start = hdr["starttime"]
+            rec_end = rec_start + (hdr["npts"] - 1) / hdr["sampling_rate"]
+            skip = False
+            if starttime is not None and rec_end < UTCDateTime(starttime):
+                skip = True
+            if endtime is not None and rec_start > UTCDateTime(endtime):
+                skip = True
+            if not skip:
+                try:
+                    data = _decode_record(buf, offset, hdr)
+                except (MSEEDError, ValueError) as exc:
+                    logging.info(
+                        f"Skipping unreadable miniSEED record at offset "
+                        f"{offset} in {path}: {exc}"
+                    )
+                    data = None
+                if data is not None:
+                    key = (
+                        hdr["network"],
+                        hdr["station"],
+                        hdr["location"],
+                        hdr["channel"],
+                    )
+                    seglist = segments.setdefault(key, [])
+                    sr = hdr["sampling_rate"]
+                    if seglist:
+                        last = seglist[-1]
+                        expected = last["start"] + last["n"] / sr
+                        if (
+                            abs(rec_start - expected) < 0.5 / sr
+                            and last["sr"] == sr
+                            and last["chunks"][-1].dtype == data.dtype
+                        ):
+                            last["chunks"].append(data)
+                            last["n"] += len(data)
+                        else:
+                            seglist.append(
+                                {"start": rec_start, "sr": sr, "chunks": [data],
+                                 "n": len(data)}
+                            )
+                    else:
+                        seglist.append(
+                            {"start": rec_start, "sr": sr, "chunks": [data],
+                             "n": len(data)}
+                        )
+        offset += reclen
+
+    stream = Stream()
+    for (net, sta, loc, cha), seglist in sorted(segments.items()):
+        for seg in seglist:
+            tr = Trace(
+                np.concatenate(seg["chunks"]),
+                {
+                    "network": net,
+                    "station": sta,
+                    "location": loc,
+                    "channel": cha,
+                    "starttime": seg["start"],
+                    "sampling_rate": seg["sr"],
+                },
+            )
+            if starttime is not None or endtime is not None:
+                tr.trim(
+                    starttime=starttime,
+                    endtime=endtime,
+                    nearest_sample=nearest_sample,
+                )
+            if bool(tr):
+                stream += tr
+    return stream
+
+
+def _sr_factor_mult(sr):
+    if sr >= 1:
+        if abs(sr - round(sr)) < 1e-9:
+            return int(round(sr)), 1
+        # Try rational representation sr = factor / -mult
+        for mult in range(2, 1000):
+            if abs(sr * mult - round(sr * mult)) < 1e-9:
+                return int(round(sr * mult)), -mult
+    else:
+        period = 1.0 / sr
+        if abs(period - round(period)) < 1e-9:
+            return -int(round(period)), 1
+    raise MSEEDError(f"Cannot encode sampling rate {sr} in SEED header.")
+
+
+def _build_header(stats, rec_start, npts, encoding, reclen_power, seqnum):
+    dt = rec_start
+    tmilli_total = dt.nanosecond // 100_000  # 0.1 ms units
+    usec_rem = (dt.nanosecond // 1000) % 100  # microsecond remainder
+    srfactor, srmult = _sr_factor_mult(stats.sampling_rate)
+
+    header = bytearray(64)
+    header[0:6] = f"{seqnum % 1000000:06d}".encode()
+    header[6:7] = b"D"
+    header[7:8] = b" "
+    header[8:13] = f"{stats.station[:5]:<5s}".encode()
+    header[13:15] = f"{stats.location[:2]:<2s}".encode()
+    header[15:18] = f"{stats.channel[:3]:<3s}".encode()
+    header[18:20] = f"{stats.network[:2]:<2s}".encode()
+    struct.pack_into(
+        ">HHBBBBH",
+        header,
+        20,
+        dt.year,
+        dt.julday,
+        dt.hour,
+        dt.minute,
+        dt.second,
+        0,
+        tmilli_total % 10000,
+    )
+    struct.pack_into(">Hhh", header, 30, npts, srfactor, srmult)
+    n_blockettes = 2 if usec_rem else 1
+    struct.pack_into("BBBB", header, 36, 0, 0, 0, n_blockettes)
+    struct.pack_into(">i", header, 40, 0)
+    struct.pack_into(">HH", header, 44, 64, 48)
+    # Blockette 1000
+    next_blockette = 56 if usec_rem else 0
+    struct.pack_into(">HH", header, 48, 1000, next_blockette)
+    struct.pack_into("BBBB", header, 52, encoding, 1, reclen_power, 0)
+    if usec_rem:
+        struct.pack_into(">HH", header, 56, 1001, 0)
+        struct.pack_into("BbBB", header, 60, 0, usec_rem, 0, 0)
+    return bytes(header)
+
+
+def write_mseed(stream, path, encoding=None, reclen=512):
+    """
+    Write a Stream to a miniSEED file.
+
+    ``encoding`` may be "STEIM2", "STEIM1", "INT32", "FLOAT32", "FLOAT64" or
+    the corresponding SEED integer codes; by default integer data is written
+    as STEIM2 and float data as FLOAT64. STEIM2 encoding falls back to
+    STEIM1 automatically if a difference overflows 30 bits.
+
+    """
+
+    names = {"STEIM1": 10, "STEIM2": 11, "INT16": 1, "INT32": 3,
+             "FLOAT32": 4, "FLOAT64": 5}
+    if isinstance(encoding, str):
+        encoding = names[encoding.upper()]
+
+    reclen_power = int(np.log2(reclen))
+    if 2**reclen_power != reclen:
+        raise ValueError("Record length must be a power of two.")
+    nframes = (reclen - 64) // 64
+
+    out = bytearray()
+    seqnum = 1
+    for tr in stream:
+        data = np.asarray(tr.data)
+        enc = encoding
+        if enc is None:
+            enc = 11 if np.issubdtype(data.dtype, np.integer) else 5
+        if enc in (1, 3, 10, 11) and not np.issubdtype(data.dtype, np.integer):
+            if not np.allclose(data, np.round(data)):
+                raise MSEEDError(
+                    "Cannot write non-integer data with an integer encoding."
+                )
+            data = np.round(data).astype(np.int32)
+        if enc in (10, 11):
+            data = data.astype(np.int32)
+        elif enc in _ENCODING_DTYPES:
+            code, _ = _ENCODING_DTYPES[enc]
+            data = data.astype(">" + code)
+
+        sr = tr.stats.sampling_rate
+        pos = 0
+        while pos < len(data):
+            rec_start = tr.stats.starttime + pos / sr
+            if enc in (10, 11):
+                prev = data[pos - 1] if pos > 0 else data[pos]
+                try:
+                    consumed, payload = steim_encode(
+                        data[pos:], prev, nframes, enc
+                    )
+                    rec_enc = enc
+                except ValueError:
+                    consumed, payload = steim_encode(
+                        data[pos:], prev, nframes, 10
+                    )
+                    rec_enc = 10
+                payload = payload.ljust(reclen - 64, b"\x00")
+            else:
+                _, size = _ENCODING_DTYPES[enc]
+                max_samps = (reclen - 64) // size
+                consumed = min(max_samps, len(data) - pos)
+                payload = data[pos : pos + consumed].tobytes()
+                payload = payload.ljust(reclen - 64, b"\x00")
+                rec_enc = enc
+            header = _build_header(
+                tr.stats, rec_start, consumed, rec_enc, reclen_power, seqnum
+            )
+            out += header + payload
+            seqnum += 1
+            pos += consumed
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))
