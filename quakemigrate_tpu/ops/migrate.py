@@ -1,0 +1,196 @@
+# -*- coding: utf-8 -*-
+"""
+Migration / coalescence-stacking device programs -- the heart of the scan
+engine.
+
+These are the TPU-native replacements for the reference's C/OpenMP kernels
+``migrate`` and ``find_max_coa`` (migratelib.c:40-111), redesigned rather
+than translated:
+
+- The onset functions are clipped and moved to the log domain on-device, so
+  the geometric-mean stack is a masked arithmetic mean of logs followed by a
+  single exp (reference does the log host-side, core/lib.py:89-94).
+- Inputs are fixed-shape and mask-padded: the onset block is [O_max, T]
+  with a float mask [O_max], so station availability changes do NOT trigger
+  recompilation (the reference rebuilds the traveltime stack per timestep).
+- detect mode fuses the per-sample max/argmax/sum grid reduction into the
+  node-tile loop, so the 4-D coalescence map NEVER materialises in HBM
+  (the reference allocates then immediately frees it, scan.py:635-642).
+- locate mode retains the (flattened) map4d for marginalisation.
+
+Tie-breaking matches the C kernel: the FIRST node index achieving the
+maximum wins (migratelib.c:101-105).
+
+The node axis shards cleanly across a device mesh; see
+quakemigrate_tpu.parallel for the collective combine.
+
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Node-tile size for the fused detect reduction. Multiple of 8*128 so tiles
+# map cleanly onto TPU (sublane, lane) vector registers.
+DEFAULT_TILE = 4096
+
+MIN_ONSET_CLIP = 0.01  # matches reference core/lib.py:93
+
+
+def _prepare_onsets(onsets, mask):
+    """Clip, log, and zero-out masked onset rows."""
+
+    logged = jnp.log(jnp.clip(onsets, MIN_ONSET_CLIP, None))
+    return logged * mask[:, None]
+
+
+def _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available):
+    """
+    Coalescence stack for one node tile.
+
+    onsets_log : [O, T] log-domain onsets (masked rows zeroed).
+    tt_tile    : [Nt, O] int32 traveltime sample offsets.
+    Returns [Nt, nsamples] coalescence values (geometric-mean stack).
+
+    """
+
+    t_len = onsets_log.shape[-1]
+    sample_idx = jnp.arange(nsamples, dtype=jnp.int32)
+
+    def body(acc, inputs):
+        row, tt_o, m = inputs
+        start = jnp.maximum(tt_o, 0) + fsmp
+        start = jnp.clip(start, 0, t_len - nsamples)
+        gathered = row[start[:, None] + sample_idx[None, :]]
+        return acc + m * gathered, None
+
+    acc0 = jnp.zeros((tt_tile.shape[0], nsamples), dtype=onsets_log.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (onsets_log, tt_tile.T, mask))
+    return jnp.exp(acc / available)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "n_nodes_real"),
+)
+def migrate_detect(
+    onsets, traveltimes, mask, available, fsmp, nsamples,
+    n_nodes_real=None, tile=DEFAULT_TILE, node_offset=0,
+):
+    """
+    Fused migrate + find_max_coa for the detect stage.
+
+    Parameters
+    ----------
+    onsets : [O, T] float array
+        Raw (positive) onset functions; clip/log happens on device.
+    traveltimes : [N, O] int32
+        Traveltime sample offsets, node-major. N may include padding
+        (padded rows must have tt >= 0; they are excluded via
+        ``n_nodes_real``).
+    mask : [O] float
+        1.0 for live onset rows, 0.0 for padding.
+    available : scalar
+        Number of live onsets (the geometric-mean divisor).
+    fsmp : int (static)
+        Index of the first scan sample (pre-pad length in samples).
+    nsamples : int (static)
+        Number of scan samples S; requires T >= fsmp + S.
+    n_nodes_real : int (static), optional
+        Number of real (non-padding) nodes. Defaults to N.
+    node_offset : int
+        Added to returned argmax indices (for sharded execution).
+
+    Returns
+    -------
+    max_coa : [S] maximum coalescence per sample.
+    max_norm_coa : [S] max * n_nodes / sum(coalescence).
+    max_idx : [S] int32 flat node index of the maximum (first index wins).
+
+    """
+
+    n_total = traveltimes.shape[0]
+    n_real = n_total if n_nodes_real is None else n_nodes_real
+    onsets_log = _prepare_onsets(onsets, mask)
+    dtype = onsets_log.dtype
+
+    n_tiles = -(-n_total // tile)
+    pad = n_tiles * tile - n_total
+    tt_padded = jnp.pad(traveltimes, ((0, pad), (0, 0)))
+    tt_tiles = tt_padded.reshape(n_tiles, tile, -1)
+
+    node_idx_base = jnp.arange(tile, dtype=jnp.int32)
+
+    def tile_body(carry, inputs):
+        running_max, running_idx, running_sum = carry
+        tt_tile, tile_i = inputs
+        coa = _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available)
+        # Mask padded nodes out of both the max and the sum
+        global_idx = tile_i * tile + node_idx_base
+        valid = (global_idx < n_real)[:, None]
+        coa = jnp.where(valid, coa, 0.0)
+        tile_max = jnp.max(coa, axis=0)
+        tile_arg = jnp.argmax(coa, axis=0).astype(jnp.int32) + tile_i * tile
+        tile_sum = jnp.sum(coa, axis=0)
+        better = tile_max > running_max  # strict: earlier tile wins ties
+        return (
+            jnp.where(better, tile_max, running_max),
+            jnp.where(better, tile_arg, running_idx),
+            running_sum + tile_sum,
+        ), None
+
+    init = (
+        jnp.full(nsamples, -jnp.inf, dtype=dtype),
+        jnp.zeros(nsamples, dtype=jnp.int32),
+        jnp.zeros(nsamples, dtype=dtype),
+    )
+    (max_coa, max_idx, coa_sum), _ = jax.lax.scan(
+        tile_body, init, (tt_tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+
+    max_norm_coa = max_coa * n_real / coa_sum
+    return max_coa, max_norm_coa, max_idx + node_offset
+
+
+@partial(jax.jit, static_argnames=("fsmp", "nsamples", "tile"))
+def migrate_map(
+    onsets, traveltimes, mask, available, fsmp, nsamples, tile=DEFAULT_TILE
+):
+    """
+    Migration retaining the full coalescence map (locate stage).
+
+    Returns map4d_flat [N, S] -- the flattened-node equivalent of the
+    reference's map4d (nx, ny, nz, S).
+
+    """
+
+    onsets_log = _prepare_onsets(onsets, mask)
+    n_total = traveltimes.shape[0]
+    n_tiles = -(-n_total // tile)
+    pad = n_tiles * tile - n_total
+    tt_tiles = jnp.pad(traveltimes, ((0, pad), (0, 0))).reshape(n_tiles, tile, -1)
+
+    def tile_body(_, tt_tile):
+        coa = _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available)
+        return None, coa
+
+    _, tiles = jax.lax.scan(tile_body, None, tt_tiles)
+    return tiles.reshape(n_tiles * tile, nsamples)[:n_total]
+
+
+@partial(jax.jit, static_argnames=("n_nodes_real",))
+def find_max_coa(map4d_flat, n_nodes_real=None, node_offset=0):
+    """
+    Per-sample max / normalised max / argmax over the node axis of a
+    flattened coalescence map (the standalone equivalent of
+    migratelib.c:85-111, for when the map has been materialised).
+
+    """
+
+    n_real = map4d_flat.shape[0] if n_nodes_real is None else n_nodes_real
+    data = map4d_flat[:n_real]
+    max_coa = jnp.max(data, axis=0)
+    max_idx = jnp.argmax(data, axis=0).astype(jnp.int32) + node_offset
+    coa_sum = jnp.sum(data, axis=0)
+    return max_coa, max_coa * n_real / coa_sum, max_idx
