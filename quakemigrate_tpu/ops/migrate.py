@@ -70,68 +70,43 @@ def _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available):
     return jnp.exp(acc / available)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("fsmp", "nsamples", "tile", "n_nodes_real"),
-)
-def migrate_detect(
-    onsets, traveltimes, mask, available, fsmp, nsamples,
-    n_nodes_real=None, tile=DEFAULT_TILE, node_offset=0,
+def detect_reduce(
+    onsets, traveltimes, mask, available, fsmp, nsamples, n_nodes_real,
+    tile=DEFAULT_TILE, node_offset=0,
 ):
     """
-    Fused migrate + find_max_coa for the detect stage.
+    Core fused migrate + grid reduction over a (possibly padded) node slab.
 
-    Parameters
-    ----------
-    onsets : [O, T] float array
-        Raw (positive) onset functions; clip/log happens on device.
-    traveltimes : [N, O] int32
-        Traveltime sample offsets, node-major. N may include padding
-        (padded rows must have tt >= 0; they are excluded via
-        ``n_nodes_real``).
-    mask : [O] float
-        1.0 for live onset rows, 0.0 for padding.
-    available : scalar
-        Number of live onsets (the geometric-mean divisor).
-    fsmp : int (static)
-        Index of the first scan sample (pre-pad length in samples).
-    nsamples : int (static)
-        Number of scan samples S; requires T >= fsmp + S.
-    n_nodes_real : int (static), optional
-        Number of real (non-padding) nodes. Defaults to N.
-    node_offset : int
-        Added to returned argmax indices (for sharded execution).
+    ``node_offset`` (traced or static) is the global flat index of this
+    slab's first node; nodes whose global index is >= ``n_nodes_real`` are
+    padding and excluded from both the max and the sum.
 
-    Returns
-    -------
-    max_coa : [S] maximum coalescence per sample.
-    max_norm_coa : [S] max * n_nodes / sum(coalescence).
-    max_idx : [S] int32 flat node index of the maximum (first index wins).
+    Returns (max_coa [S], max_idx [S] global indices, coa_sum [S]).
 
     """
 
     n_total = traveltimes.shape[0]
-    n_real = n_total if n_nodes_real is None else n_nodes_real
     onsets_log = _prepare_onsets(onsets, mask)
     dtype = onsets_log.dtype
 
     n_tiles = -(-n_total // tile)
     pad = n_tiles * tile - n_total
-    tt_padded = jnp.pad(traveltimes, ((0, pad), (0, 0)))
-    tt_tiles = tt_padded.reshape(n_tiles, tile, -1)
+    tt_tiles = jnp.pad(traveltimes, ((0, pad), (0, 0))).reshape(n_tiles, tile, -1)
 
     node_idx_base = jnp.arange(tile, dtype=jnp.int32)
+    node_offset = jnp.asarray(node_offset, dtype=jnp.int32)
 
     def tile_body(carry, inputs):
         running_max, running_idx, running_sum = carry
         tt_tile, tile_i = inputs
         coa = _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available)
-        # Mask padded nodes out of both the max and the sum
-        global_idx = tile_i * tile + node_idx_base
-        valid = (global_idx < n_real)[:, None]
+        global_idx = node_offset + tile_i * tile + node_idx_base
+        valid = (global_idx < n_nodes_real)[:, None]
         coa = jnp.where(valid, coa, 0.0)
         tile_max = jnp.max(coa, axis=0)
-        tile_arg = jnp.argmax(coa, axis=0).astype(jnp.int32) + tile_i * tile
+        tile_arg = jnp.take(
+            global_idx, jnp.argmax(coa, axis=0).astype(jnp.int32)
+        )
         tile_sum = jnp.sum(coa, axis=0)
         better = tile_max > running_max  # strict: earlier tile wins ties
         return (
@@ -148,9 +123,51 @@ def migrate_detect(
     (max_coa, max_idx, coa_sum), _ = jax.lax.scan(
         tile_body, init, (tt_tiles, jnp.arange(n_tiles, dtype=jnp.int32))
     )
+    return max_coa, max_idx, coa_sum
 
-    max_norm_coa = max_coa * n_real / coa_sum
-    return max_coa, max_norm_coa, max_idx + node_offset
+
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "n_nodes_real"),
+)
+def migrate_detect(
+    onsets, traveltimes, mask, available, fsmp, nsamples,
+    n_nodes_real=None, tile=DEFAULT_TILE,
+):
+    """
+    Fused migrate + find_max_coa for the detect stage (single device).
+
+    Parameters
+    ----------
+    onsets : [O, T] float array
+        Raw (positive) onset functions; clip/log happens on device.
+    traveltimes : [N, O] int32
+        Traveltime sample offsets, node-major. N may include trailing
+        padding rows (excluded via ``n_nodes_real``).
+    mask : [O] float
+        1.0 for live onset rows, 0.0 for padding.
+    available : scalar
+        Number of live onsets (the geometric-mean divisor).
+    fsmp : int (static)
+        Index of the first scan sample (pre-pad length in samples).
+    nsamples : int (static)
+        Number of scan samples S; requires T >= fsmp + S.
+    n_nodes_real : int (static), optional
+        Number of real (non-padding) nodes. Defaults to N.
+
+    Returns
+    -------
+    max_coa : [S] maximum coalescence per sample.
+    max_norm_coa : [S] max * n_nodes / sum(coalescence).
+    max_idx : [S] int32 flat node index of the maximum (first index wins).
+
+    """
+
+    n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
+    max_coa, max_idx, coa_sum = detect_reduce(
+        onsets, traveltimes, mask, available, fsmp, nsamples, n_real, tile
+    )
+    return max_coa, max_coa * n_real / coa_sum, max_idx
 
 
 @partial(jax.jit, static_argnames=("fsmp", "nsamples", "tile"))

@@ -1,0 +1,126 @@
+# -*- coding: utf-8 -*-
+"""
+quakemigrate_tpu.parallel -- multi-chip execution of the scan engine.
+
+The 3-D search grid's node axis is the natural parallel axis (the reference
+parallelises the same axis with OpenMP threads on one host,
+migratelib.c:49-51). Here it shards across a JAX device mesh: each device
+owns a slab of grid nodes (a slab of the traveltime table) plus a replicated
+copy of the (small) onset block, computes its local fused migrate+reduce,
+and the per-sample max/argmax/sum combine rides the ICI:
+
+- sum    -> psum
+- max    -> pmax
+- argmax -> pmax followed by a pmin over candidate indices, which
+            reproduces the reference's first-index tie-breaking exactly.
+
+A second mesh axis ("batch") parallelises over independent scan windows
+(timesteps in detect, events in locate) -- pure data parallelism with no
+collectives. Onsets for different windows shard over "batch" while the
+traveltime table shards over "grid" (it is replicated across "batch").
+
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from quakemigrate_tpu.ops.migrate import DEFAULT_TILE, detect_reduce
+
+
+def make_mesh(devices=None, axis_names=("grid",), shape=None):
+    """
+    Build a device mesh. By default a 1-D mesh over all devices named
+    "grid"; pass shape + axis_names for 2-D ("batch", "grid") layouts.
+
+    """
+
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        if len(axis_names) != 1:
+            raise ValueError("shape required for multi-axis meshes")
+        shape = (len(devices),)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def pad_nodes_for_mesh(traveltimes, n_shards, tile=DEFAULT_TILE):
+    """
+    Pad the node axis of an [N, O] traveltime table (trailing rows) so it
+    divides evenly into ``n_shards`` shards of whole tiles.
+    Returns (padded_table, n_real_nodes).
+
+    """
+
+    n = traveltimes.shape[0]
+    per_shard = -(-n // (n_shards * tile)) * tile
+    pad = per_shard * n_shards - n
+    if pad:
+        traveltimes = np.pad(traveltimes, ((0, pad), (0, 0)))
+    return traveltimes, n
+
+
+def make_sharded_detect(
+    mesh, fsmp, nsamples, n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",
+    batch_axis=None,
+):
+    """
+    Build a jitted, mesh-sharded fused migrate+reduce.
+
+    The returned function has signature
+    ``f(onsets, traveltimes, mask, available) -> (max_coa, max_norm, idx)``
+    where ``traveltimes`` [N_padded, O] is sharded over ``grid_axis``
+    (N_padded must divide evenly; see :func:`pad_nodes_for_mesh`).
+
+    If ``batch_axis`` is given, ``onsets`` gains a leading batch dimension
+    [B, O, T] sharded over that axis (with mask/available [B, O] / [B]),
+    and the outputs gain a matching leading dimension -- data parallelism
+    over scan windows on top of grid parallelism.
+
+    """
+
+    n_shards = mesh.shape[grid_axis]
+    per_shard_nodes = None  # resolved at trace time from the local shape
+
+    def _local(onsets, tt_local, mask, available):
+        shard = jax.lax.axis_index(grid_axis)
+        offset = shard * tt_local.shape[0]
+        mx, idx, sm = detect_reduce(
+            onsets, tt_local, mask, available, fsmp, nsamples,
+            n_nodes_real, tile=tile, node_offset=offset,
+        )
+        gmax = jax.lax.pmax(mx, grid_axis)
+        gsum = jax.lax.psum(sm, grid_axis)
+        big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
+        cand = jnp.where(mx == gmax, idx, big)
+        gidx = jax.lax.pmin(cand, grid_axis)
+        gnorm = gmax * n_nodes_real / gsum
+        return gmax, gnorm, gidx
+
+    if batch_axis is None:
+        in_specs = (P(), P(grid_axis, None), P(), P())
+        out_specs = (P(), P(), P())
+        fn = _local
+    else:
+        in_specs = (
+            P(batch_axis, None, None),
+            P(grid_axis, None),
+            P(batch_axis, None),
+            P(batch_axis),
+        )
+        out_specs = (P(batch_axis, None), P(batch_axis, None), P(batch_axis, None))
+
+        def fn(onsets_b, tt_local, mask_b, available_b):
+            return jax.vmap(
+                lambda o, m, a: _local(o, tt_local, m, a)
+            )(onsets_b, mask_b, available_b)
+
+    sharded = shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+    )
+    return jax.jit(sharded)
