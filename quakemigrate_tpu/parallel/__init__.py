@@ -121,6 +121,6 @@ def make_sharded_detect(
             )(onsets_b, mask_b, available_b)
 
     sharded = shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
     return jax.jit(sharded)
