@@ -186,6 +186,12 @@ class LambertConformalConic(Projection):
             self.n = np.log(m1 / m2) / np.log(t1 / t2)
         else:
             self.n = np.sin(phi1)
+        if abs(self.n) < 1e-10:
+            raise ValueError(
+                "Lambert Conformal Conic is degenerate for standard "
+                "parallels at/symmetric about the equator -- use proj='tmerc' "
+                "or 'eqc' instead."
+            )
         self.F = m1 / (self.n * t1**self.n)
         self.rho0 = self.a * self.F * t0**self.n
         self.lam0 = np.deg2rad(lon_0)

@@ -1,0 +1,92 @@
+# -*- coding: utf-8 -*-
+"""
+Per-station pick summary figure: filtered waveforms per component, the
+P/S onset functions with pick windows, thresholds, Gaussian fits and pick
+times (reference: plot/phase_picks.py:21-321).
+
+"""
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+import quakemigrate_tpu.util as util
+
+
+def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
+                 traveltimes, windows):
+    """Build the pick summary figure; returns the figure."""
+
+    phases = list(onsets.keys())
+    n_onsets = len(phases)
+
+    p_str, s_str_1, s_str_2 = util.get_phase_component_strings(channel_maps)
+
+    fig, axes = plt.subplots(
+        3 + n_onsets, 1, figsize=(16, 12), sharex=True
+    )
+    fig.subplots_adjust(hspace=0.15)
+
+    comp_selectors = [p_str, s_str_1, s_str_2]
+    sampling_rate = None
+
+    # --- Waveform panels ---
+    for ax, comp in zip(axes[:3], comp_selectors):
+        st = waveforms.select(channel=f"*{comp}")
+        for tr in st:
+            sampling_rate = tr.stats.sampling_rate
+            data = np.asarray(tr.data, dtype=float)
+            peak = np.max(np.abs(data)) or 1.0
+            ax.plot(
+                tr.times(type="matplotlib"), data / peak, lw=0.5,
+                label=tr.id,
+            )
+        ax.set_ylabel(f"{comp}")
+        if len(st):
+            ax.legend(fontsize=7, loc="upper right")
+
+    # --- Onset panels with windows, fits and picks ---
+    for ax, phase in zip(axes[3:], phases):
+        onset = onsets[phase]
+        n = len(onset)
+        start = event.picks.get("gaussfits", {})
+        onset_times = None
+        if sampling_rate:
+            t0 = event.data.starttime if event.data else None
+        # Onset time axis from the onset_data start
+        window = windows.get(phase)
+        ax.plot(np.arange(n), onset, c="k", lw=0.6, label=f"{phase} onset")
+        if window:
+            ax.axvspan(window[0], window[2], alpha=0.15, color="orange")
+            ax.axvline(window[1], c="grey", ls="--", lw=1,
+                       label="Modelled arrival")
+        fits = event.picks.get("gaussfits", {}).get(station, {}).get(phase)
+        if fits and not np.isscalar(fits.get("xdata", 0)):
+            # The x_data is in seconds from the onset start
+            if sampling_rate:
+                xs = np.asarray(fits["xdata"]) * sampling_rate
+                ax.plot(
+                    xs, util.gaussian_1d(np.asarray(fits["xdata"]),
+                                         *fits["popt"]),
+                    c="r", lw=1.2, label="Gaussian fit",
+                )
+            thresh = fits.get("PickThreshold")
+            if thresh is not None and np.isfinite(thresh):
+                ax.axhline(thresh, c="b", ls=":", lw=1, label="Threshold")
+        ax.set_ylabel(f"{phase} onset")
+        ax.legend(fontsize=7, loc="upper right")
+
+    # --- Pick times on all panels ---
+    colours = {"P": "r", "S": "b"}
+    for _, pick in picks.iterrows():
+        if pick["PickTime"] == -1:
+            continue
+        for ax in axes[:3]:
+            ax.axvline(
+                pick["PickTime"].matplotlib_date,
+                c=colours.get(pick["Phase"], "g"), lw=1.0,
+            )
+
+    fig.suptitle(f"Pick summary: {event.uid} | {station}", fontsize=14)
+    axes[-1].set_xlabel("Sample / DateTime")
+
+    return fig

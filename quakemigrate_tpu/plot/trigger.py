@@ -1,0 +1,150 @@
+# -*- coding: utf-8 -*-
+"""
+Trigger summary figure: the (normalised) coalescence and threshold traces
+with candidate-event windows, station availability, and a map-view scatter
+of triggered locations (the same panels as the reference's
+plot/trigger.py:24-585).
+
+"""
+
+import logging
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+import quakemigrate_tpu.util as util
+from quakemigrate_tpu.io import read_availability
+
+
+@util.timeit()
+def trigger_summary(
+    events,
+    starttime,
+    endtime,
+    run,
+    marginal_window,
+    min_event_interval,
+    detection_threshold,
+    threshold_string,
+    normalise_coalescence,
+    lut,
+    data,
+    region,
+    discarded_events,
+    interactive=False,
+    xy_files=None,
+    plot_all_stns=True,
+):
+    """Create and save the trigger summary figure."""
+
+    fig, axes = plt.subplots(
+        4, 1, figsize=(18, 14), sharex=True,
+        gridspec_kw={"height_ratios": [2, 2, 1, 3]},
+    )
+    ax_coa, ax_coan, ax_avail, ax_map = axes
+    fig.subplots_adjust(hspace=0.1)
+
+    times = [t.matplotlib_date for t in data["DT"]]
+
+    # --- Coalescence traces ---
+    ax_coa.plot(times, data["COA"], c="k", lw=0.5, label="Max coalescence")
+    ax_coan.plot(
+        times, data["COA_N"], c="k", lw=0.5,
+        label="Normalised max coalescence",
+    )
+    threshold_ax = ax_coan if normalise_coalescence else ax_coa
+    threshold_ax.plot(
+        times, detection_threshold, c="g", lw=1.0,
+        label=f"Threshold: {threshold_string}",
+    )
+
+    # --- Candidate event windows ---
+    for df, colour in ((events, "r"), (discarded_events, "grey")):
+        if df is None or len(df) == 0:
+            continue
+        for _, event in df.iterrows():
+            for ax in (ax_coa, ax_coan):
+                ax.axvspan(
+                    event["MinTime"].matplotlib_date
+                    if "MinTime" in event
+                    else event["CoaTime"].matplotlib_date,
+                    event["MaxTime"].matplotlib_date
+                    if "MaxTime" in event
+                    else event["CoaTime"].matplotlib_date,
+                    alpha=0.2, color=colour,
+                )
+                ax.axvline(
+                    event["CoaTime"].matplotlib_date, c=colour, lw=1.0
+                )
+
+    for ax, label in ((ax_coa, "Coalescence"), (ax_coan, "Normalised")):
+        ax.set_ylabel(label)
+        ax.legend(loc="upper right", fontsize=9)
+
+    # --- Station availability panel ---
+    try:
+        availability = read_availability(run, starttime, endtime)
+        frac = availability.sum(axis=1) / availability.shape[1]
+        avail_times = [
+            util.__dict__  # placeholder to appease linters
+        ]
+        from quakemigrate_tpu.seis import UTCDateTime
+
+        avail_times = [UTCDateTime(t).matplotlib_date for t in
+                       availability.index]
+        ax_avail.step(avail_times, frac * 100, where="post", c="k", lw=0.8)
+        ax_avail.set_ylabel("Availability (%)")
+        ax_avail.set_ylim(-5, 105)
+    except Exception as e:
+        logging.debug(f"No station availability to plot: {e}")
+        ax_avail.set_axis_off()
+
+    # --- Map scatter of triggered events ---
+    extent = lut.get_grid_extent(cells=True)
+    ax_map.set_xlim(extent[0][0], extent[1][0])
+    ax_map.set_ylim(extent[0][1], extent[1][1])
+    ax_map.set_xlabel("Longitude (deg)")
+    ax_map.set_ylabel("Latitude (deg)")
+    station_data = lut.station_data
+    ax_map.scatter(
+        station_data.Longitude.values, station_data.Latitude.values,
+        s=20, marker="^", c="k",
+    )
+    if events is not None and len(events):
+        sc = ax_map.scatter(
+            events["COA_X"].astype(float),
+            events["COA_Y"].astype(float),
+            s=40,
+            c=events["TRIG_COA"].astype(float),
+            cmap="viridis",
+            zorder=10,
+            label="Triggered events",
+        )
+        fig.colorbar(sc, ax=ax_map, label="Trigger coalescence value")
+    if region is not None:
+        from matplotlib.patches import Rectangle
+
+        ax_map.add_patch(
+            Rectangle(
+                (region[0], region[1]),
+                region[3] - region[0],
+                region[4] - region[1],
+                fill=False, edgecolor="b", ls="--",
+            )
+        )
+    # The map panel does not share the time axis
+    ax_map.autoscale(False)
+    ax_map.set_aspect("auto")
+
+    fig.suptitle(
+        f"Trigger summary: {run.name} | {starttime} - {endtime}", fontsize=14
+    )
+
+    fpath = run.path / "trigger" / run.subname / "summaries"
+    fpath.mkdir(exist_ok=True, parents=True)
+    fstem = f"{run.name}_{starttime.year}_{starttime.julday:03d}_Trigger"
+    file = (fpath / fstem).with_suffix(".pdf")
+    plt.savefig(file, dpi=400)
+    if interactive:
+        plt.show()
+    plt.close(fig)

@@ -1,0 +1,811 @@
+# -*- coding: utf-8 -*-
+"""
+QuakeScan: the detect() and locate() stages.
+
+Architecture (TPU-first redesign of quakemigrate/signal/scan.py:45-1145):
+
+- The traveltime table is uploaded to the device ONCE per run as a
+  node-major int32 array with one column per canonical station/phase slot;
+  per-timestep availability is a float mask, so the device program never
+  recompiles as stations drop in and out (the reference re-stacks the
+  table host-side every timestep, scan.py:621).
+- detect: each timestep is one fused device call (migrate + per-sample
+  max/argmax/sum reduction) -- the 4-D map never touches HBM. The host
+  loop is purely the input pipeline (archive reads + onset preprocessing)
+  and the .scanmseed writer.
+- locate: the same migration retains the (flattened) 4-D map on device,
+  which is fetched once per event for marginalisation and location fitting
+  (spline / Gaussian / covariance estimators, mirroring
+  scan.py:695-1043).
+- Compute runs in float32 by default (precision="single"); "double" is
+  available for bit-level parity work on CPU.
+- An optional device mesh shards the grid-node axis across chips
+  (quakemigrate_tpu.parallel).
+
+"""
+
+import logging
+import warnings
+from datetime import time
+
+import numpy as np
+import pandas as pd
+from scipy.interpolate import Rbf
+from scipy.signal import fftconvolve
+
+import quakemigrate_tpu.util as util
+from quakemigrate_tpu.io import (
+    Event,
+    Run,
+    ScanmSEED,
+    read_triggered_events,
+    write_availability,
+    write_coalescence,
+    write_cut_waveforms,
+)
+from quakemigrate_tpu.ops.migrate import (
+    DEFAULT_TILE,
+    find_max_coa,
+    migrate_detect,
+    migrate_map,
+)
+from quakemigrate_tpu.seis import UTCDateTime
+from .onsets import Onset
+from .pickers import GaussianPicker, PhasePicker
+from .local_mag import LocalMag
+
+warnings.filterwarnings(
+    "ignore", message=("Covariance of the parameters could not be estimated")
+)
+
+
+class QuakeScan:
+    """
+    Detect and locate earthquakes by continuous migration of onset
+    functions through a traveltime lookup table.
+
+    Parameters mirror the reference API: archive, lut, onset, run_path,
+    run_name plus keyword attributes (timestep, marginal_window, picker,
+    mags, plotting/writing toggles). TPU-specific additions:
+
+    precision : {"single", "double"}, optional
+        Device compute dtype (default "single" = float32).
+    mesh : jax.sharding.Mesh, optional
+        Shard the grid-node axis over this device mesh.
+    tile : int, optional
+        Node-tile size for the fused reduction (default 4096).
+
+    """
+
+    def __init__(self, archive, lut, onset, run_path, run_name, **kwargs):
+        self.archive = archive
+        self.lut = lut
+        if isinstance(onset, Onset):
+            self.onset = onset
+        else:
+            raise util.OnsetTypeError
+        self.onset.post_pad = lut.max_traveltime
+
+        self.pre_pad = 0.0
+        self.post_pad = 0.0
+
+        self.run = Run(
+            run_path,
+            run_name,
+            kwargs.get("run_subname", ""),
+            loglevel=kwargs.get("loglevel", "info"),
+        )
+        self.log = kwargs.get("log", False)
+
+        picker = kwargs.get("picker")
+        if picker is None:
+            self.picker = GaussianPicker(onset=onset)
+        elif isinstance(picker, PhasePicker):
+            self.picker = picker
+        else:
+            raise util.PickerTypeError
+
+        self.timestep = kwargs.get("timestep", 120.0)
+        self.marginal_window = kwargs.get("marginal_window", 2.0)
+
+        self.threads = kwargs.get("threads", 1)  # accepted for API parity
+        self.scan_rate = self.onset.sampling_rate
+
+        mags = kwargs.get("mags")
+        if mags is not None and not isinstance(mags, LocalMag):
+            raise util.MagsTypeError
+        self.mags = mags
+
+        # --- Device execution parameters ---
+        self.precision = kwargs.get("precision", "single")
+        self.mesh = kwargs.get("mesh")
+        self.tile = kwargs.get("tile", DEFAULT_TILE)
+
+        # Plotting toggles
+        self.plot_event_summary = kwargs.get("plot_event_summary", True)
+        self.plot_all_stns = kwargs.get("plot_all_stns", True)
+        self.xy_files = kwargs.get("xy_files")
+
+        # File writing toggles
+        self.continuous_scanmseed_write = kwargs.get(
+            "continuous_scanmseed_write", False
+        )
+        self.write_cut_waveforms = kwargs.get("write_cut_waveforms", False)
+        self.write_real_waveforms = kwargs.get("write_real_waveforms", False)
+        self.real_waveform_units = kwargs.get(
+            "real_waveform_units", "displacement"
+        )
+        self.write_wa_waveforms = kwargs.get("write_wa_waveforms", False)
+        self.wa_waveform_units = kwargs.get("wa_waveform_units", "displacement")
+        self.cut_waveform_format = kwargs.get("cut_waveform_format", "MSEED")
+        self.write_marginal_coalescence = kwargs.get(
+            "write_marginal_coalescence", False
+        )
+        self.write_coalescence = kwargs.get("write_coalescence", False)
+
+        self.pre_cut = None
+        self.post_cut = None
+
+        # Lazily-built device state (per run)
+        self._device_tt = None
+        self._slot_index = None
+        self._sharded_detect = None
+
+    def __str__(self):
+        out = (
+            "\tScan parameters:\n"
+            f"\t\tScan sampling rate = {self.scan_rate} Hz\n"
+            f"\t\tDevice precision   = {self.precision}\n"
+        )
+        if self.run.stage == "detect":
+            out += f"\t\tTime step          = {self.timestep} s\n"
+        elif self.run.stage == "locate":
+            out += f"\t\tMarginal window    = {self.marginal_window} s\n"
+
+        return out
+
+    # ------------------------------------------------------------------
+    # Device state
+    # ------------------------------------------------------------------
+
+    @property
+    def _dtype(self):
+        return np.float64 if self.precision == "double" else np.float32
+
+    def _canonical_slots(self):
+        """Phase-major (phase, station) slot ordering for the onset block."""
+
+        stations = list(self.archive.stations)
+        return [
+            (phase, station)
+            for phase in self.onset.phases
+            for station in stations
+        ]
+
+    def _build_device_state(self):
+        """
+        Stack the full traveltime table into a node-major int32 array with
+        one column per canonical slot, and upload it once.
+
+        """
+
+        import jax
+
+        slots = self._canonical_slots()
+        self._slot_index = {
+            f"{station}_{phase}": i for i, (phase, station) in enumerate(slots)
+        }
+        tables = []
+        for phase, station in slots:
+            try:
+                tables.append(self.lut[station][phase])
+            except (KeyError, TypeError):
+                raise util.LUTPhasesException(
+                    f"Attempting to migrate phase {phase} for station "
+                    f"{station}; traveltimes not found in the LUT. Please "
+                    f"create a new lookup table with phases="
+                    f"{self.onset.phases}."
+                )
+        tt = np.stack(
+            [np.rint(t * self.scan_rate).astype(np.int32).ravel() for t in tables],
+            axis=-1,
+        )  # [n_nodes, n_slots]
+
+        if self.mesh is not None:
+            from quakemigrate_tpu.parallel import pad_nodes_for_mesh
+
+            n_shards = self.mesh.shape["grid"]
+            tt, _ = pad_nodes_for_mesh(tt, n_shards, tile=self.tile)
+
+        self._device_tt = jax.device_put(tt)
+        self._n_nodes = int(np.prod(self.lut.node_count))
+
+    def _device_inputs(self, onsets, onset_data):
+        """
+        Scatter the computed onsets into the fixed canonical slot layout
+        and build the availability mask.
+
+        """
+
+        n_slots = len(self._slot_index)
+        t_len = onsets.shape[-1]
+        block = np.ones((n_slots, t_len), dtype=self._dtype)
+        mask = np.zeros(n_slots, dtype=self._dtype)
+
+        for station, phase_onsets in onset_data.onsets.items():
+            for phase, onset in phase_onsets.items():
+                slot = self._slot_index[f"{station}_{phase}"]
+                block[slot] = onset
+                mask[slot] = 1.0
+
+        available = float(mask.sum())
+        return block, mask, available
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def detect(self, starttime, endtime):
+        """
+        Continuous coalescence scan between two timestamps, writing the
+        .scanmseed stream and station availability tables.
+
+        """
+
+        self.run.stage = "detect"
+        self.run.logger(self.log)
+
+        starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
+        if starttime > endtime:
+            raise util.TimeSpanException
+        if endtime.time == time(0, 0):
+            endtime = endtime - 1 / self.scan_rate
+
+        n_steps = int(np.ceil((endtime - starttime) / self.timestep))
+
+        calc_endtime = starttime + n_steps * self.timestep - 1 / self.scan_rate
+        if calc_endtime - endtime > 1 / self.scan_rate:
+            logging.info(
+                f"Warning: chosen run duration {endtime - starttime} s is "
+                f"not divisible by the specified timestep {self.timestep} s. "
+                f"Detect will instead compute up to {calc_endtime}\n"
+            )
+
+        logging.info(util.log_spacer)
+        logging.info("\tDETECT - Continuous coalescence scan")
+        logging.info(util.log_spacer)
+        logging.info(f"\n\tScanning from {starttime} to {calc_endtime}\n")
+        logging.info(self)
+        logging.info(str(self.onset))
+        logging.info(util.log_spacer)
+
+        self._continuous_compute(starttime, n_steps)
+
+        logging.info(util.log_spacer)
+
+    def locate(self, starttime=None, endtime=None, trigger_file=None):
+        """
+        Re-migrate short windows around triggered events on the full grid;
+        compute locations, uncertainties, picks and magnitudes.
+
+        """
+
+        self.run.stage = "locate"
+        self.run.logger(self.log)
+
+        if not (starttime is None and endtime is None):
+            starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
+            if starttime > endtime:
+                raise util.TimeSpanException
+        if trigger_file is None and starttime is None and endtime is None:
+            raise RuntimeError("Must supply an input argument.")
+        if (starttime is None) ^ (endtime is None):
+            raise RuntimeError("Must supply a starttime AND an endtime.")
+
+        logging.info(util.log_spacer)
+        logging.info("\tLOCATE - Determining event location and uncertainty")
+        logging.info(util.log_spacer)
+        if trigger_file is not None:
+            logging.info(f"\n\tLocating events in {trigger_file}")
+        else:
+            logging.info(f"\n\tLocating events from {starttime} to {endtime}\n")
+        logging.info(self)
+        logging.info(str(self.onset))
+        logging.info(str(self.picker))
+        if self.mags is not None:
+            logging.info(self.archive.__str__(response_only=True))
+            logging.info(str(self.mags))
+        logging.info(util.log_spacer)
+
+        if trigger_file is not None:
+            self._locate_events(trigger_file=trigger_file)
+        else:
+            self._locate_events(starttime=starttime, endtime=endtime)
+
+        logging.info(util.log_spacer)
+
+    # ------------------------------------------------------------------
+    # detect internals
+    # ------------------------------------------------------------------
+
+    def _continuous_compute(self, starttime, n_steps):
+        coalescence = ScanmSEED(
+            self.run, self.continuous_scanmseed_write, self.scan_rate
+        )
+
+        self.pre_pad, self.post_pad = self.onset.pad(self.timestep)
+        availability_cols = [
+            f"{stat}_{ph}"
+            for ph in self.onset.phases
+            for stat in self.archive.stations
+        ]
+        availability = {}
+
+        for i in range(n_steps):
+            w_beg = starttime + self.timestep * i - self.pre_pad
+            w_end = (
+                starttime
+                + self.timestep * (i + 1)
+                - 1 / self.scan_rate
+                + self.post_pad
+            )
+            step_label = str(starttime + self.timestep * i)
+            logging.debug(f" Processing : {w_beg}-{w_end} ".center(110, "~"))
+            logging.info(
+                (
+                    f" Processing : {w_beg + self.pre_pad}-"
+                    f"{w_end - self.post_pad} "
+                ).center(110, "~")
+            )
+
+            try:
+                data = self.archive.read_waveform_data(w_beg, w_end)
+                t0, max_coa, max_coa_n, coord, onset_data = self._compute(data)
+                coalescence.append(
+                    t0, max_coa, max_coa_n, coord,
+                    self.lut.unit_conversion_factor,
+                )
+                availability[step_label] = onset_data.availability
+            except (
+                util.ArchiveEmptyException,
+                util.DataGapException,
+                util.DataAvailabilityException,
+            ) as e:
+                coalescence.empty(
+                    starttime, self.timestep, i, e.msg,
+                    self.lut.unit_conversion_factor,
+                )
+                availability[step_label] = dict.fromkeys(availability_cols, 0)
+
+        if not coalescence.written:
+            coalescence.write()
+        availability_df = pd.DataFrame.from_dict(
+            availability, orient="index", columns=availability_cols
+        ).fillna(0).astype(int)
+        write_availability(self.run, availability_df)
+
+    # ------------------------------------------------------------------
+    # locate internals
+    # ------------------------------------------------------------------
+
+    def _locate_events(self, **kwargs):
+        triggered_events = read_triggered_events(self.run, **kwargs)
+        n_events = len(triggered_events.index)
+
+        self.pre_pad, self.post_pad = self.onset.pad(4 * self.marginal_window)
+
+        for i, triggered_event in triggered_events.iterrows():
+            event = Event(self.marginal_window, triggered_event)
+            w_beg = event.trigger_time - 2 * self.marginal_window - self.pre_pad
+            w_end = event.trigger_time + 2 * self.marginal_window + self.post_pad
+            logging.info(util.log_spacer)
+            logging.info(f"\tEVENT - {i + 1} of {n_events} - {event.uid}")
+            logging.info(util.log_spacer)
+
+            try:
+                logging.info("\tReading waveform data...")
+                event.add_waveform_data(
+                    self._read_event_waveform_data(w_beg, w_end)
+                )
+                logging.info("\tComputing 4-D coalescence function...")
+                event.add_compute_output(*self._compute(event.data, event))
+            except (
+                util.ArchiveEmptyException,
+                util.DataGapException,
+                util.DataAvailabilityException,
+            ) as e:
+                logging.info(e.msg)
+                continue
+
+            if self.write_coalescence:
+                logging.info("\tSaving full coalescence map...")
+                write_coalescence(self.run, event.map4d, event)
+
+            if event.in_marginal_window():
+                event.trim2window()
+            else:
+                del event
+                continue
+
+            logging.info("\tDetermining event location and uncertainty...")
+            marginalised_coa_map = self._calculate_location(event)
+
+            if self.write_marginal_coalescence:
+                logging.info("\tSaving marginalised coalescence map...")
+                write_coalescence(
+                    self.run, marginalised_coa_map, event, marginalised=True
+                )
+
+            logging.info("\tMaking phase picks...")
+            event, _ = self.picker.pick_phases(event, self.lut, self.run)
+
+            if self.mags is not None:
+                logging.info("\tCalculating magnitude...")
+                event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
+
+            event.write(self.run, self.lut)
+
+            if self.plot_event_summary:
+                from quakemigrate_tpu.plot.event import event_summary
+
+                event_summary(
+                    self.run,
+                    event,
+                    marginalised_coa_map,
+                    self.lut,
+                    xy_files=self.xy_files,
+                    plot_all_stns=self.plot_all_stns,
+                )
+
+            if self.write_cut_waveforms:
+                write_cut_waveforms(
+                    self.run, event, self.cut_waveform_format,
+                    pre_cut=self.pre_cut, post_cut=self.post_cut,
+                )
+            if self.write_real_waveforms:
+                write_cut_waveforms(
+                    self.run, event, self.cut_waveform_format,
+                    pre_cut=self.pre_cut, post_cut=self.post_cut,
+                    waveform_type="real", units=self.real_waveform_units,
+                )
+            if self.write_wa_waveforms:
+                write_cut_waveforms(
+                    self.run, event, self.cut_waveform_format,
+                    pre_cut=self.pre_cut, post_cut=self.post_cut,
+                    waveform_type="wa", units=self.wa_waveform_units,
+                )
+
+            del event, marginalised_coa_map
+            logging.info(util.log_spacer)
+
+    # ------------------------------------------------------------------
+    # The compute core
+    # ------------------------------------------------------------------
+
+    @util.timeit("info")
+    def _compute(self, data, event=None):
+        """
+        One scan-window migration. For detect, returns the fused reduction
+        outputs (the map never materialises); for locate, also returns the
+        map reshaped to (nx, ny, nz, nsamples).
+
+        """
+
+        if self._device_tt is None:
+            self._build_device_state()
+
+        onsets, onset_data = self.onset.calculate_onsets(data)
+        onset_block, mask, available = self._device_inputs(onsets, onset_data)
+
+        fsmp = util.time2sample(self.pre_pad, onset_data.sampling_rate)
+        lsmp = util.time2sample(self.post_pad, onset_data.sampling_rate)
+        nsamples = onset_block.shape[-1] - fsmp - lsmp
+
+        if self.run.stage == "detect":
+            max_coa, max_coa_n, max_idx = self._run_detect_kernel(
+                onset_block, mask, available, fsmp, nsamples
+            )
+            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
+            t0 = data.starttime + self.pre_pad
+            return (
+                t0,
+                np.asarray(max_coa, dtype=np.float64),
+                np.asarray(max_coa_n, dtype=np.float64),
+                coord,
+                onset_data,
+            )
+        else:
+            map4d_flat = migrate_map(
+                onset_block, self._device_tt[: self._n_nodes], mask,
+                available, fsmp, nsamples, tile=self.tile,
+            )
+            max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
+            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
+            times = event.mw_times(self.scan_rate)
+            map4d = np.asarray(map4d_flat).reshape(
+                tuple(self.lut.node_count) + (nsamples,)
+            )
+            return (
+                times,
+                np.asarray(max_coa, dtype=np.float64),
+                np.asarray(max_coa_n, dtype=np.float64),
+                coord,
+                map4d,
+                onset_data,
+            )
+
+    def _run_detect_kernel(self, onset_block, mask, available, fsmp, nsamples):
+        if self.mesh is None:
+            return migrate_detect(
+                onset_block, self._device_tt, mask, available, fsmp,
+                nsamples, n_nodes_real=self._n_nodes, tile=self.tile,
+            )
+        if self._sharded_detect is None:
+            from quakemigrate_tpu.parallel import make_sharded_detect
+
+            self._sharded_detect = make_sharded_detect(
+                self.mesh, fsmp, nsamples, self._n_nodes, tile=self.tile
+            )
+        return self._sharded_detect(onset_block, self._device_tt, mask,
+                                    available)
+
+    @util.timeit("info")
+    def _read_event_waveform_data(self, w_beg, w_end):
+        """Read waveform data for one event, with magnitude pads if needed."""
+
+        pre_pad = post_pad = 0.0
+
+        if self.mags:
+            pre_pad, post_pad = self.mags.amp.pad(
+                self.marginal_window,
+                self.lut.max_traveltime,
+                self.lut.fraction_tt,
+            )
+
+        if self.pre_cut:
+            pre_pad = max(pre_pad, self.pre_cut)
+        if self.post_cut:
+            post_pad = max(post_pad, self.post_cut)
+
+        pre_pad = max(0.0, pre_pad - self.marginal_window - self.pre_pad)
+        post_pad = max(0.0, post_pad - self.marginal_window - self.post_pad)
+
+        return self.archive.read_waveform_data(w_beg, w_end, pre_pad, post_pad)
+
+    # ------------------------------------------------------------------
+    # Location estimation (host-side post-processing of the 3-D map)
+    # ------------------------------------------------------------------
+
+    @util.timeit("info")
+    def _calculate_location(self, event):
+        """
+        Marginalise the 4-D map over time and compute the three location
+        estimates: interpolated spline peak, 3-D Gaussian fit, and global
+        covariance.
+
+        """
+
+        coa_map = np.sum(event.map4d, axis=-1)
+        coa_map = coa_map / np.nanmax(coa_map)
+
+        event.add_spline_location(self._splineloc(np.copy(coa_map)))
+
+        smoothed_coa_map = self._gaufilt3d(np.copy(coa_map))
+        event.add_gaussian_location(*self._gaufit3d(smoothed_coa_map))
+
+        event.add_covariance_location(*self._covfit3d(np.copy(coa_map)))
+
+        return coa_map
+
+    @util.timeit()
+    def _splineloc(self, coa_map, win=5, upscale=10):
+        """
+        Fit a cubic RBF to a win^3 window around the gridded peak and
+        interpolate x``upscale`` for a sub-node location estimate.
+
+        """
+
+        nx, ny, nz = coa_map.shape
+        n = np.array([nx, ny, nz])
+
+        mx, my, mz = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
+        i = np.array([mx, my, mz])
+
+        w2 = (win - 1) // 2
+        x1, y1, z1 = np.clip(i - w2, 0 * n, n)
+        x2, y2, z2 = np.clip(i + w2 + 1, 0 * n, n)
+
+        if (x2 - x1) == (y2 - y1) == (z2 - z1):
+            trimmed = coa_map[x1:x2, y1:y2, z1:z2]
+
+            axes = [np.arange(dim) for dim in trimmed.shape]
+            grids = np.meshgrid(*axes)
+            interpolant = Rbf(
+                grids[0].flatten(),
+                grids[1].flatten(),
+                grids[2].flatten(),
+                trimmed.flatten(),
+                function="cubic",
+            )
+
+            fine_axes = [
+                np.linspace(0, dim - 1, (dim - 1) * upscale + 1)
+                for dim in trimmed.shape
+            ]
+            fine_grids = np.meshgrid(*fine_axes)
+            interpolated = interpolant(
+                fine_grids[0].flatten(),
+                fine_grids[1].flatten(),
+                fine_grids[2].flatten(),
+            ).reshape(fine_grids[0].shape)
+
+            mxi, myi, mzi = np.unravel_index(
+                np.nanargmax(interpolated), interpolated.shape
+            )
+            mxi = mxi / upscale + x1
+            myi = myi / upscale + y1
+            mzi = mzi / upscale + z1
+            logging.debug(f"\t\tGridded loc: {mx}   {my}   {mz}")
+            logging.debug(f"\t\tSpline  loc: {mxi} {myi} {mzi}")
+
+            if (abs(mx - mxi) > 1) or (abs(my - myi) > 1) or (abs(mz - mzi) > 1):
+                logging.debug(
+                    "\tSpline warning: spline location outside grid cell "
+                    "with maximum coalescence value"
+                )
+
+            location = self.lut.index2coord([[mxi, myi, mzi]])[0]
+
+            if (abs(mx - mxi) > w2) or (abs(my - myi) > w2) or (
+                abs(mz - mzi) > w2
+            ):
+                logging.info(
+                    "\t !!!! Spline error: location outside interpolation "
+                    "window !!!!"
+                )
+                location = self.lut.index2coord([[mx, my, mz]])[0]
+        else:
+            logging.info(
+                "\t !!!! Spline error: interpolation window crosses edge of "
+                "grid !!!!"
+            )
+            location = self.lut.index2coord([[mx, my, mz]])[0]
+
+        return location
+
+    @util.timeit()
+    def _gaufit3d(self, coa_map, thresh=0.0, win=7):
+        """
+        Fit a 3-D Gaussian (quadratic form in log space) to a window around
+        the peak of the (smoothed) map; returns location + 1-sigma errors.
+
+        """
+
+        shape = coa_map.shape
+        ijk = np.unravel_index(np.nanargmax(coa_map), shape)
+
+        flag = np.logical_and(coa_map > thresh, self._mask3d(shape, ijk, win))
+        ix, iy, iz = np.where(flag)
+
+        coa_map = coa_map - np.nanmean(coa_map)
+
+        ls = [np.arange(n) for n in shape]
+        x, y, z = [L[idx] - i for L, idx, i in zip(ls, np.where(flag), ijk)]
+
+        X = np.c_[
+            x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, np.ones(len(ix))
+        ].T
+        Y = -np.log(
+            np.clip(coa_map.astype(np.float64)[ix, iy, iz], 1e-300, np.inf)
+        )
+
+        X_inv = np.linalg.pinv(X)
+        P = np.matmul(Y, X_inv)
+        G = -np.array(
+            [2 * P[0], P[3], P[4], P[3], 2 * P[1], P[5], P[4], P[5], 2 * P[2]]
+        ).reshape((3, 3))
+        H = np.array([P[6], P[7], P[8]])
+        loc = np.matmul(np.linalg.inv(G), H)
+
+        M = np.array(
+            [
+                P[0], P[3] / 2, P[4] / 2,
+                P[3] / 2, P[1], P[5] / 2,
+                P[4] / 2, P[5] / 2, P[2],
+            ]
+        ).reshape(3, 3)
+        egv, vec = np.linalg.eig(M)
+        sgm = np.sqrt(0.5 / np.clip(np.abs(egv), 1e-10, np.inf)) / 2
+
+        location = self.lut.index2coord([list(loc + ijk)])[0]
+        uncertainty = sgm * self.lut.node_spacing
+
+        return location, uncertainty
+
+    @util.timeit()
+    def _covfit3d(self, coa_map, thresh=0.90, win=None):
+        """
+        Location and 1-sigma uncertainty from the covariance of the map
+        values above a percentile threshold (optionally windowed).
+
+        """
+
+        shape = coa_map.shape
+        ijk = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
+
+        if win:
+            flag = np.logical_and(coa_map > thresh, self._mask3d(shape, ijk, win))
+        else:
+            flag = np.where(coa_map > thresh, True, False)
+
+        sw = coa_map.flatten()
+        sw[~flag.flatten()] = np.nan
+        ssw = np.nansum(sw)
+
+        nc = self.lut.node_count
+        ns = self.lut.node_spacing
+        grid = np.meshgrid(*[np.arange(n) for n in nc], indexing="ij")
+        xs, ys, zs = [g.flatten() * size for g, size in zip(grid, ns)]
+
+        xe, ye, ze = [np.nansum(sw * s) / ssw for s in [xs, ys, zs]]
+
+        cov_matrix = np.zeros((3, 3))
+        cov_matrix[0, 0] = np.nansum(sw * (xs - xe) ** 2) / ssw
+        cov_matrix[1, 1] = np.nansum(sw * (ys - ye) ** 2) / ssw
+        cov_matrix[2, 2] = np.nansum(sw * (zs - ze) ** 2) / ssw
+        cov_matrix[0, 1] = cov_matrix[1, 0] = (
+            np.nansum(sw * (xs - xe) * (ys - ye)) / ssw
+        )
+        cov_matrix[0, 2] = cov_matrix[2, 0] = (
+            np.nansum(sw * (xs - xe) * (zs - ze)) / ssw
+        )
+        cov_matrix[1, 2] = cov_matrix[2, 1] = (
+            np.nansum(sw * (ys - ye) * (zs - ze)) / ssw
+        )
+
+        location_xyz = self.lut.ll_corner + np.array([xe, ye, ze])
+        location = self.lut.coord2grid(location_xyz, inverse=True)[0]
+        uncertainty = np.diag(np.sqrt(abs(cov_matrix)))
+
+        return location, uncertainty
+
+    @util.timeit()
+    def _gaufilt3d(self, map3d, sgm=0.8, shp=None):
+        """
+        Double fftconvolve Gaussian smoothing (forward + mirrored to cancel
+        phase shift), normalised to peak 1.
+
+        """
+
+        if shp is None:
+            shp = map3d.shape
+
+        flt = util.gaussian_3d(*shp, sgm)
+        smoothed = fftconvolve(map3d, flt, mode="same")
+        smoothed = smoothed[::-1, ::-1, ::-1] / np.nanmax(smoothed)
+        smoothed = fftconvolve(smoothed, flt, mode="same")
+        smoothed = smoothed[::-1, ::-1, ::-1] / np.nanmax(smoothed)
+
+        return smoothed
+
+    @staticmethod
+    def _mask3d(n, i, window):
+        """Boolean mask of a window^3 box around node i in an n-shaped grid."""
+
+        n = np.array(n)
+        i = np.array(i)
+
+        w2 = (window - 1) // 2
+        x1, y1, z1 = np.clip(i - w2, 0 * n, n)
+        x2, y2, z2 = np.clip(i + w2 + 1, 0 * n, n)
+
+        mask = np.zeros(n, dtype=bool)
+        mask[x1:x2, y1:y2, z1:z2] = True
+
+        return mask
+
+    # --- aliases for API familiarity ---
+
+    @property
+    def sampling_rate(self):
+        return self.scan_rate
