@@ -45,28 +45,52 @@ def _prepare_onsets(onsets, mask):
     return logged * mask[:, None]
 
 
-def _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available):
+def _build_shift_table(onsets_log, fsmp, nsamples):
     """
-    Coalescence stack for one node tile.
+    Materialise every possible shifted scan window of each onset row:
+    H[o, d, s] = onsets_log[o, fsmp + d + s] for d in [0, T - fsmp - S].
 
-    onsets_log : [O, T] log-domain onsets (masked rows zeroed).
-    tt_tile    : [Nt, O] int32 traveltime sample offsets.
-    Returns [Nt, nsamples] coalescence values (geometric-mean stack).
+    This turns the migration's per-node dynamic-offset reads into row
+    gathers from H -- TPUs vectorise whole-row gathers efficiently, whereas
+    per-element gathers scalarise. H is ~O x lsmp x S floats (tens of MB),
+    built once per device call with a cheap scan of contiguous slices.
 
     """
 
     t_len = onsets_log.shape[-1]
-    sample_idx = jnp.arange(nsamples, dtype=jnp.int32)
+    d_max = t_len - fsmp - nsamples  # == lsmp
+
+    def body(_, d):
+        return None, jax.lax.dynamic_slice_in_dim(
+            onsets_log, fsmp + d, nsamples, axis=1
+        )
+
+    _, shifted = jax.lax.scan(
+        body, None, jnp.arange(d_max + 1, dtype=jnp.int32)
+    )
+    # [D, O, S] -> [O, D, S]
+    return jnp.transpose(shifted, (1, 0, 2)), d_max
+
+
+def _stack_tile(shift_table, d_max, tt_tile, mask, available):
+    """
+    Coalescence stack for one node tile.
+
+    shift_table : [O, D, S] pre-shifted log-domain onset windows.
+    tt_tile     : [Nt, O] int32 traveltime sample offsets.
+    Returns [Nt, nsamples] coalescence values (geometric-mean stack).
+
+    """
 
     def body(acc, inputs):
-        row, tt_o, m = inputs
-        start = jnp.maximum(tt_o, 0) + fsmp
-        start = jnp.clip(start, 0, t_len - nsamples)
-        gathered = row[start[:, None] + sample_idx[None, :]]
-        return acc + m * gathered, None
+        windows, tt_o, m = inputs
+        rows = jnp.take(windows, jnp.clip(tt_o, 0, d_max), axis=0)
+        return acc + m * rows, None
 
-    acc0 = jnp.zeros((tt_tile.shape[0], nsamples), dtype=onsets_log.dtype)
-    acc, _ = jax.lax.scan(body, acc0, (onsets_log, tt_tile.T, mask))
+    acc0 = jnp.zeros(
+        (tt_tile.shape[0], shift_table.shape[-1]), dtype=shift_table.dtype
+    )
+    acc, _ = jax.lax.scan(body, acc0, (shift_table, tt_tile.T, mask))
     return jnp.exp(acc / available)
 
 
@@ -88,6 +112,7 @@ def detect_reduce(
     n_total = traveltimes.shape[0]
     onsets_log = _prepare_onsets(onsets, mask)
     dtype = onsets_log.dtype
+    shift_table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
 
     n_tiles = -(-n_total // tile)
     pad = n_tiles * tile - n_total
@@ -99,7 +124,7 @@ def detect_reduce(
     def tile_body(carry, inputs):
         running_max, running_idx, running_sum = carry
         tt_tile, tile_i = inputs
-        coa = _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available)
+        coa = _stack_tile(shift_table, d_max, tt_tile, mask, available)
         global_idx = node_offset + tile_i * tile + node_idx_base
         valid = (global_idx < n_nodes_real)[:, None]
         coa = jnp.where(valid, coa, 0.0)
@@ -183,13 +208,14 @@ def migrate_map(
     """
 
     onsets_log = _prepare_onsets(onsets, mask)
+    shift_table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
     n_total = traveltimes.shape[0]
     n_tiles = -(-n_total // tile)
     pad = n_tiles * tile - n_total
     tt_tiles = jnp.pad(traveltimes, ((0, pad), (0, 0))).reshape(n_tiles, tile, -1)
 
     def tile_body(_, tt_tile):
-        coa = _stack_tile(onsets_log, tt_tile, mask, fsmp, nsamples, available)
+        coa = _stack_tile(shift_table, d_max, tt_tile, mask, available)
         return None, coa
 
     _, tiles = jax.lax.scan(tile_body, None, tt_tiles)
