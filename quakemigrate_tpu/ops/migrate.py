@@ -72,6 +72,10 @@ def _build_shift_table(onsets_log, fsmp, nsamples):
     return jnp.transpose(shifted, (1, 0, 2)), d_max
 
 
+_ONSET_GROUP = 4  # onsets accumulated per scan step (cuts accumulator
+                  # HBM round-trips by the same factor)
+
+
 def _stack_tile(shift_table, d_max, tt_tile, mask, available):
     """
     Coalescence stack for one node tile.
@@ -80,17 +84,40 @@ def _stack_tile(shift_table, d_max, tt_tile, mask, available):
     tt_tile     : [Nt, O] int32 traveltime sample offsets.
     Returns [Nt, nsamples] coalescence values (geometric-mean stack).
 
+    The scan runs over onset *groups*: each step gathers and adds
+    _ONSET_GROUP rows so the [Nt, S] accumulator makes 1/group as many
+    HBM round-trips.
+
     """
 
+    n_onsets = shift_table.shape[0]
+    g = _ONSET_GROUP
+    o_pad = -(-n_onsets // g) * g - n_onsets
+    if o_pad:
+        shift_table = jnp.pad(shift_table, ((0, o_pad), (0, 0), (0, 0)))
+        tt_tile = jnp.pad(tt_tile, ((0, 0), (0, o_pad)))
+        mask = jnp.pad(mask, (0, o_pad))
+    n_groups = shift_table.shape[0] // g
+
     def body(acc, inputs):
-        windows, tt_o, m = inputs
-        rows = jnp.take(windows, jnp.clip(tt_o, 0, d_max), axis=0)
-        return acc + m * rows, None
+        windows, tt_g, m = inputs  # [g, D, S], [g, Nt], [g]
+        for j in range(g):
+            rows = jnp.take(windows[j], jnp.clip(tt_g[j], 0, d_max), axis=0)
+            acc = acc + m[j] * rows
+        return acc, None
 
     acc0 = jnp.zeros(
         (tt_tile.shape[0], shift_table.shape[-1]), dtype=shift_table.dtype
     )
-    acc, _ = jax.lax.scan(body, acc0, (shift_table, tt_tile.T, mask))
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (
+            shift_table.reshape(n_groups, g, *shift_table.shape[1:]),
+            tt_tile.T.reshape(n_groups, g, -1),
+            mask.reshape(n_groups, g),
+        ),
+    )
     return jnp.exp(acc / available)
 
 

@@ -1,0 +1,266 @@
+# -*- coding: utf-8 -*-
+"""
+Pallas TPU kernel for the fused detect migration.
+
+TPUs have no vectorised gather, so the migration's per-node dynamic-offset
+reads are implemented as a *binary shift network* on the VPU: for each
+(node-tile, onset) grid step, the onset row is aligned to the tile's
+minimum traveltime with one dynamic roll, broadcast across the tile's
+sublanes, and then each node's residual shift (tt - tile_min) is applied
+bit by bit with log2(R) static roll + select passes. The per-tile
+coalescence accumulator lives in VMEM scratch for the whole onset loop and
+the per-sample max/argmax/sum grid reduction happens in-register before
+anything is written back -- the coalescence map never touches HBM.
+
+To keep the residual shift range R small, the flat node axis is reordered
+into spatially compact bricks (nodes close in space have close
+traveltimes); the permutation is undone when mapping argmax indices back.
+
+Numerically identical to ops.migrate.migrate_detect except for argmax
+tie-breaking on exactly-equal coalescence values (which follows brick order
+rather than flat-grid order).
+
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .migrate import _prepare_onsets
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def brick_permutation(node_count, brick_shape):
+    """
+    Permutation reordering the flat (C-order) node axis into spatially
+    compact bricks. Returns (perm, n_padded): ``perm[new] = old`` flat
+    index, with -1 marking padding nodes (bricks overhanging the grid).
+
+    """
+
+    node_count = np.asarray(node_count, dtype=int)
+    brick_shape = np.asarray(brick_shape, dtype=int)
+    n_bricks = -(-node_count // brick_shape)
+
+    # Index grids over the padded volume, brick-major
+    bi, bj, bk = [np.arange(n) for n in n_bricks]
+    li, lj, lk = [np.arange(b) for b in brick_shape]
+
+    # full index arrays: (Bi, Bj, Bk, bi, bj, bk)
+    gi = (bi[:, None, None, None, None, None] * brick_shape[0]
+          + li[None, None, None, :, None, None])
+    gj = (bj[None, :, None, None, None, None] * brick_shape[1]
+          + lj[None, None, None, None, :, None])
+    gk = (bk[None, None, :, None, None, None] * brick_shape[2]
+          + lk[None, None, None, None, None, :])
+    gi, gj, gk = np.broadcast_arrays(gi, gj, gk)
+
+    valid = (gi < node_count[0]) & (gj < node_count[1]) & (gk < node_count[2])
+    flat = (gi * node_count[1] + gj) * node_count[2] + gk
+    perm = np.where(valid, flat, -1).ravel()
+
+    return perm.astype(np.int64), perm.size
+
+
+class PallasDetectPlan:
+    """
+    Precomputed per-run state for the Pallas detect kernel: brick-permuted
+    fine traveltimes, per-(tile, onset) base shifts, validity mask and the
+    inverse permutation for argmax mapping.
+
+    """
+
+    def __init__(self, traveltimes, node_count, tile=512,
+                 brick_shape=(8, 8, 8)):
+        traveltimes = np.asarray(traveltimes)
+        n_nodes, n_onsets = traveltimes.shape
+        assert int(np.prod(node_count)) == n_nodes
+
+        perm, n_padded = brick_permutation(node_count, brick_shape)
+        n_padded = _round_up(n_padded, tile)
+        if perm.size < n_padded:
+            perm = np.concatenate(
+                [perm, np.full(n_padded - perm.size, -1, dtype=perm.dtype)]
+            )
+
+        tt_perm = np.zeros((n_padded, n_onsets), dtype=np.int32)
+        live = perm >= 0
+        tt_perm[live] = np.maximum(traveltimes[perm[live]], 0)
+
+        n_tiles = n_padded // tile
+        tt_tiles = tt_perm.reshape(n_tiles, tile, n_onsets)
+        live_tiles = live.reshape(n_tiles, tile)
+        # Base shift from REAL nodes only; padding rows take the base (fine
+        # shift 0) so they never widen the per-tile shift range.
+        masked = np.where(live_tiles[..., None], tt_tiles, np.iinfo(np.int32).max)
+        base = masked.min(axis=1)
+        base = np.where(base == np.iinfo(np.int32).max, 0, base).astype(np.int32)
+        fine = np.where(
+            live_tiles[..., None], tt_tiles - base[:, None, :], 0
+        )
+        r_max = int(fine.max()) if fine.size else 0
+        bits = max(1, int(np.ceil(np.log2(r_max + 1))) if r_max else 1)
+
+        self.tile = tile
+        self.n_tiles = n_tiles
+        self.n_onsets = n_onsets
+        self.n_nodes = n_nodes
+        self.bits = bits
+        self.r_pow2 = 1 << bits
+        # [n_tiles, O, TILE, 1] so the kernel sees a (TILE, 1) column
+        self.fine = np.ascontiguousarray(
+            fine.transpose(0, 2, 1)[..., None].astype(np.int32)
+        )
+        self.base = base
+        self.valid = live.reshape(n_tiles, tile, 1).astype(np.float32)
+        self.perm = np.where(live, perm, 0).astype(np.int32)
+
+    def device_put(self):
+        self.fine = jax.device_put(self.fine)
+        self.base = jax.device_put(self.base)
+        self.valid = jax.device_put(self.valid)
+        self.perm = jax.device_put(self.perm)
+        return self
+
+
+def _detect_kernel(base_ref, inv_avail_ref, onset_ref, fine_ref, valid_ref,
+                   max_ref, arg_ref, sum_ref, acc_ref, *, fsmp, bits, width,
+                   s_pad, tile, n_onsets):
+    i = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    t_pad = onset_ref.shape[-1]
+    base = base_ref[i, o]
+    # Align the row so column 0 is sample (fsmp + base); one dynamic roll.
+    row = onset_ref[pl.ds(o, 1), :]
+    rolled = pltpu.roll(row, t_pad - (base + fsmp), axis=1)
+    window = jax.lax.broadcast_in_dim(
+        rolled[:, :width], (tile, width), (0, 1)
+    )
+
+    fine = fine_ref[0, 0]  # (TILE, 1) int32
+    for k in range(bits):
+        shifted = pltpu.roll(window, width - (1 << k), axis=1)
+        bit = (fine >> k) & 1
+        window = jnp.where(bit == 1, shifted, window)
+
+    acc_ref[...] += window[:, :s_pad]
+
+    @pl.when(o == n_onsets - 1)
+    def _():
+        coa = jnp.exp(acc_ref[...] * inv_avail_ref[0]) * valid_ref[0]
+        max_ref[0] = jnp.max(coa, axis=0, keepdims=True)
+        arg_ref[0] = jnp.argmax(coa, axis=0, keepdims=True).astype(jnp.int32)
+        sum_ref[0] = jnp.sum(coa, axis=0, keepdims=True)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "bits", "n_nodes_real",
+                     "interpret"),
+)
+def _pallas_detect_core(onsets, mask, available, fine, base, valid, perm,
+                        fsmp, nsamples, tile, bits, n_nodes_real,
+                        interpret=False):
+    onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
+    n_tiles, n_onsets = base.shape
+
+    s_pad = _round_up(nsamples, LANE)
+    r_pow2 = 1 << bits
+    width = s_pad + r_pow2
+    # Row must cover fsmp + base_max + width reads: base_max <= lsmp, so
+    # t_pad = T + (s_pad - S) + r_pow2 suffices.
+    t_pad = _round_up(onsets_log.shape[-1] + r_pow2 + (s_pad - nsamples), LANE)
+    onsets_padded = jnp.pad(
+        onsets_log, ((0, 0), (0, t_pad - onsets_log.shape[-1]))
+    )
+
+    kernel = partial(
+        _detect_kernel, fsmp=fsmp, bits=bits, width=width, s_pad=s_pad,
+        tile=tile, n_onsets=n_onsets,
+    )
+
+    grid = (n_tiles, n_onsets)
+    tmax, targ, tsum = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(base.shape, lambda i, o: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i, o: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_onsets, t_pad), lambda i, o: (0, 0)),
+            pl.BlockSpec((1, 1, tile, 1), lambda i, o: (i, o, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda i, o: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, s_pad), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i, o: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, s_pad), jnp.float32)],
+        interpret=interpret,
+    )(
+        base,
+        jnp.asarray(1.0 / available, jnp.float32).reshape(1),
+        onsets_padded,
+        fine,
+        valid,
+    )
+
+    tmax = tmax[:, 0, :nsamples]
+    targ = targ[:, 0, :nsamples]
+    tsum = tsum[:, 0, :nsamples]
+
+    # Cross-tile combine (XLA): max + first-tile tie-break + sum
+    best_tile = jnp.argmax(tmax, axis=0)
+    max_coa = jnp.take_along_axis(tmax, best_tile[None, :], axis=0)[0]
+    local = jnp.take_along_axis(targ, best_tile[None, :], axis=0)[0]
+    perm_idx = best_tile.astype(jnp.int32) * tile + local
+    max_idx = jnp.take(perm, perm_idx)
+    coa_sum = jnp.sum(tsum, axis=0)
+
+    return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
+
+
+class PallasDetect:
+    """
+    Callable wrapper: build once per (LUT, scan geometry), then call with
+    per-window onsets like ops.migrate.migrate_detect.
+
+    """
+
+    def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=512,
+                 brick_shape=(8, 8, 8), interpret=False):
+        self.plan = PallasDetectPlan(
+            traveltimes, node_count, tile=tile, brick_shape=brick_shape
+        ).device_put()
+        self.fsmp = fsmp
+        self.nsamples = nsamples
+        self.interpret = interpret
+
+    def __call__(self, onsets, mask, available):
+        p = self.plan
+        return _pallas_detect_core(
+            onsets, mask, available, p.fine, p.base, p.valid, p.perm,
+            self.fsmp, self.nsamples, p.tile, p.bits, p.n_nodes,
+            interpret=self.interpret,
+        )
