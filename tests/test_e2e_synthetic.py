@@ -192,3 +192,41 @@ def test_located_event(run_outputs):
     # Summary plot produced
     plots = list((run_dir / "locate" / "summaries").glob("*.pdf"))
     assert len(plots) == 1
+
+
+def test_exports(run_outputs, tmp_path):
+    """QuakeML / NLLoc / Snuffler exports from the completed run."""
+
+    run_dir, lut = run_outputs
+    from quakemigrate_tpu.export import (
+        nlloc_obs,
+        read_run,
+        snuffler_markers,
+        snuffler_stations,
+        write_quakeml,
+    )
+
+    records = write_quakeml(run_dir, tmp_path / "catalog.xml", units="km")
+    assert len(records) == 1
+    xml = (tmp_path / "catalog.xml").read_text()
+    assert "<q:quakeml" in xml and "<origin " in xml and "<pick " in xml
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(xml)  # must be well-formed
+
+    event = records[0]
+    assert abs(event.longitude - SOURCE[0]) < 0.02
+    assert abs(event.depth_km - SOURCE[2]) < 1.5
+
+    nlloc_obs(event, tmp_path / "event.obs")
+    obs = (tmp_path / "event.obs").read_text()
+    assert "GAU" in obs and len(obs.splitlines()) > 10
+
+    snuffler_markers(event, tmp_path)
+    markers = (tmp_path / event.uid / f"{event.uid}.markers").read_text()
+    assert markers.startswith("# Snuffler Markers File")
+    assert "phase:" in markers
+
+    stations = lut.station_data
+    snuffler_stations(stations, tmp_path, "stations.txt", network_code="SC")
+    assert len((tmp_path / "stations.txt").read_text().splitlines()) == 10

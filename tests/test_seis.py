@@ -1,0 +1,190 @@
+# -*- coding: utf-8 -*-
+"""
+Seismic data layer tests: UTCDateTime semantics, miniSEED round trips
+(STEIM1/2 + fallback), merges, SAC round trip, response removal.
+
+"""
+
+import numpy as np
+import pytest
+
+from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime, read
+from quakemigrate_tpu.seis.response import simulate_seismometer
+from quakemigrate_tpu.util import MergeError, merge_stream, wa_response
+
+
+class TestUTCDateTime:
+    def test_str_and_uid(self):
+        t = UTCDateTime("2014-06-29T18:42:08.376")
+        assert str(t) == "2014-06-29T18:42:08.376000Z"
+        uid = str(t)
+        for c in ["-", ":", ".", " ", "Z", "T"]:
+            uid = uid.replace(c, "")
+        assert uid[:17].ljust(17, "0") == "20140629184208376"
+
+    def test_julday_parsing(self):
+        assert UTCDateTime("2021-049").julday == 49
+        assert UTCDateTime(year=2021, julday=49).month == 2
+
+    def test_arithmetic(self):
+        t = UTCDateTime("2014-12-31T23:59:59.996")
+        t2 = t + 0.004
+        assert str(t2) == "2015-01-01T00:00:00.000000Z"
+        assert t2 - t == pytest.approx(0.004)
+
+    def test_on_sample_arithmetic_is_exact(self):
+        t = UTCDateTime("2021-02-18T12:00:00")
+        # 10000 increments of 0.004 s must land exactly on-sample
+        t2 = t
+        for _ in range(100):
+            t2 = t2 + 0.004
+        assert (t2 - t) == pytest.approx(0.4)
+        assert t2.nanosecond % 4_000_000 == 0
+
+
+class TestMSEED:
+    def test_steim2_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        data = np.round(rng.normal(0, 3e4, 50000)).astype(np.int32)
+        tr = Trace(
+            data,
+            {
+                "network": "NW", "station": "COA",
+                "starttime": UTCDateTime("2014-06-29T18:00:00"),
+                "sampling_rate": 250.0,
+            },
+        )
+        file = tmp_path / "t.mseed"
+        Stream([tr]).write(str(file), format="MSEED", encoding="STEIM2")
+        st = read(str(file))
+        assert np.array_equal(st[0].data, data)
+        assert st[0].stats.starttime == tr.stats.starttime
+        assert st[0].stats.sampling_rate == 250.0
+
+    def test_steim2_overflow_falls_back(self, tmp_path):
+        data = np.array([0, 2**30, -(2**30), 5] * 100, dtype=np.int32)
+        tr = Trace(data, {"station": "T", "sampling_rate": 100.0})
+        file = tmp_path / "big.mseed"
+        Stream([tr]).write(str(file), format="MSEED", encoding="STEIM2")
+        st = read(str(file))
+        assert np.array_equal(st[0].data, data)
+
+    def test_float_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2)
+        data = rng.normal(size=5000)
+        tr = Trace(
+            data,
+            {"station": "SYN", "channel": "CHZ",
+             "starttime": UTCDateTime("2021-02-18T12:00:00"),
+             "sampling_rate": 100.0},
+        )
+        file = tmp_path / "f.mseed"
+        tr.write(str(file))
+        st = read(str(file))
+        np.testing.assert_allclose(st[0].data, data)
+
+    def test_windowed_read(self, tmp_path):
+        data = np.arange(30000, dtype=np.int32)
+        tr = Trace(
+            data,
+            {"station": "W", "starttime": UTCDateTime(0),
+             "sampling_rate": 100.0},
+        )
+        file = tmp_path / "w.mseed"
+        tr.write(str(file))
+        st = read(str(file), starttime=UTCDateTime(100), endtime=UTCDateTime(200))
+        assert st[0].stats.starttime == UTCDateTime(100)
+        assert st[0].stats.npts == 100 * 100 + 1
+        assert st[0].data[0] == 10000
+
+
+class TestMerge:
+    def _tr(self, data, start, station="A"):
+        return Trace(
+            np.asarray(data),
+            {"station": station, "channel": "HHZ",
+             "starttime": UTCDateTime(start), "sampling_rate": 100.0},
+        )
+
+    def test_contiguous(self):
+        a = self._tr(np.arange(500), 0.0)
+        b = self._tr(np.arange(500, 1000), 5.0)
+        merged = Stream([a, b]).merge(method=-1)
+        assert len(merged) == 1 and merged[0].stats.npts == 1000
+
+    def test_conflicting_overlap_raises(self):
+        a = self._tr(np.arange(500), 0.0)
+        c = self._tr(np.arange(200) + 999, 4.0)
+        with pytest.raises(MergeError):
+            Stream([a, c]).merge(method=-1)
+
+    def test_merge_stream_drops_conflicts(self):
+        a = self._tr(np.arange(500), 0.0)
+        c = self._tr(np.arange(200) + 999, 4.0)
+        good = self._tr(np.arange(100), 0.0, station="B")
+        merged = merge_stream(Stream([a, c, good]))
+        assert {tr.stats.station for tr in merged} == {"B"}
+
+    def test_mismatched_dtypes_raise(self):
+        a = self._tr(np.arange(500, dtype=np.int32), 0.0)
+        b = self._tr(np.arange(500, 1000, dtype=np.float64), 5.0)
+        with pytest.raises(MergeError):
+            Stream([a, b]).merge(method=-1)
+
+
+class TestSAC:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=1000).astype(np.float32)
+        tr = Trace(
+            data,
+            {"station": "SX", "channel": "HHZ", "network": "NW",
+             "starttime": UTCDateTime("2020-01-02T03:04:05.5"),
+             "sampling_rate": 50.0},
+        )
+        file = tmp_path / "t.sac"
+        tr.write(str(file), format="SAC")
+        st = read(str(file))
+        np.testing.assert_allclose(st[0].data, data, rtol=1e-6)
+        assert st[0].stats.station == "SX"
+        assert abs(st[0].stats.starttime - tr.stats.starttime) < 1e-3
+
+
+class TestResponse:
+    def test_wa_simulation_scales_sensitivity(self):
+        rng = np.random.default_rng(5)
+        sr = 100.0
+        t = np.arange(2000) / sr
+        data = np.sin(2 * np.pi * 5.0 * t)
+        wa = wa_response()
+        out = simulate_seismometer(data, sr, paz_simulate=wa, taper=False)
+        # At 5 Hz the WA displacement response is close to flat at the
+        # sensitivity (2080); check within a factor ~2 mid-trace
+        mid = slice(500, 1500)
+        ratio = np.abs(out[mid]).max() / np.abs(data[mid]).max()
+        assert 1000 < ratio < 4000
+
+    def test_remove_then_apply_is_identity(self):
+        rng = np.random.default_rng(6)
+        sr = 100.0
+        # Band-limited signal (deconvolution cannot recover bands where the
+        # response is ~0, e.g. DC)
+        t = np.arange(4096) / sr
+        data = sum(
+            np.sin(2 * np.pi * f * t + p)
+            for f, p in zip((2.0, 5.0, 11.0), rng.uniform(0, 6, 3))
+        )
+        paz = {
+            "poles": [-6.28 - 4.71j, -6.28 + 4.71j],
+            "zeros": [0j, 0j],
+            "sensitivity": 1500.0,
+            "gain": 1.0,
+        }
+        applied = simulate_seismometer(data, sr, paz_simulate=paz, taper=False)
+        recovered = simulate_seismometer(
+            applied, sr, paz_remove=paz, water_level=60.0, taper=False
+        )
+        # mid-band recovery (edges affected by the deconvolution)
+        mid = slice(1000, 3000)
+        corr = np.corrcoef(recovered[mid], data[mid])[0, 1]
+        assert corr > 0.99

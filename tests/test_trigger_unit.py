@@ -1,0 +1,93 @@
+# -*- coding: utf-8 -*-
+"""
+Trigger-internals unit tests on tiny analytic traces, mirroring the
+reference's tests/test_trigger.py (MAD / median-ratio thresholds with the
+scale factor nulled; Gaussian smoothing). Uses the fake-LUT trick: a
+Trigger can be built with a placeholder LUT for unit testing because the
+LUT is only touched inside trigger().
+
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import quakemigrate_tpu.util as util
+from quakemigrate_tpu.signal.trigger import Trigger, chunks2trace
+
+
+@pytest.fixture()
+def trigger(tmp_path):
+    return Trigger("not_a_lut", str(tmp_path), "test")
+
+
+def test_mad_threshold(trigger):
+    trigger.threshold_method = "mad"
+    trigger.mad_window_length = 4.0
+    trigger.mad_multiplier = 1.0
+
+    scandata = pd.Series([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    threshold = trigger._get_threshold(scandata, 1)
+
+    # window of 4 samples: medians [1.5, 5.5]; MAD (scaled 1.4826) of
+    # [0,1,2,3] is 1.4826; threshold = median + mad*multiplier
+    expected_mad = util.calculate_mad(np.array([0.0, 1.0, 2.0, 3.0]))
+    expected = np.array(
+        [1.5 + expected_mad] * 4 + [5.5 + expected_mad] * 4
+    )
+    np.testing.assert_allclose(threshold, expected)
+
+
+def test_median_ratio_threshold(trigger):
+    trigger.threshold_method = "median_ratio"
+    trigger.median_window_length = 4.0
+    trigger.median_multiplier = 2.0
+
+    scandata = pd.Series([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    threshold = trigger._get_threshold(scandata, 1)
+
+    expected = np.array([3.0] * 4 + [11.0] * 4)
+    np.testing.assert_allclose(threshold, expected)
+
+
+def test_static_threshold(trigger):
+    trigger.threshold_method = "static"
+    trigger.static_threshold = 1.75
+    threshold = trigger._get_threshold(pd.Series(np.zeros(5)), 1)
+    np.testing.assert_allclose(threshold, np.full(5, 1.75))
+
+
+def test_invalid_threshold_method(trigger):
+    with pytest.raises(util.InvalidTriggerThresholdMethodException):
+        trigger.threshold_method = "bogus"
+
+
+def test_min_event_interval_validation(tmp_path):
+    with pytest.raises(ValueError):
+        Trigger(
+            "not_a_lut", str(tmp_path), "test", marginal_window=2.0,
+            min_event_interval=3.0,
+        )
+
+
+def test_smoothing(trigger):
+    trigger.smooth_coa = True
+    trigger.smoothing_kernel_sigma = 1.0
+    trigger.smoothing_kernel_width = 4.0
+
+    data = pd.DataFrame(
+        {
+            "COA": np.array([0, 0, 0, 0, 10, 0, 0, 0, 0], dtype=float),
+            "COA_N": np.array([0, 0, 0, 0, 10, 0, 0, 0, 0], dtype=float),
+        }
+    )
+    smoothed = trigger._smooth_coa(data, 1)
+    # Gaussian smoothing preserves the integral and reduces the peak
+    assert smoothed["COA"].iloc[4] < 10
+    np.testing.assert_allclose(smoothed["COA"].sum(), 10.0, rtol=1e-6)
+    assert np.argmax(smoothed["COA"].values) == 4
+
+
+def test_chunks2trace():
+    out = chunks2trace(np.array([1.0, 2.0]), (2, 3))
+    np.testing.assert_array_equal(out, [1, 1, 1, 2, 2, 2])
