@@ -125,7 +125,7 @@ def _plot_waveform_gather(ax, event, lut):
     # Order stations by P traveltime
     try:
         order = {
-            stn: float(lut.traveltime_to("P", e_ijk, station=stn))
+            stn: float(np.ravel(lut.traveltime_to("P", e_ijk, station=stn))[0])
             for stn in stations
         }
         stations.sort(key=lambda s: order[s])
@@ -144,7 +144,7 @@ def _plot_waveform_gather(ax, event, lut):
         )
         for phase, colour in zip(event.onset_data.phases, ("r", "b")):
             try:
-                tt = float(lut.traveltime_to(phase, e_ijk, station=station))
+                tt = float(np.ravel(lut.traveltime_to(phase, e_ijk, station=station))[0])
                 arrival = (event.otime + tt).matplotlib_date
                 ax.plot(
                     [arrival, arrival], [i - 0.4, i + 0.4], c=colour, lw=1.2

@@ -97,7 +97,7 @@ class GaussianPicker(PhasePicker):
 
         for station, onsets in onset_data.onsets.items():
             for phase, onset in onsets.items():
-                traveltime = lut.traveltime_to(phase, e_ijk, station)[0]
+                traveltime = float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
                 pick_windows.setdefault(station, {}).update(
                     {
                         phase: self._determine_window(
@@ -128,7 +128,7 @@ class GaussianPicker(PhasePicker):
 
                 gaussfits.setdefault(station, {}).update({phase: fit})
 
-                traveltime = lut.traveltime_to(phase, e_ijk, station)[0]
+                traveltime = float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
                 model_time = event.otime + traveltime
                 if pick[0] == -1:
                     residual = -1
@@ -159,7 +159,7 @@ class GaussianPicker(PhasePicker):
             logging.info("\t\tPlotting picks...")
             for station, onsets in onset_data.onsets.items():
                 traveltimes = [
-                    lut.traveltime_to(phase, e_ijk, station)[0]
+                    float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
                     for phase in onsets.keys()
                 ]
                 self.plot(event, station, onset_data, picks, traveltimes, run)
