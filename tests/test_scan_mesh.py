@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""
+QuakeScan with a device mesh: detect over the virtual 8-device CPU mesh
+must write a byte-identical .scanmseed to the single-device run.
+
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from quakemigrate_tpu import QuakeScan, compute_traveltimes
+from quakemigrate_tpu.coords import Proj
+from quakemigrate_tpu.io import Archive
+from quakemigrate_tpu.parallel import make_mesh
+from quakemigrate_tpu.signal.onsets import STALTAOnset
+from quakemigrate_tpu.synthetics import GaussianDerivativeWavelet, simulate_waveforms
+
+SPS = 100
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("meshscan")
+
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    cproj = Proj(proj="longlat")
+    grid_spec = dict(
+        ll_corner=[-0.06, -0.06, 0.0],
+        ur_corner=[0.06, 0.06, 20.0],
+        node_spacing=[2.0, 2.0, 2.0],
+        grid_proj=gproj,
+        coord_proj=cproj,
+    )
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    stations = pd.DataFrame(
+        {
+            "Name": [f"ST{i:02d}" for i in range(8)],
+            "Longitude": 0.045 * np.cos(angles),
+            "Latitude": 0.045 * np.sin(angles),
+            "Elevation": np.zeros(8),
+        }
+    )
+    lut = compute_traveltimes(
+        grid_spec, stations, method="homogeneous", phases=["P", "S"],
+        vp=5.0, vs=3.0,
+    )
+
+    wavelet = GaussianDerivativeWavelet(4.0, SPS, 30.0)
+    stream = simulate_waveforms(
+        wavelet, [0.0, 0.0, 12.0], lut, magnitude=2.0,
+        rng=np.random.default_rng(7),
+    )
+    day_dir = root / "mSEED" / "2021" / "049"
+    day_dir.mkdir(parents=True)
+    for tr in stream:
+        tr.write(str(day_dir / f"{tr.stats.station}_{tr.stats.channel[-1]}.m"),
+                 format="MSEED")
+
+    archive = Archive(
+        archive_path=root / "mSEED", stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    return root, archive, lut
+
+
+def _run_detect(root, archive, lut, name, mesh):
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(root / "runs"),
+        run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
+        tile=64,
+    )
+    scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+    return root / "runs" / name / "detect" / "scanmseed" / "2021_049.scanmseed"
+
+
+def test_mesh_detect_matches_single_device(setup):
+    root, archive, lut = setup
+
+    single = _run_detect(root, archive, lut, "single", None)
+    mesh = make_mesh(jax.devices())
+    sharded = _run_detect(root, archive, lut, "sharded", mesh)
+
+    from quakemigrate_tpu.seis import read
+
+    st_single = read(str(single))
+    st_sharded = read(str(sharded))
+    for station in ("COA", "X", "Y", "Z"):
+        a = st_single.select(station=station)[0].data
+        b = st_sharded.select(station=station)[0].data
+        np.testing.assert_array_equal(a, b, err_msg=station)
+    # COA_N divides by the cross-shard psum: summation-order rounding may
+    # flip the last retained digit (1e-5) on isolated samples
+    a = st_single.select(station="COA_N")[0].data.astype(np.int64)
+    b = st_sharded.select(station="COA_N")[0].data.astype(np.int64)
+    assert np.abs(a - b).max() <= 1
+    assert (a != b).mean() < 0.05
