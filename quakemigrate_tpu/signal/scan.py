@@ -329,6 +329,8 @@ class QuakeScan:
     # ------------------------------------------------------------------
 
     def _continuous_compute(self, starttime, n_steps):
+        from concurrent.futures import ThreadPoolExecutor
+
         coalescence = ScanmSEED(
             self.run, self.continuous_scanmseed_write, self.scan_rate
         )
@@ -341,7 +343,7 @@ class QuakeScan:
         ]
         availability = {}
 
-        for i in range(n_steps):
+        def window(i):
             w_beg = starttime + self.timestep * i - self.pre_pad
             w_end = (
                 starttime
@@ -349,6 +351,15 @@ class QuakeScan:
                 - 1 / self.scan_rate
                 + self.post_pad
             )
+            return w_beg, w_end
+
+        # Archive reads double-buffer against device compute: the next
+        # window is fetched on a worker thread while this one migrates.
+        reader = ThreadPoolExecutor(max_workers=1)
+        next_read = reader.submit(self.archive.read_waveform_data, *window(0))
+
+        for i in range(n_steps):
+            w_beg, w_end = window(i)
             step_label = str(starttime + self.timestep * i)
             logging.debug(f" Processing : {w_beg}-{w_end} ".center(110, "~"))
             logging.info(
@@ -358,8 +369,14 @@ class QuakeScan:
                 ).center(110, "~")
             )
 
+            this_read = next_read
+            if i + 1 < n_steps:
+                next_read = reader.submit(
+                    self.archive.read_waveform_data, *window(i + 1)
+                )
+
             try:
-                data = self.archive.read_waveform_data(w_beg, w_end)
+                data = this_read.result()
                 t0, max_coa, max_coa_n, coord, onset_data = self._compute(data)
                 coalescence.append(
                     t0, max_coa, max_coa_n, coord,
@@ -376,6 +393,8 @@ class QuakeScan:
                     self.lut.unit_conversion_factor,
                 )
                 availability[step_label] = dict.fromkeys(availability_cols, 0)
+
+        reader.shutdown(wait=False)
 
         if not coalescence.written:
             coalescence.write()
@@ -491,10 +510,13 @@ class QuakeScan:
 
         """
 
+        import jax
+
         if self._device_tt is None:
             self._build_device_state()
 
-        onsets, onset_data = self.onset.calculate_onsets(data)
+        with jax.profiler.TraceAnnotation("qm_onsets"):
+            onsets, onset_data = self.onset.calculate_onsets(data)
         onset_block, mask, available = self._device_inputs(onsets, onset_data)
 
         fsmp = util.time2sample(self.pre_pad, onset_data.sampling_rate)
@@ -502,9 +524,10 @@ class QuakeScan:
         nsamples = onset_block.shape[-1] - fsmp - lsmp
 
         if self.run.stage == "detect":
-            max_coa, max_coa_n, max_idx = self._run_detect_kernel(
-                onset_block, mask, available, fsmp, nsamples
-            )
+            with jax.profiler.TraceAnnotation("qm_migrate_detect"):
+                max_coa, max_coa_n, max_idx = self._run_detect_kernel(
+                    onset_block, mask, available, fsmp, nsamples
+                )
             coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
             t0 = data.starttime + self.pre_pad
             return (
@@ -515,11 +538,12 @@ class QuakeScan:
                 onset_data,
             )
         else:
-            map4d_flat = migrate_map(
-                onset_block, self._device_tt[: self._n_nodes], mask,
-                available, fsmp, nsamples, tile=self.tile,
-            )
-            max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
+            with jax.profiler.TraceAnnotation("qm_migrate_map"):
+                map4d_flat = migrate_map(
+                    onset_block, self._device_tt[: self._n_nodes], mask,
+                    available, fsmp, nsamples, tile=self.tile,
+                )
+                max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
             coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
             times = event.mw_times(self.scan_rate)
             map4d = np.asarray(map4d_flat).reshape(

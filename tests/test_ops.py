@@ -182,3 +182,31 @@ class TestMigrateOracle:
         np.testing.assert_allclose(np.asarray(mx), np.asarray(mx2), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(norm), np.asarray(norm2), rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+
+
+class TestKurtosis:
+    def test_rolling_kurtosis_matches_scipy(self):
+        from scipy.stats import kurtosis as sp_kurtosis
+
+        from quakemigrate_tpu.ops.kurtosis import rolling_kurtosis
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=300)
+        n = 50
+        ours = np.asarray(rolling_kurtosis(x, n))
+        for i in (49, 150, 299):
+            expected = sp_kurtosis(x[i - n + 1 : i + 1], fisher=True, bias=True)
+            np.testing.assert_allclose(ours[i], expected, rtol=1e-9)
+
+    def test_onset_peaks_at_impulsive_arrival(self):
+        from quakemigrate_tpu.ops.kurtosis import kurtosis_onset
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1.0, 2000)
+        x[1200:1260] += np.sin(np.arange(60)) * 20  # impulsive arrival
+        onset = np.asarray(kurtosis_onset(x, 101, 5))
+        assert onset.min() >= 1.0 - 1e-9
+        peak_region = onset[1190:1270]
+        noise_region = np.concatenate([onset[200:1100], onset[1400:1900]])
+        assert peak_region.max() > 10 * np.median(noise_region)
+        assert 1190 <= 1190 + np.argmax(peak_region) <= 1270
