@@ -222,6 +222,39 @@ def migrate_detect(
     return max_coa, max_coa * n_real / coa_sum, max_idx
 
 
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "n_nodes_real"),
+)
+def migrate_detect_batch(
+    onsets, traveltimes, mask, available, fsmp, nsamples,
+    n_nodes_real=None, tile=DEFAULT_TILE,
+):
+    """
+    Fused migrate + find_max_coa over a batch of independent scan windows:
+    ``onsets`` [B, O, T], ``mask`` [B, O], ``available`` [B]; the
+    traveltime table is shared. Returns per-window [B, S] outputs.
+
+    NOTE: on current TPU/XLA the vmapped (batched) row gather lowers to a
+    slower path than B sequential calls (~82 vs ~64 ms/window measured on
+    v5e for the Icequake geometry), so this is only a win when per-call
+    host overhead dominates (very small grids). Sharding windows over a
+    mesh "batch" axis (quakemigrate_tpu.parallel) is the preferred way to
+    parallelise windows.
+
+    """
+
+    n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
+
+    def single(o, m, a):
+        return detect_reduce(
+            o, traveltimes, m, a, fsmp, nsamples, n_real, tile
+        )
+
+    max_coa, max_idx, coa_sum = jax.vmap(single)(onsets, mask, available)
+    return max_coa, max_coa * n_real / coa_sum, max_idx
+
+
 @partial(jax.jit, static_argnames=("fsmp", "nsamples", "tile"))
 def migrate_map(
     onsets, traveltimes, mask, available, fsmp, nsamples, tile=DEFAULT_TILE

@@ -120,6 +120,9 @@ class QuakeScan:
         self.precision = kwargs.get("precision", "single")
         self.mesh = kwargs.get("mesh")
         self.tile = kwargs.get("tile", DEFAULT_TILE)
+        # Number of detect windows migrated per device call (vmapped batch;
+        # amortises dispatch overhead). Ignored when a mesh is set.
+        self.detect_batch = max(1, int(kwargs.get("detect_batch", 1)))
 
         # Plotting toggles
         self.plot_event_summary = kwargs.get("plot_event_summary", True)
@@ -353,46 +356,71 @@ class QuakeScan:
             )
             return w_beg, w_end
 
-        # Archive reads double-buffer against device compute: the next
-        # window is fetched on a worker thread while this one migrates.
+        # Archive reads double-buffer against device compute: windows are
+        # fetched on a worker thread while the previous batch migrates.
         reader = ThreadPoolExecutor(max_workers=1)
-        next_read = reader.submit(self.archive.read_waveform_data, *window(0))
+        batch_size = 1 if self.mesh is not None else self.detect_batch
+        reads = {
+            i: reader.submit(self.archive.read_waveform_data, *window(i))
+            for i in range(min(2 * batch_size, n_steps))
+        }
 
-        for i in range(n_steps):
-            w_beg, w_end = window(i)
-            step_label = str(starttime + self.timestep * i)
-            logging.debug(f" Processing : {w_beg}-{w_end} ".center(110, "~"))
-            logging.info(
-                (
-                    f" Processing : {w_beg + self.pre_pad}-"
-                    f"{w_end - self.post_pad} "
-                ).center(110, "~")
-            )
+        for batch_start in range(0, n_steps, batch_size):
+            steps = list(range(batch_start, min(batch_start + batch_size,
+                                                n_steps)))
+            # Keep the prefetch queue two batches deep
+            for j in range(batch_start + batch_size,
+                           min(batch_start + 2 * batch_size, n_steps)):
+                if j not in reads:
+                    reads[j] = reader.submit(
+                        self.archive.read_waveform_data, *window(j)
+                    )
 
-            this_read = next_read
-            if i + 1 < n_steps:
-                next_read = reader.submit(
-                    self.archive.read_waveform_data, *window(i + 1)
+            prepared = {}
+            for i in steps:
+                w_beg, w_end = window(i)
+                logging.info(
+                    (
+                        f" Processing : {w_beg + self.pre_pad}-"
+                        f"{w_end - self.post_pad} "
+                    ).center(110, "~")
                 )
+                try:
+                    data = reads.pop(i).result()
+                    prepared[i] = self._prepare_window(data)
+                except (
+                    util.ArchiveEmptyException,
+                    util.DataGapException,
+                    util.DataAvailabilityException,
+                ) as e:
+                    step_label = str(starttime + self.timestep * i)
+                    coalescence.empty(
+                        starttime, self.timestep, i, e.msg,
+                        self.lut.unit_conversion_factor,
+                    )
+                    availability[step_label] = dict.fromkeys(
+                        availability_cols, 0
+                    )
 
-            try:
-                data = this_read.result()
-                t0, max_coa, max_coa_n, coord, onset_data = self._compute(data)
-                coalescence.append(
-                    t0, max_coa, max_coa_n, coord,
-                    self.lut.unit_conversion_factor,
-                )
-                availability[step_label] = onset_data.availability
-            except (
-                util.ArchiveEmptyException,
-                util.DataGapException,
-                util.DataAvailabilityException,
-            ) as e:
-                coalescence.empty(
-                    starttime, self.timestep, i, e.msg,
-                    self.lut.unit_conversion_factor,
-                )
-                availability[step_label] = dict.fromkeys(availability_cols, 0)
+            if prepared:
+                results = self._run_detect_batch(prepared)
+                for i in sorted(prepared):
+                    step_label = str(starttime + self.timestep * i)
+                    data, onset_data = (
+                        prepared[i]["data"], prepared[i]["onset_data"],
+                    )
+                    max_coa, max_coa_n, max_idx = results[i]
+                    coord = self.lut.index2coord(
+                        np.asarray(max_idx), unravel=True
+                    )
+                    coalescence.append(
+                        data.starttime + self.pre_pad,
+                        np.asarray(max_coa, dtype=np.float64),
+                        np.asarray(max_coa_n, dtype=np.float64),
+                        coord,
+                        self.lut.unit_conversion_factor,
+                    )
+                    availability[step_label] = onset_data.availability
 
         reader.shutdown(wait=False)
 
@@ -500,6 +528,75 @@ class QuakeScan:
     # ------------------------------------------------------------------
     # The compute core
     # ------------------------------------------------------------------
+
+    def _prepare_window(self, data):
+        """Host-side stage of one detect window: onsets + device inputs."""
+
+        import jax
+
+        if self._device_tt is None:
+            self._build_device_state()
+
+        with jax.profiler.TraceAnnotation("qm_onsets"):
+            onsets, onset_data = self.onset.calculate_onsets(data)
+        block, mask, available = self._device_inputs(onsets, onset_data)
+        return {
+            "data": data,
+            "onset_data": onset_data,
+            "block": block,
+            "mask": mask,
+            "available": available,
+        }
+
+    def _run_detect_batch(self, prepared):
+        """
+        Migrate a dict of prepared windows in one (vmapped) device call,
+        padding to a fixed batch size so shapes stay constant. Returns
+        {window index: (max_coa, max_norm_coa, max_idx)}.
+
+        """
+
+        import jax
+
+        from quakemigrate_tpu.ops.migrate import migrate_detect_batch
+
+        keys = sorted(prepared)
+        sample = prepared[keys[0]]
+        fsmp = util.time2sample(self.pre_pad, self.scan_rate)
+        lsmp = util.time2sample(self.post_pad, self.scan_rate)
+        nsamples = sample["block"].shape[-1] - fsmp - lsmp
+
+        batch_size = 1 if self.mesh is not None else self.detect_batch
+        if batch_size == 1 or self.mesh is not None:
+            results = {}
+            with jax.profiler.TraceAnnotation("qm_migrate_detect"):
+                for i in keys:
+                    p = prepared[i]
+                    results[i] = self._run_detect_kernel(
+                        p["block"], p["mask"], p["available"], fsmp, nsamples
+                    )
+            return results
+
+        # Pad to the fixed batch size with inert windows (mask 0)
+        n_slots, t_len = sample["block"].shape
+        blocks = np.ones((batch_size, n_slots, t_len), dtype=self._dtype)
+        masks = np.zeros((batch_size, n_slots), dtype=self._dtype)
+        avails = np.ones(batch_size, dtype=self._dtype)
+        for j, i in enumerate(keys):
+            blocks[j] = prepared[i]["block"]
+            masks[j] = prepared[i]["mask"]
+            avails[j] = prepared[i]["available"]
+
+        with jax.profiler.TraceAnnotation("qm_migrate_detect"):
+            max_coa, max_norm, max_idx = migrate_detect_batch(
+                blocks, self._device_tt, masks, avails, fsmp, nsamples,
+                n_nodes_real=self._n_nodes, tile=self.tile,
+            )
+
+        return {
+            i: (max_coa[j], max_norm[j], max_idx[j])
+            for j, i in enumerate(keys)
+        }
 
     @util.timeit("info")
     def _compute(self, data, event=None):

@@ -101,3 +101,26 @@ def test_mesh_detect_matches_single_device(setup):
     b = st_sharded.select(station="COA_N")[0].data.astype(np.int64)
     assert np.abs(a - b).max() <= 1
     assert (a != b).mean() < 0.05
+
+
+def test_batched_detect_matches_unbatched(setup):
+    root, archive, lut = setup
+
+    single = _run_detect(root, archive, lut, "single2", None)
+
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(root / "runs"),
+        run_name="batched", marginal_window=1.0, timestep=5.0, tile=64,
+        detect_batch=3,  # 4 windows -> one full batch + one padded batch
+    )
+    scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+    batched = (
+        root / "runs" / "batched" / "detect" / "scanmseed"
+        / "2021_049.scanmseed"
+    )
+
+    assert single.read_bytes() == batched.read_bytes()
