@@ -126,6 +126,7 @@ class QuakeScan:
 
         # Plotting toggles
         self.plot_event_summary = kwargs.get("plot_event_summary", True)
+        self.plot_event_video = kwargs.get("plot_event_video", False)
         self.plot_all_stns = kwargs.get("plot_all_stns", True)
         self.xy_files = kwargs.get("xy_files")
 
@@ -503,6 +504,11 @@ class QuakeScan:
                     xy_files=self.xy_files,
                     plot_all_stns=self.plot_all_stns,
                 )
+
+            if self.plot_event_video:
+                from quakemigrate_tpu.plot.video import event_video
+
+                event_video(self.run, event, self.lut)
 
             if self.write_cut_waveforms:
                 write_cut_waveforms(

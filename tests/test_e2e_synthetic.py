@@ -230,3 +230,37 @@ def test_exports(run_outputs, tmp_path):
     stations = lut.station_data
     snuffler_stations(stations, tmp_path, "stations.txt", network_code="SC")
     assert len((tmp_path / "stations.txt").read_text().splitlines()) == 10
+
+
+def test_event_video(run_outputs, workspace):
+    """Coalescence video renders from a re-located event's map4d."""
+
+    root, stations, archive_path, lut_file = workspace
+    run_path = root / "runs"
+
+    archive = Archive(
+        archive_path=archive_path, stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    lut = read_lut(lut_file=str(lut_file))
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(run_path),
+        run_name="video_run", marginal_window=1.0, timestep=5.0,
+        plot_event_summary=False, plot_event_video=True,
+    )
+    trigger_file = (
+        run_path / "synthetic_run" / "trigger" / "events"
+        / "synthetic_run_2021_049_TriggeredEvents.csv"
+    )
+    scan.locate(trigger_file=str(trigger_file))
+
+    videos = list(
+        (run_path / "video_run" / "locate" / "videos").glob("*.gif")
+    )
+    assert len(videos) == 1
+    assert videos[0].stat().st_size > 10000
