@@ -56,6 +56,8 @@ class Event:
         self.data = None
         self.coa_data = None
         self.map4d = None
+        self.trim_bounds = None
+        self._marginalise_inputs = None
         self.onset_data = None
         self.otime = None
         self.locations = {}
@@ -150,7 +152,12 @@ class Event:
         )
 
     def trim2window(self):
-        """Trim coa_data and map4d to otime +/- marginal_window."""
+        """
+        Trim coa_data (and map4d, if retained) to otime +/- marginal_window.
+        The trimmed sample bounds within the original scan window are kept
+        in ``trim_bounds`` for two-pass (map-free) marginalisation.
+
+        """
 
         window_start = self.otime - self.marginal_window
         window_end = self.otime + self.marginal_window
@@ -159,10 +166,11 @@ class Event:
             (self.coa_data["DT"] >= window_start)
             & (self.coa_data["DT"] <= window_end)
         ]
-        # map4d is node-flattened [N, S]
-        self.map4d = self.map4d[
-            ..., self.coa_data.index[0] : self.coa_data.index[-1]
-        ]
+        self.trim_bounds = (self.coa_data.index[0], self.coa_data.index[-1])
+        if self.map4d is not None:
+            self.map4d = self.map4d[
+                ..., self.trim_bounds[0] : self.trim_bounds[1]
+            ]
         self.coa_data = self.coa_data.reset_index(drop=True)
 
         idxmax = self.coa_data["COA"].astype(float).idxmax()

@@ -282,6 +282,45 @@ def migrate_map(
     return tiles.reshape(n_tiles * tile, nsamples)[:n_total]
 
 
+@partial(jax.jit, static_argnames=("fsmp", "nsamples", "tile"))
+def migrate_marginalise(
+    onsets, traveltimes, mask, available, fsmp, nsamples, window_start,
+    window_length, tile=DEFAULT_TILE,
+):
+    """
+    Migration marginalised over a time window, without materialising the
+    4-D map: returns coa_3d_flat [N] = sum over samples in
+    [window_start, window_start + window_length) of the coalescence.
+
+    ``window_length`` is a boolean-mask length over the full ``nsamples``
+    scan range (the window bounds are dynamic), so large-grid locate can
+    marginalise on device in O(N) memory -- the second pass of the
+    two-pass locate (pass 1 = the fused reduce that finds the origin
+    time).
+
+    """
+
+    onsets_log = _prepare_onsets(onsets, mask)
+    shift_table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
+    n_total = traveltimes.shape[0]
+    n_tiles = -(-n_total // tile)
+    pad = n_tiles * tile - n_total
+    tt_tiles = jnp.pad(traveltimes, ((0, pad), (0, 0))).reshape(n_tiles, tile, -1)
+
+    sample_idx = jnp.arange(nsamples)
+    in_window = (
+        (sample_idx >= window_start)
+        & (sample_idx < window_start + window_length)
+    ).astype(onsets_log.dtype)
+
+    def tile_body(_, tt_tile):
+        coa = _stack_tile(shift_table, d_max, tt_tile, mask, available)
+        return None, coa @ in_window
+
+    _, sums = jax.lax.scan(tile_body, None, tt_tiles)
+    return sums.reshape(n_tiles * tile)[:n_total]
+
+
 @partial(jax.jit, static_argnames=("n_nodes_real",))
 def find_max_coa(map4d_flat, n_nodes_real=None, node_offset=0):
     """

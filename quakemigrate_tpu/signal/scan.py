@@ -123,6 +123,12 @@ class QuakeScan:
         # Number of detect windows migrated per device call (vmapped batch;
         # amortises dispatch overhead). Ignored when a mesh is set.
         self.detect_batch = max(1, int(kwargs.get("detect_batch", 1)))
+        # Above this map4d size (bytes), locate switches to the two-pass
+        # map-free path: fused reduce for the origin time, then an on-device
+        # marginalisation over the trimmed window (O(N) memory).
+        self.locate_map_memory_limit = kwargs.get(
+            "locate_map_memory_limit", 4e9
+        )
 
         # Plotting toggles
         self.plot_event_summary = kwargs.get("plot_event_summary", True)
@@ -466,8 +472,14 @@ class QuakeScan:
                 continue
 
             if self.write_coalescence:
-                logging.info("\tSaving full coalescence map...")
-                write_coalescence(self.run, event.map4d, event)
+                if event.map4d is not None:
+                    logging.info("\tSaving full coalescence map...")
+                    write_coalescence(self.run, event.map4d, event)
+                else:
+                    logging.info(
+                        "\tmap4d not retained (two-pass locate); raise "
+                        "locate_map_memory_limit to write the full map."
+                    )
 
             if event.in_marginal_window():
                 event.trim2window()
@@ -641,17 +653,37 @@ class QuakeScan:
                 onset_data,
             )
         else:
-            with jax.profiler.TraceAnnotation("qm_migrate_map"):
-                map4d_flat = migrate_map(
-                    onset_block, self._device_tt[: self._n_nodes], mask,
-                    available, fsmp, nsamples, tile=self.tile,
+            map_bytes = (
+                self._n_nodes * nsamples * np.dtype(self._dtype).itemsize
+            )
+            retain_map = map_bytes <= self.locate_map_memory_limit
+            if retain_map:
+                with jax.profiler.TraceAnnotation("qm_migrate_map"):
+                    map4d_flat = migrate_map(
+                        onset_block, self._device_tt[: self._n_nodes], mask,
+                        available, fsmp, nsamples, tile=self.tile,
+                    )
+                    max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
+                map4d = np.asarray(map4d_flat).reshape(
+                    tuple(self.lut.node_count) + (nsamples,)
                 )
-                max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
+            else:
+                logging.info(
+                    f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > limit; "
+                    "using two-pass map-free locate."
+                )
+                with jax.profiler.TraceAnnotation("qm_migrate_detect"):
+                    max_coa, max_coa_n, max_idx = migrate_detect(
+                        onset_block, self._device_tt[: self._n_nodes], mask,
+                        available, fsmp, nsamples, tile=self.tile,
+                    )
+                map4d = None
+                # Stash inputs for the second (marginalisation) pass
+                event._marginalise_inputs = (
+                    onset_block, mask, available, fsmp, nsamples,
+                )
             coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
             times = event.mw_times(self.scan_rate)
-            map4d = np.asarray(map4d_flat).reshape(
-                tuple(self.lut.node_count) + (nsamples,)
-            )
             return (
                 times,
                 np.asarray(max_coa, dtype=np.float64),
@@ -712,7 +744,23 @@ class QuakeScan:
 
         """
 
-        coa_map = np.sum(event.map4d, axis=-1)
+        if event.map4d is not None:
+            coa_map = np.sum(event.map4d, axis=-1)
+        else:
+            # Two-pass path: marginalise on device over the trimmed window
+            from quakemigrate_tpu.ops.migrate import migrate_marginalise
+
+            onset_block, mask, available, fsmp, nsamples = (
+                event._marginalise_inputs
+            )
+            i0, i1 = event.trim_bounds
+            coa_flat = migrate_marginalise(
+                onset_block, self._device_tt[: self._n_nodes], mask,
+                available, fsmp, nsamples, i0, i1 - i0, tile=self.tile,
+            )
+            coa_map = np.asarray(coa_flat, dtype=np.float64).reshape(
+                tuple(self.lut.node_count)
+            )
         coa_map = coa_map / np.nanmax(coa_map)
 
         event.add_spline_location(self._splineloc(np.copy(coa_map)))

@@ -264,3 +264,42 @@ def test_event_video(run_outputs, workspace):
     )
     assert len(videos) == 1
     assert videos[0].stat().st_size > 10000
+
+
+def test_two_pass_locate_matches_full_map(run_outputs, workspace):
+    """Map-free (two-pass) locate must reproduce the full-map results."""
+
+    root, stations, archive_path, lut_file = workspace
+    run_path = root / "runs"
+
+    archive = Archive(
+        archive_path=archive_path, stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    lut = read_lut(lut_file=str(lut_file))
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(run_path),
+        run_name="twopass", marginal_window=1.0, timestep=5.0,
+        plot_event_summary=False, locate_map_memory_limit=0,
+    )
+    trigger_file = (
+        run_path / "synthetic_run" / "trigger" / "events"
+        / "synthetic_run_2021_049_TriggeredEvents.csv"
+    )
+    scan.locate(trigger_file=str(trigger_file))
+
+    full = pd.read_csv(
+        next((run_path / "synthetic_run" / "locate" / "events").glob("*.event"))
+    ).iloc[0]
+    twopass = pd.read_csv(
+        next((run_path / "twopass" / "locate" / "events").glob("*.event"))
+    ).iloc[0]
+
+    assert twopass["DT"] == full["DT"]
+    for col in ("X", "Y", "Z", "COA", "COA_NORM", "GAU_X", "GAU_Y", "GAU_Z"):
+        assert twopass[col] == pytest.approx(full[col], abs=1e-6), col
