@@ -345,6 +345,14 @@ class WaveformData:
         if not self.response_inv:
             raise AttributeError("No response inventory provided!")
 
+        if self.remove_full_response:
+            logging.warning(
+                "remove_full_response=True requested, but only the "
+                "PolesZeros instrument transfer function + overall "
+                "sensitivity are removed (FIR stage deconvolution is not "
+                "implemented). Proceeding with the PAZ response."
+            )
+
         tr = tr.copy()
         tr.detrend("linear")
 

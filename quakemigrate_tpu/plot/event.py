@@ -53,6 +53,12 @@ def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
         station_list=station_list,
     )
 
+    # --- Coordinate overlays (coastlines, outlines, ...) on the XY panel ---
+    if xy_files is not None and len(fig.axes) > 2:
+        from .xy import plot_xy_files
+
+        plot_xy_files(xy_files, fig.axes[2])
+
     # --- Uncertainty ellipses on the XY panel ---
     ax_xy = fig.axes[2] if len(fig.axes) > 2 else None
     try:

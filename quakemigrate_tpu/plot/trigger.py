@@ -85,9 +85,6 @@ def trigger_summary(
     try:
         availability = read_availability(run, starttime, endtime)
         frac = availability.sum(axis=1) / availability.shape[1]
-        avail_times = [
-            util.__dict__  # placeholder to appease linters
-        ]
         from quakemigrate_tpu.seis import UTCDateTime
 
         avail_times = [UTCDateTime(t).matplotlib_date for t in
@@ -121,6 +118,10 @@ def trigger_summary(
             label="Triggered events",
         )
         fig.colorbar(sc, ax=ax_map, label="Trigger coalescence value")
+    if xy_files is not None:
+        from .xy import plot_xy_files
+
+        plot_xy_files(xy_files, ax_map)
     if region is not None:
         from matplotlib.patches import Rectangle
 
