@@ -89,6 +89,7 @@ scan = QuakeScan(
 
 scan.marginal_window = 1.0
 scan.plot_event_summary = True
+scan.xy_files = "./inputs/XY_FILES/dike_xyfiles.csv"
 scan.write_cut_waveforms = True
 
 scan.locate(starttime=starttime, endtime=endtime)

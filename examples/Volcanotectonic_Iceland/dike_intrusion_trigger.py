@@ -26,6 +26,7 @@ trig.normalise_coalescence = True
 trig.threshold_method = "static"
 trig.static_threshold = 1.85
 trig.plot_trigger_summary = True
+trig.xy_files = "./inputs/XY_FILES/dike_xyfiles.csv"
 
 trig.trigger(
     starttime,

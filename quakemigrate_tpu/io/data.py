@@ -52,6 +52,13 @@ class Archive:
         self.remove_full_response = response_removal_params.get(
             "remove_full_response", False
         )
+        if self.remove_full_response:
+            print(
+                "Warning: remove_full_response=True requested, but only the "
+                "PolesZeros instrument transfer function + overall "
+                "sensitivity are removed (FIR stage deconvolution is not "
+                "implemented). Proceeding with the PAZ response."
+            )
 
     def __str__(self, response_only=False):
         if self.response_inv:
@@ -344,14 +351,6 @@ class WaveformData:
 
         if not self.response_inv:
             raise AttributeError("No response inventory provided!")
-
-        if self.remove_full_response:
-            logging.warning(
-                "remove_full_response=True requested, but only the "
-                "PolesZeros instrument transfer function + overall "
-                "sensitivity are removed (FIR stage deconvolution is not "
-                "implemented). Proceeding with the PAZ response."
-            )
 
         tr = tr.copy()
         tr.detrend("linear")

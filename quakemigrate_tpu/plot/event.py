@@ -52,35 +52,34 @@ def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
         lut, fig, gs, slices=slices, hypocentre=hypocentre,
         station_list=station_list,
     )
-
-    # --- Coordinate overlays (coastlines, outlines, ...) on the XY panel ---
-    if xy_files is not None and len(fig.axes) > 2:
-        from .xy import plot_xy_files
-
-        plot_xy_files(xy_files, fig.axes[2])
-
-    # --- Uncertainty ellipses on the XY panel ---
     ax_xy = fig.axes[2] if len(fig.axes) > 2 else None
-    try:
-        gau = event.locations["gaussian"]
-        unc = event.get_loc_uncertainty("gaussian")
-        km_cf = 1000 / lut.unit_conversion_factor
-        # Convert km uncertainties to degrees (approximate local scaling)
-        lat_unc = unc[1] / km_cf / 111.195
-        lon_unc = (
-            unc[0] / km_cf / (111.195 * np.cos(np.deg2rad(gau["Y"])))
-        )
-        for ax, w, h, x, y in [
-            (fig.axes[2], lon_unc * 2, lat_unc * 2, gau["X"], gau["Y"]),
-        ]:
-            ax.add_patch(
+
+    if ax_xy is not None:
+        # --- Coordinate overlays (coastlines, outlines, ...) ---
+        if xy_files is not None:
+            from .xy import plot_xy_files
+
+            plot_xy_files(xy_files, ax_xy)
+
+        # --- Uncertainty ellipse ---
+        try:
+            gau = event.locations["gaussian"]
+            unc = event.get_loc_uncertainty("gaussian")
+            km_cf = 1000 / lut.unit_conversion_factor
+            # Convert km uncertainties to degrees (approximate local scaling)
+            lat_unc = unc[1] / km_cf / 111.195
+            lon_unc = (
+                unc[0] / km_cf / (111.195 * np.cos(np.deg2rad(gau["Y"])))
+            )
+            ax_xy.add_patch(
                 Ellipse(
-                    (x, y), width=w, height=h, fill=False, ls="--", lw=1.5,
+                    (gau["X"], gau["Y"]), width=lon_unc * 2,
+                    height=lat_unc * 2, fill=False, ls="--", lw=1.5,
                     edgecolor="k",
                 )
             )
-    except (KeyError, IndexError):
-        pass
+        except (KeyError, IndexError):
+            pass
 
     # --- Text panel ---
     ax_text = plt.subplot2grid(gs, (0, 0), colspan=7, rowspan=2, fig=fig)

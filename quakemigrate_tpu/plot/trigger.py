@@ -37,12 +37,14 @@ def trigger_summary(
 ):
     """Create and save the trigger summary figure."""
 
-    fig, axes = plt.subplots(
-        4, 1, figsize=(18, 14), sharex=True,
-        gridspec_kw={"height_ratios": [2, 2, 1, 3]},
-    )
-    ax_coa, ax_coan, ax_avail, ax_map = axes
-    fig.subplots_adjust(hspace=0.1)
+    # Time panels share the x-axis; the map panel must NOT (it is in
+    # lon/lat coordinates and would clobber the shared time limits).
+    fig = plt.figure(figsize=(18, 14))
+    gs = fig.add_gridspec(4, 1, height_ratios=[2, 2, 1, 3], hspace=0.15)
+    ax_coa = fig.add_subplot(gs[0])
+    ax_coan = fig.add_subplot(gs[1], sharex=ax_coa)
+    ax_avail = fig.add_subplot(gs[2], sharex=ax_coa)
+    ax_map = fig.add_subplot(gs[3])
 
     times = [t.matplotlib_date for t in data["DT"]]
 
@@ -133,8 +135,6 @@ def trigger_summary(
                 fill=False, edgecolor="b", ls="--",
             )
         )
-    # The map panel does not share the time axis
-    ax_map.autoscale(False)
     ax_map.set_aspect("auto")
 
     fig.suptitle(

@@ -6,6 +6,10 @@ Longitude,Latitude pairs (no headers; '#' comments allowed) -- e.g. coast
 lines, volcano outlines, mapped faults (reference usage:
 quakemigrate/signal/scan.py xy_files parameter).
 
+File entries resolve as given (absolute or relative to the working
+directory, matching the reference convention), with a fallback to the
+spec file's own directory.
+
 """
 
 import logging
@@ -25,22 +29,30 @@ def plot_xy_files(xy_files, ax):
         spec = np.genfromtxt(
             xy_files, delimiter=",", dtype=str, comments="#", ndmin=2
         )
-    except OSError as e:
+    except (OSError, ValueError) as e:
         logging.warning(f"Could not read xy_files spec {xy_files}: {e}")
         return
 
     for row in spec:
+        if len(row) < 4:
+            logging.warning(
+                f"Skipping malformed xy_files row (need File,Color,"
+                f"Linewidth,Linestyle): {list(row)}"
+            )
+            continue
         fname, color, linewidth, linestyle = [str(v).strip() for v in row[:4]]
         path = pathlib.Path(fname)
-        if not path.is_absolute():
-            path = xy_files.parent / path
+        if not path.exists():
+            fallback = xy_files.parent / path.name
+            if fallback.exists():
+                path = fallback
         try:
             coords = np.genfromtxt(path, delimiter=",", comments="#",
                                    ndmin=2)
-        except OSError as e:
-            logging.warning(f"Could not read xy file {path}: {e}")
+            ax.plot(
+                coords[:, 0], coords[:, 1], c=color,
+                lw=float(linewidth), ls=linestyle, zorder=5,
+            )
+        except (OSError, ValueError, IndexError) as e:
+            logging.warning(f"Could not plot xy file {path}: {e}")
             continue
-        ax.plot(
-            coords[:, 0], coords[:, 1], c=color,
-            lw=float(linewidth), ls=linestyle, zorder=5,
-        )
