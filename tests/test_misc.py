@@ -1,0 +1,197 @@
+# -*- coding: utf-8 -*-
+"""
+Coverage for smaller subsystems: NonLinLoc grid import, MFAST SAC export,
+stream rotation, pick summary plotting, availability round trip.
+
+"""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime
+
+
+def test_read_nlloc_roundtrip(tmp_path):
+    """Write a synthetic NonLinLoc .hdr/.buf pair and import it."""
+
+    from quakemigrate_tpu.lut.create import read_nlloc
+
+    nx, ny, nz = 5, 4, 3
+    x0, y0, z0 = -2.0, -1.5, 0.0
+    dx = 1.0
+    rng = np.random.default_rng(0)
+
+    stations = pd.DataFrame(
+        {"Name": ["AAA", "BBB"], "Latitude": [64.0, 64.1],
+         "Longitude": [-17.0, -17.1], "Elevation": [0.0, 0.0]}
+    )
+
+    tables = {}
+    for phase in ("P", "S"):
+        for station in stations["Name"]:
+            tt = rng.uniform(0.1, 5.0, size=(nx, ny, nz)).astype(np.float32)
+            tables[(station, phase)] = tt
+            stem = tmp_path / f"layer.{phase}.{station}.time"
+            with open(f"{stem}.hdr", "w") as f:
+                f.write(
+                    f"{nx} {ny} {nz} {x0} {y0} {z0} {dx} {dx} {dx} TIME\n"
+                )
+                f.write(f"{station} 0.0 0.0 0.0\n")
+                f.write(
+                    "TRANSFORM LAMBERT RefEllipsoid WGS-84 LatOrig 64.05 "
+                    "LongOrig -17.05 FirstStdParal 64.0 SecondStdParal 64.1 "
+                    "RotCW 0.0\n"
+                )
+            with open(f"{stem}.buf", "wb") as f:
+                f.write(struct.pack("f" * tt.size, *tt.ravel()))
+
+    lut = read_nlloc(tmp_path, stations, phases=["P", "S"])
+    assert tuple(lut.node_count) == (nx, ny, nz)
+    for (station, phase), tt in tables.items():
+        np.testing.assert_allclose(
+            lut[station][phase], tt, rtol=1e-6
+        )
+    # Grid geometry restored (origin maps back to ll corner)
+    assert lut.unit_name == "km"
+    served = lut.serve_traveltimes(100)
+    assert served.shape == (nx, ny, nz, 4)
+
+
+def test_rotation_roundtrip():
+    rng = np.random.default_rng(1)
+    st = Stream()
+    for comp, data in zip("ZNE", rng.normal(size=(3, 500))):
+        st += Trace(
+            data,
+            {"station": "RT1", "channel": f"HH{comp}",
+             "starttime": UTCDateTime(0), "sampling_rate": 100.0},
+        )
+    original = {tr.stats.channel: tr.data.copy() for tr in st}
+
+    st.rotate("NE->RT", back_azimuth=37.0)
+    assert {tr.stats.channel[-1] for tr in st} == {"R", "T"}
+    st.rotate("RT->NE", back_azimuth=37.0)
+    for tr in st:
+        np.testing.assert_allclose(
+            tr.data, original[tr.stats.channel], atol=1e-12
+        )
+
+
+def test_mfast_export(tmp_path):
+    from quakemigrate_tpu.export import EventRecord, sac_mfast
+    from quakemigrate_tpu.seis import read
+
+    rng = np.random.default_rng(2)
+    st = Stream()
+    for comp in "ZNE":
+        st += Trace(
+            rng.normal(size=1000),
+            {"station": "STA1", "channel": f"HH{comp}", "network": "XX",
+             "starttime": UTCDateTime("2021-01-01T00:00:00"),
+             "sampling_rate": 100.0},
+        )
+    wf_file = tmp_path / "event.m"
+    st.write(str(wf_file), format="MSEED")
+
+    picks = pd.DataFrame(
+        {
+            "Station": ["STA1", "STA1"],
+            "Phase": ["P", "S"],
+            "PickTime": ["2021-01-01T00:00:02.5", "2021-01-01T00:00:04.0"],
+            "PickError": [0.02, 0.04],
+        }
+    )
+    event = EventRecord(
+        uid="testevent", otime=UTCDateTime("2021-01-01T00:00:01"),
+        longitude=-17.0, latitude=64.0, depth_km=5.0, picks=picks,
+    )
+    stations = pd.DataFrame(
+        {"Name": ["STA1"], "Latitude": [64.05], "Longitude": [-17.05],
+         "Elevation": [0.5]}
+    )
+    sac_mfast(event, stations, tmp_path, "km", str(wf_file))
+
+    sac_files = sorted((tmp_path / "testevent").glob("*"))
+    assert len(sac_files) == 3
+    st2 = read(str(sac_files[0]))
+    assert st2[0].stats.station == "STA1"
+
+
+def test_availability_roundtrip(tmp_path):
+    from quakemigrate_tpu.io import Run, read_availability, write_availability
+
+    run = Run(tmp_path, "avail_test")
+    df = pd.DataFrame(
+        {
+            "S1_P": [1, 0, 1],
+            "S1_S": [1, 1, 1],
+        },
+        index=[
+            "2021-02-18T12:00:00.000000Z",
+            "2021-02-18T12:00:10.000000Z",
+            "2021-02-18T12:00:20.000000Z",
+        ],
+    )
+    write_availability(run, df)
+    out = read_availability(
+        run, UTCDateTime("2021-02-18"), UTCDateTime("2021-02-19")
+    )
+    assert list(out.columns) == ["S1_P", "S1_S"]
+    np.testing.assert_array_equal(out.values, df.values)
+
+
+def test_pick_plot_renders(tmp_path):
+    """GaussianPicker per-station pick figure renders without error."""
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    from quakemigrate_tpu.io.event import Event
+    from quakemigrate_tpu.plot.phase_picks import pick_summary
+
+    rng = np.random.default_rng(3)
+    waveforms = Stream()
+    for comp in "ZNE":
+        waveforms += Trace(
+            rng.normal(size=2000),
+            {"station": "PK1", "channel": f"HH{comp}",
+             "starttime": UTCDateTime(0), "sampling_rate": 100.0},
+        )
+    onsets = {"P": 1 + np.abs(rng.normal(size=2000)),
+              "S": 1 + np.abs(rng.normal(size=2000))}
+    picks = pd.DataFrame(
+        {
+            "Station": ["PK1", "PK1"],
+            "Phase": ["P", "S"],
+            "ModelledTime": [UTCDateTime(5.0), UTCDateTime(9.0)],
+            "PickTime": [UTCDateTime(5.1), -1],
+            "PickError": [0.02, -1],
+            "SNR": [12.0, -1],
+            "Residual": [0.1, -1],
+        }
+    )
+    windows = {"P": [400, 500, 600], "S": [800, 900, 1100]}
+
+    event = Event(1.0, pd.Series({
+        "EventID": "pltest", "CoaTime": UTCDateTime(5.0),
+        "TRIG_COA": 2.0, "COA": 2.0, "COA_NORM": 2.2,
+    }))
+    event.picks["gaussfits"] = {
+        "PK1": {"P": {"popt": [5.0, 5.0, 0.05],
+                      "xdata": np.linspace(4.9, 5.3, 40),
+                      "PickThreshold": 2.0},
+                "S": {"popt": 0, "xdata": 0, "PickValue": -1,
+                      "PickThreshold": 2.0}}
+    }
+    event.data = None
+
+    fig = pick_summary(
+        event, "PK1", waveforms, picks, onsets,
+        {"P": "*Z", "S": "*[N,E]"}, [5.0, 9.0], windows,
+    )
+    fig.savefig(tmp_path / "picks.pdf")
+    assert (tmp_path / "picks.pdf").stat().st_size > 1000
