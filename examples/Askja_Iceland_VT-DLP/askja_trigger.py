@@ -1,0 +1,38 @@
+# -*- coding: utf-8 -*-
+"""
+Trigger stage for the Askja VT/DLP example, with coalescence-trace
+smoothing and a geographic region filter.
+
+"""
+
+from quakemigrate_tpu import Trigger
+from quakemigrate_tpu.io import read_lut
+
+lut_file = "./outputs/lut/askja.LUT"
+run_path = "./outputs/runs"
+run_name = "example_run"
+
+starttime = "2011-10-26T17:35:00.0"
+endtime = "2011-10-26T18:05:00.0"
+
+lut = read_lut(lut_file=lut_file)
+
+trig = Trigger(lut, run_path=run_path, run_name=run_name, log=True,
+               loglevel="info")
+
+trig.marginal_window = 1.0
+trig.min_event_interval = 2.0
+trig.normalise_coalescence = True
+trig.threshold_method = "static"
+trig.static_threshold = 1.45
+trig.smooth_coa = True
+trig.smoothing_kernel_sigma = 0.25
+trig.smoothing_kernel_width = 2
+trig.plot_trigger_summary = True
+
+trig.trigger(
+    starttime,
+    endtime,
+    interactive_plot=False,
+    region=[-17.1, 64.95, -3.0, -16.0, 65.30, 30.0],
+)
