@@ -371,6 +371,7 @@ class QuakeScan:
             i: reader.submit(self.archive.read_waveform_data, *window(i))
             for i in range(min(2 * batch_size, n_steps))
         }
+        pending = []  # dispatched-but-unfetched device results
 
         for batch_start in range(0, n_steps, batch_size):
             steps = list(range(batch_start, min(batch_start + batch_size,
@@ -400,6 +401,13 @@ class QuakeScan:
                     util.DataGapException,
                     util.DataAvailabilityException,
                 ) as e:
+                    # Keep the output stream chronological: flush any
+                    # pending device results before writing the empty block
+                    while pending:
+                        self._drain_detect_results(
+                            coalescence, availability, starttime,
+                            *pending.pop(0)
+                        )
                     step_label = str(starttime + self.timestep * i)
                     coalescence.empty(
                         starttime, self.timestep, i, e.msg,
@@ -409,25 +417,17 @@ class QuakeScan:
                         availability_cols, 0
                     )
 
+            # Dispatch this batch's (async) device calls, then drain the
+            # PREVIOUS batch's results -- device compute overlaps the next
+            # batch's archive reads and host-side onset preprocessing.
             if prepared:
                 results = self._run_detect_batch(prepared)
-                for i in sorted(prepared):
-                    step_label = str(starttime + self.timestep * i)
-                    data, onset_data = (
-                        prepared[i]["data"], prepared[i]["onset_data"],
+                pending.append((prepared, results))
+            if len(pending) > 1 or batch_start + batch_size >= n_steps:
+                while pending:
+                    self._drain_detect_results(
+                        coalescence, availability, starttime, *pending.pop(0)
                     )
-                    max_coa, max_coa_n, max_idx = results[i]
-                    coord = self.lut.index2coord(
-                        np.asarray(max_idx), unravel=True
-                    )
-                    coalescence.append(
-                        data.starttime + self.pre_pad,
-                        np.asarray(max_coa, dtype=np.float64),
-                        np.asarray(max_coa_n, dtype=np.float64),
-                        coord,
-                        self.lut.unit_conversion_factor,
-                    )
-                    availability[step_label] = onset_data.availability
 
         reader.shutdown(wait=False)
 
@@ -437,6 +437,24 @@ class QuakeScan:
             availability, orient="index", columns=availability_cols
         ).fillna(0).astype(int)
         write_availability(self.run, availability_df)
+
+    def _drain_detect_results(self, coalescence, availability, starttime,
+                              prepared, results):
+        """Fetch one batch's device results and write them out, in order."""
+
+        for i in sorted(prepared):
+            step_label = str(starttime + self.timestep * i)
+            data, onset_data = prepared[i]["data"], prepared[i]["onset_data"]
+            max_coa, max_coa_n, max_idx = results[i]
+            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
+            coalescence.append(
+                data.starttime + self.pre_pad,
+                np.asarray(max_coa, dtype=np.float64),
+                np.asarray(max_coa_n, dtype=np.float64),
+                coord,
+                self.lut.unit_conversion_factor,
+            )
+            availability[step_label] = onset_data.availability
 
     # ------------------------------------------------------------------
     # locate internals
