@@ -188,3 +188,45 @@ class TestResponse:
         mid = slice(1000, 3000)
         corr = np.corrcoef(recovered[mid], data[mid])[0, 1]
         assert corr > 0.99
+
+
+class TestMSEEDForeignRecords:
+    """Records we don't write ourselves: little-endian headers, INT16."""
+
+    @staticmethod
+    def _record(endian, encoding, data, sr=100):
+        import struct
+
+        header = bytearray(64)
+        header[0:6] = b"000001"
+        header[6:8] = b"D "
+        header[8:13] = b"FOR  "
+        header[13:15] = b"  "
+        header[15:18] = b"HHZ"
+        header[18:20] = b"XX"
+        struct.pack_into(endian + "HHBBBBH", header, 20, 2020, 100, 1, 2, 3,
+                         0, 0)
+        struct.pack_into(endian + "Hhh", header, 30, len(data), sr, 1)
+        struct.pack_into("BBBB", header, 36, 0, 0, 0, 1)
+        struct.pack_into(endian + "i", header, 40, 0)
+        struct.pack_into(endian + "HH", header, 44, 64, 48)
+        struct.pack_into(endian + "HH", header, 48, 1000, 0)
+        struct.pack_into("BBBB", header, 52, encoding, 1 if endian == ">" else 0,
+                         9, 0)
+        dtype = {1: "i2", 3: "i4", 4: "f4"}[encoding]
+        payload = np.asarray(data, dtype=endian + dtype).tobytes()
+        return bytes(header) + payload.ljust(512 - 64, b"\x00")
+
+    @pytest.mark.parametrize("endian", [">", "<"])
+    @pytest.mark.parametrize("encoding", [1, 3, 4])
+    def test_read_foreign(self, tmp_path, endian, encoding):
+        data = np.arange(-50, 50)
+        file = tmp_path / "foreign.mseed"
+        file.write_bytes(self._record(endian, encoding, data))
+        st = read(str(file))
+        assert len(st) == 1
+        tr = st[0]
+        assert tr.stats.station == "FOR"
+        assert tr.stats.sampling_rate == 100
+        assert tr.stats.starttime.julday == 100
+        np.testing.assert_array_equal(tr.data, data)
