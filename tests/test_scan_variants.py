@@ -1,0 +1,123 @@
+# -*- coding: utf-8 -*-
+"""
+QuakeScan variants: kurtosis onsets through the full detect stage,
+decimated-grid scanning (the detect-coarse / locate-fine workflow), and
+per-timestep continuous scanmseed writing.
+
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quakemigrate_tpu import QuakeScan, compute_traveltimes
+from quakemigrate_tpu.coords import Proj
+from quakemigrate_tpu.io import Archive
+from quakemigrate_tpu.seis import read
+from quakemigrate_tpu.signal.onsets import KurtosisOnset, STALTAOnset
+from quakemigrate_tpu.synthetics import GaussianDerivativeWavelet, simulate_waveforms
+
+SPS = 100
+SOURCE = [0.0, 0.0, 12.0]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("variants")
+
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    cproj = Proj(proj="longlat")
+    grid_spec = dict(
+        ll_corner=[-0.06, -0.06, 0.0],
+        ur_corner=[0.06, 0.06, 20.0],
+        node_spacing=[1.0, 1.0, 1.0],
+        grid_proj=gproj,
+        coord_proj=cproj,
+    )
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    stations = pd.DataFrame(
+        {
+            "Name": [f"V{i}" for i in range(8)],
+            "Longitude": 0.04 * np.cos(angles),
+            "Latitude": 0.04 * np.sin(angles),
+            "Elevation": np.zeros(8),
+        }
+    )
+    lut = compute_traveltimes(
+        grid_spec, stations, method="homogeneous", phases=["P", "S"],
+        vp=5.0, vs=3.0,
+    )
+
+    wavelet = GaussianDerivativeWavelet(4.0, SPS, 30.0)
+    stream = simulate_waveforms(
+        wavelet, SOURCE, lut, magnitude=2.0,
+        rng=np.random.default_rng(9),
+    )
+    day_dir = root / "mSEED" / "2021" / "049"
+    day_dir.mkdir(parents=True)
+    for tr in stream:
+        tr.write(str(day_dir / f"{tr.stats.station}_{tr.stats.channel[-1]}.m"),
+                 format="MSEED")
+
+    archive = Archive(
+        archive_path=root / "mSEED", stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    return root, archive, lut
+
+
+def test_kurtosis_onset_detect(setup):
+    root, archive, lut = setup
+
+    onset = KurtosisOnset(sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.kurtosis_windows = {"P": 1.0, "S": 1.0}
+
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(root / "runs"),
+        run_name="kurt", marginal_window=1.0, timestep=5.0, tile=64,
+    )
+    scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:45.0")
+
+    st = read(
+        str(root / "runs" / "kurt" / "detect" / "scanmseed"
+            / "2021_049.scanmseed")
+    )
+    coa = st.select(station="COA")[0]
+    assert coa.stats.npts == 25 * SPS
+    # Kurtosis onsets should still light up the event (wavelet at +30 s)
+    peak_idx = int(np.argmax(coa.data))
+    peak_time = coa.stats.starttime + peak_idx / SPS
+    assert abs(peak_time - coa.stats.starttime - 10.0) < 2.0
+
+
+def test_decimated_grid_detect(setup):
+    root, archive, lut = setup
+
+    coarse = lut.decimate([2, 2, 2])
+    assert coarse.n_nodes < lut.n_nodes
+
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+
+    scan = QuakeScan(
+        archive, coarse, onset=onset, run_path=str(root / "runs"),
+        run_name="coarse", marginal_window=1.0, timestep=5.0, tile=64,
+        continuous_scanmseed_write=True,
+    )
+    scan.detect("2021-02-18T12:00:25.0", "2021-02-18T12:00:40.0")
+
+    st = read(
+        str(root / "runs" / "coarse" / "detect" / "scanmseed"
+            / "2021_049.scanmseed")
+    )
+    # Peak location from the coarse scan still lands near the source
+    x = st.select(station="X")[0]
+    y = st.select(station="Y")[0]
+    coa = st.select(station="COA")[0]
+    peak = int(np.argmax(coa.data))
+    assert abs(x.data[peak] / 1e6 - SOURCE[0]) < 0.03
+    assert abs(y.data[peak] / 1e6 - SOURCE[1]) < 0.03
