@@ -17,12 +17,22 @@ from __future__ import annotations
 
 import logging
 import struct
+from datetime import date as _date
+from functools import lru_cache
 
 import numpy as np
 
 from quakemigrate_tpu.core import steim_decode, steim_encode
 from .trace import Stream, Trace
 from .utcdatetime import UTCDateTime
+
+_NS = 1_000_000_000
+_EPOCH_ORDINAL = _date(1970, 1, 1).toordinal()
+
+
+@lru_cache(maxsize=64)
+def _year_start_ns(year):
+    return (_date(year, 1, 1).toordinal() - _EPOCH_ORDINAL) * 86400 * _NS
 
 _ENCODING_DTYPES = {
     1: ("i2", 2),
@@ -103,10 +113,16 @@ def _read_record_header(buf, offset):
     else:
         sampling_rate = 1.0
 
-    start = UTCDateTime(year=year, julday=jday, hour=hour, minute=minute, second=sec)
-    start = start + tmilli / 10000.0 + usec / 1e6
+    # Integer-nanosecond record start (hot path: avoid building UTCDateTime
+    # objects per record; files can hold hundreds of thousands of records)
+    start_ns = (
+        _year_start_ns(year)
+        + ((jday - 1) * 86400 + hour * 3600 + minute * 60 + sec) * _NS
+        + tmilli * 100_000
+        + usec * 1000
+    )
     if time_corr and not (act_flags & 0x02):
-        start = start + time_corr / 10000.0
+        start_ns += time_corr * 100_000
 
     return {
         "endian": endian,
@@ -114,7 +130,7 @@ def _read_record_header(buf, offset):
         "location": location,
         "channel": channel,
         "network": network,
-        "starttime": start,
+        "starttime_ns": start_ns,
         "npts": npts,
         "sampling_rate": sampling_rate,
         "encoding": encoding,
@@ -151,7 +167,10 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
     with open(path, "rb") as f:
         buf = f.read()
 
-    segments = {}  # seed id -> list of [start, sr, [data...]]
+    start_ns = None if starttime is None else UTCDateTime(starttime).ns
+    end_ns = None if endtime is None else UTCDateTime(endtime).ns
+
+    segments = {}  # seed id -> list of segment dicts (integer-ns times)
     offset = 0
     while offset + 48 <= len(buf):
         try:
@@ -167,13 +186,12 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
             )
             break
         if hdr["npts"] > 0 and hdr["encoding"] != 0:
-            rec_start = hdr["starttime"]
-            rec_end = rec_start + (hdr["npts"] - 1) / hdr["sampling_rate"]
-            skip = False
-            if starttime is not None and rec_end < UTCDateTime(starttime):
-                skip = True
-            if endtime is not None and rec_start > UTCDateTime(endtime):
-                skip = True
+            sr = hdr["sampling_rate"]
+            rec_start_ns = hdr["starttime_ns"]
+            rec_end_ns = rec_start_ns + round((hdr["npts"] - 1) / sr * _NS)
+            skip = (start_ns is not None and rec_end_ns < start_ns) or (
+                end_ns is not None and rec_start_ns > end_ns
+            )
             if not skip:
                 try:
                     data = _decode_record(buf, offset, hdr)
@@ -191,12 +209,14 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
                         hdr["channel"],
                     )
                     seglist = segments.setdefault(key, [])
-                    sr = hdr["sampling_rate"]
+                    tol_ns = round(0.5 / sr * _NS)
                     if seglist:
                         last = seglist[-1]
-                        expected = last["start"] + last["n"] / sr
+                        expected_ns = last["start_ns"] + round(
+                            last["n"] / sr * _NS
+                        )
                         if (
-                            abs(rec_start - expected) < 0.5 / sr
+                            abs(rec_start_ns - expected_ns) < tol_ns
                             and last["sr"] == sr
                             and last["chunks"][-1].dtype == data.dtype
                         ):
@@ -204,13 +224,13 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
                             last["n"] += len(data)
                         else:
                             seglist.append(
-                                {"start": rec_start, "sr": sr, "chunks": [data],
-                                 "n": len(data)}
+                                {"start_ns": rec_start_ns, "sr": sr,
+                                 "chunks": [data], "n": len(data)}
                             )
                     else:
                         seglist.append(
-                            {"start": rec_start, "sr": sr, "chunks": [data],
-                             "n": len(data)}
+                            {"start_ns": rec_start_ns, "sr": sr,
+                             "chunks": [data], "n": len(data)}
                         )
         offset += reclen
 
@@ -224,7 +244,7 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
                     "station": sta,
                     "location": loc,
                     "channel": cha,
-                    "starttime": seg["start"],
+                    "starttime": UTCDateTime(ns=seg["start_ns"]),
                     "sampling_rate": seg["sr"],
                 },
             )

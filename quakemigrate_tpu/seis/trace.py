@@ -18,11 +18,19 @@ from __future__ import annotations
 
 import fnmatch
 from copy import deepcopy
+from functools import lru_cache
 
 import numpy as np
 from scipy.signal import iirfilter, sosfilt, hilbert  # noqa: F401
 
 from .utcdatetime import UTCDateTime
+
+
+@lru_cache(maxsize=128)
+def _design_sos(corners, wn, btype):
+    """Cached Butterworth SOS design (wn is a float or tuple of floats)."""
+
+    return iirfilter(corners, wn, btype=btype, ftype="butter", output="sos")
 
 
 class Stats:
@@ -325,23 +333,11 @@ class Trace:
                     f"Selected high corner frequency ({freqmax}) of bandpass is at "
                     f"or above Nyquist ({nyq})."
                 )
-            sos = iirfilter(
-                corners,
-                [freqmin / nyq, freqmax / nyq],
-                btype="band",
-                ftype="butter",
-                output="sos",
-            )
+            sos = _design_sos(corners, (freqmin / nyq, freqmax / nyq), "band")
         elif type == "lowpass":
-            freq = options["freq"]
-            sos = iirfilter(
-                corners, freq / nyq, btype="lowpass", ftype="butter", output="sos"
-            )
+            sos = _design_sos(corners, options["freq"] / nyq, "lowpass")
         elif type == "highpass":
-            freq = options["freq"]
-            sos = iirfilter(
-                corners, freq / nyq, btype="highpass", ftype="butter", output="sos"
-            )
+            sos = _design_sos(corners, options["freq"] / nyq, "highpass")
         else:
             raise ValueError(f"Unsupported filter type: {type}")
 

@@ -140,6 +140,10 @@ class STALTAOnset(Onset):
                 data.endtime,
             )
 
+            # Collect every available station's traces so the transform +
+            # STA/LTA runs as ONE batched device call for the whole phase
+            station_slices = {}
+            phase_traces = []
             for station in data.stations:
                 waveforms = filtered_phase_waveforms.select(station=station)
 
@@ -175,11 +179,27 @@ class STALTAOnset(Onset):
                         nearest_sample=False,
                     )
 
-                onsets_dict.setdefault(station, {}).update(
-                    {phase: self._onset(waveforms, stw, ltw, timespan)}
+                lo = len(phase_traces)
+                phase_traces.extend(
+                    np.asarray(tr.data, dtype=np.float64) for tr in waveforms
                 )
-                onsets.append(onsets_dict[station][phase])
+                station_slices[station] = slice(lo, len(phase_traces))
                 filtered_waveforms += waveforms
+
+            if not phase_traces:
+                continue
+
+            batch = np.stack(phase_traces)
+            phase_onsets = self._onsets_for_phase(batch, stw, ltw, timespan)
+
+            for station, rows in station_slices.items():
+                combined = np.sqrt(
+                    np.sum(phase_onsets[rows] ** 2, axis=0)
+                    / (rows.stop - rows.start)
+                )
+                onset = np.clip(combined, self.min_onset_value, np.inf)
+                onsets_dict.setdefault(station, {}).update({phase: onset})
+                onsets.append(onset)
 
         logging.debug(filtered_waveforms.__str__(extended=True))
 
@@ -200,19 +220,13 @@ class STALTAOnset(Onset):
 
         return onsets, onset_data
 
-    def _onset(self, stream, stw, ltw, timespan):
+    def _onsets_for_phase(self, traces, stw, ltw, timespan):
         """
-        Onset function for one station/phase: transform each component,
-        batched STA/LTA on device, RMS-combine components, clip.
+        Per-component onset functions for a whole phase's trace batch
+        [n_traces, T]: transform + STA/LTA in one device call, then the
+        taper-pad nulling.
 
         """
-
-        traces = np.stack(
-            [np.asarray(tr.data, dtype=np.float64) for tr in stream]
-        )
-        transformed = np.asarray(
-            stalta_ops.signal_transform(traces, self.signal_transform)
-        )
 
         if self.position == "centred":
             onset_fn = stalta_ops.centred_sta_lta
@@ -221,15 +235,30 @@ class STALTAOnset(Onset):
         else:
             raise ValueError(f"Unknown STA/LTA position: {self.position}")
 
+        transformed = stalta_ops.signal_transform(
+            traces, self.signal_transform
+        )
         onsets = np.array(onset_fn(transformed, stw, ltw))
 
         if timespan:
             onsets = self._trim_taper_pad(onsets, stw, ltw, timespan)
 
-        onset = np.sqrt(np.sum(onsets**2, axis=0) / len(onsets))
-        onset = np.clip(onset, self.min_onset_value, np.inf)
+        return onsets
 
-        return onset
+    def _onset(self, stream, stw, ltw, timespan):
+        """
+        Onset function for one station/phase (kept for API compatibility;
+        the pipeline path batches whole phases via _onsets_for_phase).
+
+        """
+
+        traces = np.stack(
+            [np.asarray(tr.data, dtype=np.float64) for tr in stream]
+        )
+        onsets = self._onsets_for_phase(traces, stw, ltw, timespan)
+        onset = np.sqrt(np.sum(onsets**2, axis=0) / len(onsets))
+
+        return np.clip(onset, self.min_onset_value, np.inf)
 
     def _trim_taper_pad(self, onsets, stw, ltw, timespan):
         """Null (set to 1) the tapered data windows at the array edges."""
