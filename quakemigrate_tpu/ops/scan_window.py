@@ -1,0 +1,146 @@
+# -*- coding: utf-8 -*-
+"""
+Fully-fused detect window: signal transform -> STA/LTA -> multi-component
+RMS combine -> onset clip -> log-domain migration -> per-sample grid
+reduction, as ONE jitted device program.
+
+This realises the design target that "everything inside _compute is one
+jitted device program" (SURVEY.md §3.1): per scan window the host only
+prepares a fixed-shape channel block; a single device call returns the
+coalescence trace extrema. Station availability, channel counts and
+per-phase STA/LTA window lengths are all data (masks / per-slot sample
+counts), so nothing recompiles as the network changes.
+
+Inputs are organised by canonical (phase, station) slot:
+
+    channels  [n_slots, C_max, T]  pre-processed waveforms (zeros when
+                                   absent)
+    chan_mask [n_slots, C_max]     1.0 for live channels
+    slot_mask [n_slots]            1.0 for slots with >= 1 live channel
+    nsta/nlta [n_slots]            STA/LTA window lengths in samples
+
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .migrate import detect_reduce
+from .stalta import _envelope
+
+
+def _windowed_sums_dynamic(x, n):
+    """
+    Trailing-window rolling sums with a per-row window length:
+    out[r, i] = sum(x[r, max(0, i+1-n[r]) : i+1]).
+
+    """
+
+    csum = jnp.cumsum(x, axis=-1)
+    padded = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), csum.dtype), csum], axis=-1
+    )
+    t = x.shape[-1]
+    idx = jnp.arange(t)
+    hi = padded[..., idx + 1]
+    lo_idx = jnp.maximum(idx[None, :] + 1 - n[:, None], 0)
+    lo = jnp.take_along_axis(padded, lo_idx, axis=-1)
+    return hi - lo
+
+
+def _sta_lta_dynamic(signal, nsta, nlta, position):
+    """
+    Batched STA/LTA with per-row window lengths (rows may belong to
+    different phases). ``position`` is static ("classic" or "centred").
+    Semantics match ops.stalta (and the reference C kernels).
+
+    """
+
+    t = signal.shape[-1]
+    idx = jnp.arange(t)
+    tiny = jnp.finfo(signal.dtype).tiny
+    nsta_col = nsta[:, None]
+    nlta_col = nlta[:, None]
+    # NOTE: int32/int32 true-divide promotes to float32 regardless of x64;
+    # cast to the signal dtype to keep full precision
+    frac = nlta_col.astype(signal.dtype) / nsta_col.astype(signal.dtype)
+
+    if position == "classic":
+        sta = _windowed_sums_dynamic(signal, nsta)
+        lta = _windowed_sums_dynamic(signal, nlta)
+        ratio = jnp.where(lta < tiny, 1.0, sta / jnp.maximum(lta, tiny) * frac)
+        valid = idx[None, :] >= (nlta_col - 1)
+        return jnp.where(valid, ratio, 1.0)
+
+    # centred: lta trails, sta leads
+    csum = jnp.cumsum(signal, axis=-1)
+    padded = jnp.concatenate(
+        [jnp.zeros(signal.shape[:-1] + (1,), csum.dtype), csum], axis=-1
+    )
+    hi = padded[..., idx + 1]
+    lo_idx = jnp.maximum(idx[None, :] + 1 - nlta_col, 0)
+    lta = hi - jnp.take_along_axis(padded, lo_idx, axis=-1)
+    sta_hi_idx = jnp.minimum(idx[None, :] + 1 + nsta_col, t)
+    sta = jnp.take_along_axis(padded, sta_hi_idx, axis=-1) - hi
+    ratio = jnp.where(lta <= 0.0, 1.0, sta / jnp.maximum(lta, tiny) * frac)
+    valid = (idx[None, :] >= (nlta_col - 1)) & (
+        idx[None, :] < t - nsta_col
+    )
+    return jnp.where(valid, ratio, 1.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "position", "transform", "min_onset_value", "fsmp", "nsamples",
+        "n_nodes_real", "tile",
+    ),
+)
+def detect_window_fused(
+    channels, chan_mask, slot_mask, nsta, nlta, traveltimes,
+    position, transform, min_onset_value, fsmp, nsamples,
+    n_nodes_real=None, tile=4096,
+):
+    """
+    One fused device call for a detect window. Returns
+    (max_coa, max_norm_coa, max_idx) exactly as ops.migrate.migrate_detect
+    would when fed the equivalent host-computed onsets.
+
+    """
+
+    n_slots, c_max, t = channels.shape
+    rows = channels.reshape(n_slots * c_max, t)
+
+    # --- Signal transform ---
+    if transform == "energy":
+        rows = rows**2
+    elif transform == "abs":
+        rows = jnp.abs(rows)
+    elif transform in ("env", "env_squared"):
+        env = _envelope(rows)
+        rows = env**2 if transform == "env_squared" else env
+    else:
+        raise ValueError(f"Unknown signal transform: {transform}")
+
+    # --- STA/LTA with per-slot window lengths ---
+    nsta_rows = jnp.repeat(nsta, c_max)
+    nlta_rows = jnp.repeat(nlta, c_max)
+    onsets_rows = _sta_lta_dynamic(rows, nsta_rows, nlta_rows, position)
+
+    # --- RMS combine live channels per slot + clip ---
+    onsets_c = onsets_rows.reshape(n_slots, c_max, t)
+    weights = chan_mask[..., None]
+    n_live = jnp.maximum(chan_mask.sum(axis=1), 1.0)[:, None]
+    combined = jnp.sqrt((onsets_c**2 * weights).sum(axis=1) / n_live)
+    combined = jnp.clip(combined, min_onset_value, None)
+    # Dead slots -> onset of ones (log-domain zero; excluded via slot_mask)
+    combined = jnp.where(slot_mask[:, None] == 1.0, combined, 1.0)
+
+    available = slot_mask.sum()
+    n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
+    max_coa, max_idx, coa_sum = detect_reduce(
+        combined, traveltimes, slot_mask, available, fsmp, nsamples,
+        n_real, tile,
+    )
+    return max_coa, max_coa * n_real / coa_sum, max_idx

@@ -107,6 +107,73 @@ class STALTAOnset(Onset):
 
         return out
 
+    def _gather_phase_waveforms(self, data, phase):
+        """
+        Pre-process one phase's waveforms and run the availability checks:
+        yields the per-station kept streams plus the STA/LTA window sample
+        counts and the per-(station, phase) availability updates.
+
+        """
+
+        phase_waveforms = data.waveforms.select(
+            channel=self.channel_maps[phase]
+        )
+
+        stw, ltw = self.sta_lta_windows[phase]
+        stw = util.time2sample(stw, self.sampling_rate) + 1
+        ltw = util.time2sample(ltw, self.sampling_rate) + 1
+
+        filtered_phase_waveforms = pre_process(
+            phase_waveforms,
+            self.sampling_rate,
+            data.resample,
+            data.upfactor,
+            self.bandpass_filters[phase],
+            data.starttime,
+            data.endtime,
+        )
+
+        availability = {}
+        kept = {}
+        for station in data.stations:
+            waveforms = filtered_phase_waveforms.select(station=station)
+
+            available, av_dict = data.check_availability(
+                waveforms,
+                all_channels=self.all_channels,
+                n_channels=self.channel_counts[phase],
+                allow_gaps=self.allow_gaps,
+                full_timespan=self.full_timespan,
+                check_sampling_rate=True,
+                sampling_rate=self.sampling_rate,
+            )
+            availability[f"{station}_{phase}"] = available
+
+            if available == 0:
+                logging.info(f"\t\tNo {phase} onset for {station}.")
+                continue
+
+            for key, chan_available in av_dict.items():
+                if chan_available == 0:
+                    for tr in list(waveforms.select(id=key)):
+                        waveforms.remove(tr)
+
+            if self.allow_gaps or not self.full_timespan:
+                tiny = np.sqrt(np.finfo(float).tiny)
+                waveforms.taper(type="cosine", max_percentage=0.05)
+                waveforms.merge(method=1, fill_value=tiny)
+                waveforms.trim(
+                    starttime=data.starttime - 0.00001,
+                    endtime=data.endtime + 0.00001,
+                    pad=True,
+                    fill_value=tiny,
+                    nearest_sample=False,
+                )
+
+            kept[station] = waveforms
+
+        return kept, availability, stw, ltw
+
     def calculate_onsets(self, data, timespan=None):
         """
         Calculate onset functions for all requested stations and phases.
@@ -122,63 +189,15 @@ class STALTAOnset(Onset):
         availability = {}
 
         for phase in self.phases:
-            phase_waveforms = data.waveforms.select(
-                channel=self.channel_maps[phase]
+            kept, phase_avail, stw, ltw = self._gather_phase_waveforms(
+                data, phase
             )
+            availability.update(phase_avail)
 
-            stw, ltw = self.sta_lta_windows[phase]
-            stw = util.time2sample(stw, self.sampling_rate) + 1
-            ltw = util.time2sample(ltw, self.sampling_rate) + 1
-
-            filtered_phase_waveforms = pre_process(
-                phase_waveforms,
-                self.sampling_rate,
-                data.resample,
-                data.upfactor,
-                self.bandpass_filters[phase],
-                data.starttime,
-                data.endtime,
-            )
-
-            # Collect every available station's traces so the transform +
-            # STA/LTA runs as ONE batched device call for the whole phase
+            # Transform + STA/LTA run as ONE batched device call per phase
             station_slices = {}
             phase_traces = []
-            for station in data.stations:
-                waveforms = filtered_phase_waveforms.select(station=station)
-
-                available, av_dict = data.check_availability(
-                    waveforms,
-                    all_channels=self.all_channels,
-                    n_channels=self.channel_counts[phase],
-                    allow_gaps=self.allow_gaps,
-                    full_timespan=self.full_timespan,
-                    check_sampling_rate=True,
-                    sampling_rate=self.sampling_rate,
-                )
-                availability[f"{station}_{phase}"] = available
-
-                if available == 0:
-                    logging.info(f"\t\tNo {phase} onset for {station}.")
-                    continue
-
-                for key, chan_available in av_dict.items():
-                    if chan_available == 0:
-                        for tr in list(waveforms.select(id=key)):
-                            waveforms.remove(tr)
-
-                if self.allow_gaps or not self.full_timespan:
-                    tiny = np.sqrt(np.finfo(float).tiny)
-                    waveforms.taper(type="cosine", max_percentage=0.05)
-                    waveforms.merge(method=1, fill_value=tiny)
-                    waveforms.trim(
-                        starttime=data.starttime - 0.00001,
-                        endtime=data.endtime + 0.00001,
-                        pad=True,
-                        fill_value=tiny,
-                        nearest_sample=False,
-                    )
-
+            for station, waveforms in kept.items():
                 lo = len(phase_traces)
                 phase_traces.extend(
                     np.asarray(tr.data, dtype=np.float64) for tr in waveforms
@@ -270,6 +289,64 @@ class STALTAOnset(Onset):
         onsets[:, -(stw + taper_pad):] = 1.0
 
         return onsets
+
+    def prepare_device_inputs(self, data, slots, c_max=None, dtype=None):
+        """
+        Build the fixed-shape channel block consumed by the fully-fused
+        detect program (ops.scan_window.detect_window_fused): waveforms are
+        pre-processed and availability-checked host-side, then placed into
+        canonical (phase, station) slots with channel/slot masks and
+        per-slot STA/LTA window lengths.
+
+        Returns (channels [n_slots, C_max, T], chan_mask, slot_mask,
+        nsta, nlta, availability dict).
+
+        """
+
+        import logging as _logging
+
+        if c_max is None:
+            c_max = max(3, max(self.channel_counts.values()))
+        dtype = np.float32 if dtype is None else dtype
+
+        t_len = util.time2sample(
+            data.endtime - data.starttime, self.sampling_rate
+        ) + 1
+
+        n_slots = len(slots)
+        channels = np.zeros((n_slots, c_max, t_len), dtype=dtype)
+        chan_mask = np.zeros((n_slots, c_max), dtype=dtype)
+        slot_mask = np.zeros(n_slots, dtype=dtype)
+        nsta = np.ones(n_slots, dtype=np.int32)
+        nlta = np.full(n_slots, 2, dtype=np.int32)
+        availability = {}
+
+        kept_by_phase = {}
+        for phase in self.phases:
+            kept_by_phase[phase] = self._gather_phase_waveforms(data, phase)
+            availability.update(kept_by_phase[phase][1])
+
+        for s, (phase, station) in enumerate(slots):
+            kept, _, stw, ltw = kept_by_phase[phase]
+            nsta[s], nlta[s] = stw, ltw
+            waveforms = kept.get(station)
+            if waveforms is None:
+                continue
+            traces = list(waveforms)
+            if len(traces) > c_max:
+                _logging.warning(
+                    f"{station}/{phase}: {len(traces)} live channels exceed "
+                    f"the fused channel capacity ({c_max}); using the first "
+                    f"{c_max}."
+                )
+                traces = traces[:c_max]
+            for c, tr in enumerate(traces):
+                row = np.asarray(tr.data, dtype=dtype)
+                channels[s, c, : len(row)] = row[:t_len]
+                chan_mask[s, c] = 1.0
+            slot_mask[s] = 1.0
+
+        return channels, chan_mask, slot_mask, nsta, nlta, availability
 
     def gaussian_halfwidth(self, phase):
         """Phase-appropriate Gaussian half-width (samples) for the picker."""

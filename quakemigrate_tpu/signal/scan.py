@@ -129,6 +129,10 @@ class QuakeScan:
         self.locate_map_memory_limit = kwargs.get(
             "locate_map_memory_limit", 4e9
         )
+        # Fully-fused detect (transform -> STA/LTA -> combine -> migrate ->
+        # reduce in ONE device call per window); available for STALTAOnset
+        # on a single device.
+        self.fused_detect = kwargs.get("fused_detect", True)
 
         # Plotting toggles
         self.plot_event_summary = kwargs.get("plot_event_summary", True)
@@ -565,13 +569,44 @@ class QuakeScan:
     # The compute core
     # ------------------------------------------------------------------
 
+    @property
+    def _fused_active(self):
+        from .onsets import STALTAOnset
+
+        return (
+            self.fused_detect
+            and self.mesh is None
+            and type(self.onset) is STALTAOnset
+        )
+
     def _prepare_window(self, data):
         """Host-side stage of one detect window: onsets + device inputs."""
 
         import jax
 
+        from .onsets.base import OnsetData
+
         if self._device_tt is None:
             self._build_device_state()
+
+        if self._fused_active:
+            slots = self._canonical_slots()
+            with jax.profiler.TraceAnnotation("qm_prepare_channels"):
+                (channels, chan_mask, slot_mask, nsta, nlta,
+                 availability) = self.onset.prepare_device_inputs(
+                    data, slots, dtype=self._dtype
+                )
+            if slot_mask.sum() == 0:
+                raise util.DataAvailabilityException
+            onset_data = OnsetData(
+                None, self.onset.phases, self.onset.channel_maps, None,
+                availability, data.starttime, data.endtime, self.scan_rate,
+            )
+            return {
+                "data": data,
+                "onset_data": onset_data,
+                "fused": (channels, chan_mask, slot_mask, nsta, nlta),
+            }
 
         with jax.profiler.TraceAnnotation("qm_onsets"):
             onsets, onset_data = self.onset.calculate_onsets(data)
@@ -600,6 +635,28 @@ class QuakeScan:
         sample = prepared[keys[0]]
         fsmp = util.time2sample(self.pre_pad, self.scan_rate)
         lsmp = util.time2sample(self.post_pad, self.scan_rate)
+
+        if "fused" in sample:
+            from quakemigrate_tpu.ops.scan_window import detect_window_fused
+
+            nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
+            results = {}
+            with jax.profiler.TraceAnnotation("qm_detect_fused"):
+                for i in keys:
+                    channels, chan_mask, slot_mask, nsta, nlta = (
+                        prepared[i]["fused"]
+                    )
+                    results[i] = detect_window_fused(
+                        channels, chan_mask, slot_mask, nsta, nlta,
+                        self._device_tt,
+                        self.onset.position,
+                        self.onset.signal_transform,
+                        float(self.onset.min_onset_value),
+                        fsmp, nsamples,
+                        n_nodes_real=self._n_nodes, tile=self.tile,
+                    )
+            return results
+
         nsamples = sample["block"].shape[-1] - fsmp - lsmp
 
         batch_size = 1 if self.mesh is not None else self.detect_batch

@@ -74,7 +74,7 @@ def _run_detect(root, archive, lut, name, mesh):
     scan = QuakeScan(
         archive, lut, onset=onset, run_path=str(root / "runs"),
         run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
-        tile=64,
+        tile=64, fused_detect=False,
     )
     scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
     return root / "runs" / name / "detect" / "scanmseed" / "2021_049.scanmseed"
@@ -106,21 +106,46 @@ def test_mesh_detect_matches_single_device(setup):
 def test_batched_detect_matches_unbatched(setup):
     root, archive, lut = setup
 
-    single = _run_detect(root, archive, lut, "single2", None)
+    def run(name, batch):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
+            detect_batch=batch, fused_detect=False,
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
 
-    onset = STALTAOnset(position="classic", sampling_rate=SPS)
-    onset.phases = ["P", "S"]
-    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
-    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
-    scan = QuakeScan(
-        archive, lut, onset=onset, run_path=str(root / "runs"),
-        run_name="batched", marginal_window=1.0, timestep=5.0, tile=64,
-        detect_batch=3,  # 4 windows -> one full batch + one padded batch
-    )
-    scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
-    batched = (
-        root / "runs" / "batched" / "detect" / "scanmseed"
-        / "2021_049.scanmseed"
-    )
-
+    single = run("single2", 1)
+    batched = run("batched", 3)
     assert single.read_bytes() == batched.read_bytes()
+
+
+def test_fused_detect_matches_standard(setup):
+    root, archive, lut = setup
+
+    def run(name, fused):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
+            fused_detect=fused, precision="double",
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    unfused = run("unfused", False)
+    fused = run("fused", True)
+    assert unfused.read_bytes() == fused.read_bytes()
