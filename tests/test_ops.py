@@ -210,3 +210,29 @@ class TestKurtosis:
         noise_region = np.concatenate([onset[200:1100], onset[1400:1900]])
         assert peak_region.max() > 10 * np.median(noise_region)
         assert 1190 <= 1190 + np.argmax(peak_region) <= 1270
+
+
+@needs_oracle
+def test_dynamic_stalta_mixed_windows_oracle():
+    """Per-row window lengths in one batch vs the reference C kernels."""
+
+    from quakemigrate_tpu.ops.scan_window import _sta_lta_dynamic
+
+    rng = np.random.default_rng(17)
+    signal = rng.gamma(1.0, 2.0, size=(4, 800))
+    nsta = np.array([3, 6, 11, 26], dtype=np.int32)
+    nlta = np.array([63, 26, 51, 126], dtype=np.int32)
+
+    for position in ("classic", "centred"):
+        ours = np.asarray(
+            _sta_lta_dynamic(signal, nsta, nlta, position), dtype=np.float64
+        )
+        oracle_name = "overlapping" if position == "classic" else "centred"
+        for r in range(4):
+            ref = oracle_sta_lta(
+                signal[r], int(nsta[r]), int(nlta[r]), oracle_name
+            )
+            np.testing.assert_allclose(
+                ours[r], ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"{position} row {r}",
+            )
