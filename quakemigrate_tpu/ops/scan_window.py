@@ -90,22 +90,15 @@ def _sta_lta_dynamic(signal, nsta, nlta, position):
     return jnp.where(valid, ratio, 1.0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "position", "transform", "min_onset_value", "fsmp", "nsamples",
-        "n_nodes_real", "tile",
-    ),
-)
-def detect_window_fused(
-    channels, chan_mask, slot_mask, nsta, nlta, traveltimes,
-    position, transform, min_onset_value, fsmp, nsamples,
-    n_nodes_real=None, tile=4096,
+def fused_onsets(
+    channels, chan_mask, slot_mask, nsta, nlta,
+    position, transform, min_onset_value,
 ):
     """
-    One fused device call for a detect window. Returns
-    (max_coa, max_norm_coa, max_idx) exactly as ops.migrate.migrate_detect
-    would when fed the equivalent host-computed onsets.
+    Device-side onset front-end of the fused window: signal transform ->
+    per-slot dynamic-window STA/LTA -> RMS channel combine -> clip.
+    Returns (combined [n_slots, T], available) ready for migration.
+    Traceable (no jit wrapper) so it composes under shard_map.
 
     """
 
@@ -137,7 +130,32 @@ def detect_window_fused(
     # Dead slots -> onset of ones (log-domain zero; excluded via slot_mask)
     combined = jnp.where(slot_mask[:, None] == 1.0, combined, 1.0)
 
-    available = slot_mask.sum()
+    return combined, slot_mask.sum()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "position", "transform", "min_onset_value", "fsmp", "nsamples",
+        "n_nodes_real", "tile",
+    ),
+)
+def detect_window_fused(
+    channels, chan_mask, slot_mask, nsta, nlta, traveltimes,
+    position, transform, min_onset_value, fsmp, nsamples,
+    n_nodes_real=None, tile=4096,
+):
+    """
+    One fused device call for a detect window. Returns
+    (max_coa, max_norm_coa, max_idx) exactly as ops.migrate.migrate_detect
+    would when fed the equivalent host-computed onsets.
+
+    """
+
+    combined, available = fused_onsets(
+        channels, chan_mask, slot_mask, nsta, nlta,
+        position, transform, min_onset_value,
+    )
     n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
     max_coa, max_idx, coa_sum = detect_reduce(
         combined, traveltimes, slot_mask, available, fsmp, nsamples,

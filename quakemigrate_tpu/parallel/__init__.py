@@ -124,3 +124,53 @@ def make_sharded_detect(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
     return jax.jit(sharded)
+
+
+def make_sharded_detect_fused(
+    mesh, position, transform, min_onset_value, fsmp, nsamples,
+    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",
+):
+    """
+    Mesh-sharded version of :func:`ops.scan_window.detect_window_fused`:
+    the WHOLE detect window (signal transform -> dynamic-window STA/LTA ->
+    RMS combine -> clip -> migrate -> reduce) as one jitted program over
+    the device mesh.
+
+    The onset front-end is tiny (O(slots x T)) so every device computes it
+    redundantly from the replicated channel block; only the migration
+    (O(nodes x onsets x samples)) shards, over ``grid_axis``. Returned
+    signature:
+    ``f(channels, chan_mask, slot_mask, nsta, nlta, traveltimes_padded)
+    -> (max_coa, max_norm_coa, max_idx)``
+    with ``traveltimes_padded`` from :func:`pad_nodes_for_mesh`.
+
+    """
+
+    from quakemigrate_tpu.ops.scan_window import fused_onsets
+
+    def _fn(channels, chan_mask, slot_mask, nsta, nlta, tt_local):
+        combined, available = fused_onsets(
+            channels, chan_mask, slot_mask, nsta, nlta,
+            position, transform, min_onset_value,
+        )
+        shard = jax.lax.axis_index(grid_axis)
+        offset = shard * tt_local.shape[0]
+        mx, idx, sm = detect_reduce(
+            combined, tt_local, slot_mask, available, fsmp, nsamples,
+            n_nodes_real, tile=tile, node_offset=offset,
+        )
+        gmax = jax.lax.pmax(mx, grid_axis)
+        gsum = jax.lax.psum(sm, grid_axis)
+        big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
+        cand = jnp.where(mx == gmax, idx, big)
+        gidx = jax.lax.pmin(cand, grid_axis)
+        return gmax, gmax * n_nodes_real / gsum, gidx
+
+    sharded = shard_map(
+        _fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(grid_axis, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

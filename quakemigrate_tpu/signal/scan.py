@@ -164,6 +164,7 @@ class QuakeScan:
         self._device_tt = None
         self._slot_index = None
         self._sharded_detect = None
+        self._sharded_detect_fused = None
 
     def __str__(self):
         out = (
@@ -573,11 +574,7 @@ class QuakeScan:
     def _fused_active(self):
         from .onsets import STALTAOnset
 
-        return (
-            self.fused_detect
-            and self.mesh is None
-            and type(self.onset) is STALTAOnset
-        )
+        return self.fused_detect and type(self.onset) is STALTAOnset
 
     def _prepare_window(self, data):
         """Host-side stage of one detect window: onsets + device inputs."""
@@ -640,21 +637,39 @@ class QuakeScan:
             from quakemigrate_tpu.ops.scan_window import detect_window_fused
 
             nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
+
+            if self.mesh is not None and self._sharded_detect_fused is None:
+                from quakemigrate_tpu.parallel import make_sharded_detect_fused
+
+                self._sharded_detect_fused = make_sharded_detect_fused(
+                    self.mesh,
+                    self.onset.position,
+                    self.onset.signal_transform,
+                    float(self.onset.min_onset_value),
+                    fsmp, nsamples, self._n_nodes, tile=self.tile,
+                )
+
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
                 for i in keys:
                     channels, chan_mask, slot_mask, nsta, nlta = (
                         prepared[i]["fused"]
                     )
-                    results[i] = detect_window_fused(
-                        channels, chan_mask, slot_mask, nsta, nlta,
-                        self._device_tt,
-                        self.onset.position,
-                        self.onset.signal_transform,
-                        float(self.onset.min_onset_value),
-                        fsmp, nsamples,
-                        n_nodes_real=self._n_nodes, tile=self.tile,
-                    )
+                    if self.mesh is not None:
+                        results[i] = self._sharded_detect_fused(
+                            channels, chan_mask, slot_mask, nsta, nlta,
+                            self._device_tt,
+                        )
+                    else:
+                        results[i] = detect_window_fused(
+                            channels, chan_mask, slot_mask, nsta, nlta,
+                            self._device_tt,
+                            self.onset.position,
+                            self.onset.signal_transform,
+                            float(self.onset.min_onset_value),
+                            fsmp, nsamples,
+                            n_nodes_real=self._n_nodes, tile=self.tile,
+                        )
             return results
 
         nsamples = sample["block"].shape[-1] - fsmp - lsmp

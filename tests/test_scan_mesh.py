@@ -149,3 +149,82 @@ def test_fused_detect_matches_standard(setup):
     unfused = run("unfused", False)
     fused = run("fused", True)
     assert unfused.read_bytes() == fused.read_bytes()
+
+
+def test_fused_mesh_detect_matches_fused_single(setup):
+    """The whole fused window program sharded over the 8-device mesh."""
+
+    root, archive, lut = setup
+
+    def run(name, mesh):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
+            tile=64, fused_detect=True,
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    single = run("fused_single", None)
+    sharded = run("fused_mesh", make_mesh(jax.devices()))
+
+    from quakemigrate_tpu.seis import read
+
+    st_single = read(str(single))
+    st_sharded = read(str(sharded))
+    for station in ("COA", "X", "Y", "Z"):
+        a = st_single.select(station=station)[0].data
+        b = st_sharded.select(station=station)[0].data
+        np.testing.assert_array_equal(a, b, err_msg=station)
+    # COA_N divides by the cross-shard psum (summation-order rounding)
+    a = st_single.select(station="COA_N")[0].data.astype(np.int64)
+    b = st_sharded.select(station="COA_N")[0].data.astype(np.int64)
+    assert np.abs(a - b).max() <= 1
+    assert (a != b).mean() < 0.05
+
+
+def test_sharded_fused_op_matches_single_device_op():
+    """Op-level: make_sharded_detect_fused == detect_window_fused."""
+
+    from quakemigrate_tpu.ops.scan_window import detect_window_fused
+    from quakemigrate_tpu.parallel import (
+        make_sharded_detect_fused,
+        pad_nodes_for_mesh,
+    )
+
+    rng = np.random.default_rng(3)
+    n_slots, c_max, fsmp, nsamples, lsmp = 6, 3, 32, 100, 48
+    t = fsmp + nsamples + lsmp
+    channels = rng.normal(size=(n_slots, c_max, t)).astype(np.float32)
+    chan_mask = np.ones((n_slots, c_max), dtype=np.float32)
+    chan_mask[:3, 1:] = 0.0
+    slot_mask = np.ones(n_slots, dtype=np.float32)
+    slot_mask[4] = 0.0
+    nsta = np.full(n_slots, 5, dtype=np.int32)
+    nlta = np.full(n_slots, 21, dtype=np.int32)
+    tt = rng.integers(0, lsmp, size=(500, n_slots)).astype(np.int32)
+
+    ref = detect_window_fused(
+        channels, chan_mask, slot_mask, nsta, nlta, tt,
+        "classic", "energy", 0.5, fsmp, nsamples, tile=32,
+    )
+
+    mesh = make_mesh(jax.devices())
+    tt_padded, n_real = pad_nodes_for_mesh(tt, mesh.shape["grid"], tile=32)
+    fn = make_sharded_detect_fused(
+        mesh, "classic", "energy", 0.5, fsmp, nsamples, n_real, tile=32,
+    )
+    out = fn(channels, chan_mask, slot_mask, nsta, nlta, tt_padded)
+
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+    np.testing.assert_allclose(
+        np.asarray(ref[1]), np.asarray(out[1]), rtol=2e-6
+    )
