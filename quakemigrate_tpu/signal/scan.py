@@ -292,6 +292,17 @@ class QuakeScan:
         logging.info(f"\n\tScanning from {starttime} to {calc_endtime}\n")
         logging.info(self)
         logging.info(str(self.onset))
+        if self._fused_active:
+            where = "sharded over the device mesh" if self.mesh is not None \
+                else "on one device"
+            logging.info(
+                f"\tDevice program: fully-fused detect window ({where})\n"
+            )
+        elif self.fused_detect:
+            logging.info(
+                "\tDevice program: standard migrate (fused window requires "
+                "an STALTAOnset)\n"
+            )
         logging.info(util.log_spacer)
 
         self._continuous_compute(starttime, n_steps)
