@@ -25,7 +25,7 @@ def read_availability(run, starttime, endtime):
         fstem = f"{readstart.year}_{readstart.julday:03d}"
         file = (fpath / f"{fstem}_StationAvailability").with_suffix(".csv")
         try:
-            chunk = pd.read_csv(file, index_col=0)
+            chunk = _handle_old_structure(file)
             if availability is None:
                 availability = chunk
             else:
@@ -41,6 +41,36 @@ def read_availability(run, starttime, endtime):
         raise util.NoStationAvailabilityDataException
 
     return availability
+
+
+def _handle_old_structure(file, permanent_conversion=False):
+    """
+    Read an availability table, converting old-format files (one column
+    per station) to the current per-station/phase layout on the fly: an
+    old-style '1' meant all phases for that station were available
+    (reference: io/availability.py:73-120).
+
+    """
+
+    table = pd.read_csv(file, index_col=0)
+
+    cols = [name.split("_") for name in table.columns]
+    if cols and len(cols[0]) == 2:
+        return table
+
+    logging.info(
+        "\t\tWarning: an availability file is in the old format - "
+        "converting..."
+    )
+    converted = pd.DataFrame(index=table.index)
+    for phase in "PS":
+        for col in cols:
+            converted[f"{col[0]}_{phase}"] = table[col[0]].values
+
+    if permanent_conversion:
+        converted.to_csv(file)
+
+    return converted
 
 
 def write_availability(run, availability):

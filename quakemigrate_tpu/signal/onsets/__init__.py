@@ -5,5 +5,9 @@ quakemigrate_tpu.signal.onsets -- onset (characteristic) function classes.
 """
 
 from .base import Onset, OnsetData  # noqa: F401
-from .stalta import STALTAOnset  # noqa: F401
+from .stalta import (  # noqa: F401
+    CentredSTALTAOnset,
+    ClassicSTALTAOnset,
+    STALTAOnset,
+)
 from .kurtosis import KurtosisOnset  # noqa: F401

@@ -376,3 +376,39 @@ class STALTAOnset(Onset):
 
         lta_max = max(win[1] for win in self.sta_lta_windows.values())
         self._post_pad = np.ceil(ttmax + 2 * lta_max)
+
+
+class CentredSTALTAOnset(STALTAOnset):
+    """
+    Deprecated alias retained so old reference scripts keep running
+    (reference: signal/onsets/stalta.py:742-783).
+
+    """
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        print(
+            "FutureWarning: This class has been deprecated - continuing.\n"
+            "To remove this message:\n"
+            "\tCentredSTALTAOnset -> STALTAOnset\n"
+            "\tAnd add keyword argument 'position=centred'\n"
+        )
+        self.position = "centred"
+
+
+class ClassicSTALTAOnset(STALTAOnset):
+    """
+    Deprecated alias retained so old reference scripts keep running
+    (reference: signal/onsets/stalta.py:742-783).
+
+    """
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        print(
+            "FutureWarning: This class has been deprecated - continuing.\n"
+            "To remove this message:\n"
+            "\tClassicSTALTAOnset -> STALTAOnset\n"
+            "\tAnd add keyword argument 'position=classic'\n"
+        )
+        self.position = "classic"

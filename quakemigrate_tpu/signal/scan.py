@@ -160,6 +160,12 @@ class QuakeScan:
         self.pre_cut = None
         self.post_cut = None
 
+        # Deprecated parameter names from older reference scripts
+        # (reference: signal/scan.py:1099-1145)
+        self.time_step = kwargs.get("time_step")
+        self.n_cores = kwargs.get("n_cores")
+        self.sampling_rate = kwargs.get("sampling_rate")
+
         # Lazily-built device state (per run)
         self._device_tt = None
         self._slot_index = None
@@ -1080,8 +1086,51 @@ class QuakeScan:
 
         return mask
 
-    # --- aliases for API familiarity ---
+    # --- deprecated parameter names from older reference scripts ---
+    # (reference: signal/scan.py:1099-1145; setters accept-and-warn so old
+    # user scripts keep running unchanged)
 
     @property
     def sampling_rate(self):
         return self.scan_rate
+
+    @sampling_rate.setter
+    def sampling_rate(self, value):
+        if value is None:
+            return
+        print(
+            "Warning: Parameter name has changed - continuing. Currently\n"
+            "the scan sampling rate must be the same as the onset sampling\n"
+            f"rate, which you have set to {self.scan_rate} Hz."
+        )
+
+    @property
+    def time_step(self):
+        return self.timestep
+
+    @time_step.setter
+    def time_step(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            "\t'time_step' -> 'timestep'"
+        )
+        self.timestep = value
+
+    @property
+    def n_cores(self):
+        return self.threads
+
+    @n_cores.setter
+    def n_cores(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            "\t'n_cores' -> 'threads'\n"
+            "(On TPU, host thread count does not affect the migration.)"
+        )
+        self.threads = value

@@ -195,3 +195,92 @@ def test_pick_plot_renders(tmp_path):
     )
     fig.savefig(tmp_path / "picks.pdf")
     assert (tmp_path / "picks.pdf").stat().st_size > 1000
+
+
+def test_deprecated_api_names(tmp_path, capsys):
+    """Old reference scripts' parameter/class names keep working."""
+
+    import numpy as np
+    import pandas as pd
+
+    from quakemigrate_tpu import QuakeScan, compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.signal.onsets import (
+        CentredSTALTAOnset,
+        ClassicSTALTAOnset,
+    )
+
+    onset = ClassicSTALTAOnset(position="centred", sampling_rate=50)
+    assert onset.position == "classic"
+    onset2 = CentredSTALTAOnset(sampling_rate=50)
+    assert onset2.position == "centred"
+    for o in (onset, onset2):
+        o.phases = ["P", "S"]
+        o.bandpass_filters = {"P": [1, 10, 2], "S": [1, 10, 2]}
+        o.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+
+    stations = pd.DataFrame(
+        {"Name": ["A"], "Longitude": [0.01], "Latitude": [0.01],
+         "Elevation": [0.0]}
+    )
+    lut = compute_traveltimes(
+        dict(
+            ll_corner=[-0.05, -0.05, 0.0], ur_corner=[0.05, 0.05, 10.0],
+            node_spacing=[5.0, 5.0, 5.0],
+            grid_proj=Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0),
+            coord_proj=Proj(proj="longlat"),
+        ),
+        stations, method="homogeneous", phases=["P", "S"], vp=5.0, vs=3.0,
+    )
+    archive = Archive(archive_path=tmp_path, stations=stations)
+
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+        run_name="dep", time_step=7.5, n_cores=4, sampling_rate=50,
+    )
+    out = capsys.readouterr().out
+    assert scan.timestep == 7.5
+    assert scan.time_step == 7.5
+    assert scan.threads == 4
+    assert scan.n_cores == 4
+    assert scan.sampling_rate == 50
+    assert "time_step" in out and "n_cores" in out
+
+
+def test_old_format_availability(tmp_path):
+    """Old availability files (one column per station) convert on read."""
+
+    import pandas as pd
+
+    from quakemigrate_tpu.io.availability import (
+        read_availability,
+        write_availability,
+    )
+    from quakemigrate_tpu.io.core import Run
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    run = Run(str(tmp_path), "oldfmt")
+    fpath = run.path / "detect" / "availability"
+    fpath.mkdir(parents=True)
+    old = pd.DataFrame(
+        {"ST01": [1, 0], "ST02": [1, 1]},
+        index=["2021-02-18T12:00:00.0", "2021-02-18T12:02:00.0"],
+    )
+    old.to_csv(fpath / "2021_049_StationAvailability.csv")
+
+    table = read_availability(
+        run, UTCDateTime("2021-02-18T12:00:00"),
+        UTCDateTime("2021-02-18T12:05:00"),
+    )
+    assert sorted(table.columns) == ["ST01_P", "ST01_S", "ST02_P", "ST02_S"]
+    assert table["ST01_P"].tolist() == [1, 0]
+    assert table["ST02_S"].tolist() == [1, 1]
+
+    # New-format roundtrip still untouched by the converter
+    write_availability(run, table)
+    table2 = read_availability(
+        run, UTCDateTime("2021-02-18T12:00:00"),
+        UTCDateTime("2021-02-18T12:05:00"),
+    )
+    assert sorted(table2.columns) == sorted(table.columns)
