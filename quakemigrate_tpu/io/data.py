@@ -52,13 +52,6 @@ class Archive:
         self.remove_full_response = response_removal_params.get(
             "remove_full_response", False
         )
-        if self.remove_full_response:
-            print(
-                "Warning: remove_full_response=True requested, but only the "
-                "PolesZeros instrument transfer function + overall "
-                "sensitivity are removed (FIR stage deconvolution is not "
-                "implemented). Proceeding with the PAZ response."
-            )
 
     def __str__(self, response_only=False):
         if self.response_inv:
@@ -376,6 +369,11 @@ class WaveformData:
                 pre_filt=self.pre_filt,
                 water_level=self.water_level,
                 taper=True,
+                stages_remove=(
+                    response.digital_stages
+                    if self.remove_full_response
+                    else None
+                ),
             )
         except ValueError as e:
             raise util.ResponseRemovalError(e, tr.id)

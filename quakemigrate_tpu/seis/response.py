@@ -42,6 +42,53 @@ def paz_to_freq_resp(freqs, poles, zeros, gain):
     return resp
 
 
+@dataclass
+class DigitalStage:
+    """
+    One digital (FIR / Coefficients) response stage: numerator
+    coefficients at the stage's input sampling rate, plus the logger's
+    applied delay correction (seconds), if recorded.
+
+    """
+
+    coefficients: np.ndarray
+    input_sample_rate: float
+    correction: float | None = None
+
+    def freq_resp(self, freqs):
+        """
+        Normalised frequency response of the stage.
+
+        H(f) = sum_k c_k exp(-2*pi*i*f*k/fs), advanced by the delay the
+        data logger already corrected for (Decimation/Correction when
+        recorded, else the (N-1)/2-sample group delay of a symmetric
+        filter), and normalised to unit gain at DC so that the stage
+        contributes shape only -- the overall InstrumentSensitivity
+        already carries every stage's gain.
+
+        """
+
+        c = np.asarray(self.coefficients, dtype=np.float64)
+        fs = float(self.input_sample_rate)
+        f = np.asarray(freqs, dtype=np.float64)
+        k = np.arange(c.size)
+        h = np.exp(-2j * np.pi * np.outer(f, k) / fs) @ c
+
+        if self.correction is not None:
+            delay = float(self.correction)
+        elif c.size > 1 and np.allclose(c, c[::-1]):
+            delay = (c.size - 1) / (2.0 * fs)
+        else:
+            delay = 0.0
+        if delay:
+            h *= np.exp(2j * np.pi * f * delay)
+
+        dc = abs(c.sum())
+        if dc > 0:
+            h /= dc
+        return h
+
+
 def _cosine_sac_taper(freqs, flimit):
     """SAC-style frequency-domain cosine taper between 4 corner freqs."""
 
@@ -89,6 +136,7 @@ def simulate_seismometer(
     pre_filt=None,
     taper=True,
     taper_fraction=0.05,
+    stages_remove=None,
     **_ignored,
 ):
     """
@@ -125,6 +173,8 @@ def simulate_seismometer(
             paz_remove.get("gain", 1.0),
         )
         resp *= paz_remove.get("sensitivity", 1.0)
+        for stage in stages_remove or ():
+            resp *= stage.freq_resp(freqs)
         resp = _apply_water_level(resp, water_level)
         spec /= resp
         spec[~np.isfinite(spec)] = 0.0
@@ -157,6 +207,7 @@ class ChannelResponse:
     input_units: str = "M/S"
     start: object = None
     end: object = None
+    digital_stages: list = field(default_factory=list)
 
     def get_paz(self):
         return self
@@ -226,11 +277,63 @@ def _text(elem, name, default=None):
     return child.text if child is not None else default
 
 
+def _parse_digital_stage(stage):
+    """
+    Parse a Coefficients or FIR element (plus its Decimation block) from a
+    StationXML Response Stage into a :class:`DigitalStage`, expanding
+    symmetric FIR representations. Returns None for gain-only or
+    analog stages.
+
+    """
+
+    coeffs = None
+    fir = _find(stage, "FIR")
+    if fir is not None:
+        vals = [
+            float(c.text) for c in _findall(fir, "NumeratorCoefficient")
+        ]
+        symmetry = (_text(fir, "Symmetry", "NONE") or "NONE").upper()
+        if symmetry == "ODD":
+            vals = vals + vals[-2::-1]
+        elif symmetry == "EVEN":
+            vals = vals + vals[::-1]
+        coeffs = vals
+    else:
+        co = _find(stage, "Coefficients")
+        if co is not None:
+            num = [float(c.text) for c in _findall(co, "Numerator")]
+            den = [float(c.text) for c in _findall(co, "Denominator")]
+            if den:
+                return None  # IIR coefficient stages not supported
+            coeffs = num
+
+    if not coeffs:
+        return None
+
+    fs_in, correction = None, None
+    dec = _find(stage, "Decimation")
+    if dec is not None:
+        isr = _text(dec, "InputSampleRate")
+        fs_in = float(isr) if isr is not None else None
+        corr = _text(dec, "Correction")
+        if corr is not None:
+            correction = float(corr)
+    if fs_in is None:
+        return None  # cannot evaluate without the stage's input rate
+
+    return DigitalStage(
+        coefficients=np.asarray(coeffs, dtype=np.float64),
+        input_sample_rate=fs_in,
+        correction=correction,
+    )
+
+
 def read_inventory(path):
     """
     Parse a StationXML file into an :class:`Inventory`. Extracts, for each
     channel epoch, the first PolesZeros response stage (the instrument
-    transfer function) and the overall InstrumentSensitivity.
+    transfer function), the overall InstrumentSensitivity, and every
+    digital FIR/Coefficients stage (for full-response removal).
 
     """
 
@@ -271,27 +374,32 @@ def read_inventory(path):
                         input_units = _text(iu, "Name", "M/S") or "M/S"
 
                 poles, zeros, a0 = [], [], 1.0
+                found_pz = False
+                digital_stages = []
                 for stage in _findall(response, "Stage"):
                     pz = _find(stage, "PolesZeros")
-                    if pz is None:
+                    if pz is not None and not found_pz:
+                        found_pz = True
+                        transfer_type = _text(pz, "PzTransferFunctionType", "")
+                        a0 = float(_text(pz, "NormalizationFactor", 1.0))
+                        scale = 1.0
+                        if "HERTZ" in (transfer_type or "").upper():
+                            # Convert rad/s convention: s -> s/(2*pi)
+                            scale = 2 * np.pi
+                        for p in _findall(pz, "Pole"):
+                            re_ = float(_text(p, "Real", 0.0))
+                            im = float(_text(p, "Imaginary", 0.0))
+                            poles.append(complex(re_, im) * scale)
+                        for z in _findall(pz, "Zero"):
+                            re_ = float(_text(z, "Real", 0.0))
+                            im = float(_text(z, "Imaginary", 0.0))
+                            zeros.append(complex(re_, im) * scale)
+                        if "HERTZ" in (transfer_type or "").upper():
+                            a0 *= (2 * np.pi) ** (len(poles) - len(zeros))
                         continue
-                    transfer_type = _text(pz, "PzTransferFunctionType", "")
-                    a0 = float(_text(pz, "NormalizationFactor", 1.0))
-                    scale = 1.0
-                    if "HERTZ" in (transfer_type or "").upper():
-                        # Convert rad/s convention: s -> s/(2*pi)
-                        scale = 2 * np.pi
-                    for p in _findall(pz, "Pole"):
-                        re_ = float(_text(p, "Real", 0.0))
-                        im = float(_text(p, "Imaginary", 0.0))
-                        poles.append(complex(re_, im) * scale)
-                    for z in _findall(pz, "Zero"):
-                        re_ = float(_text(z, "Real", 0.0))
-                        im = float(_text(z, "Imaginary", 0.0))
-                        zeros.append(complex(re_, im) * scale)
-                    if "HERTZ" in (transfer_type or "").upper():
-                        a0 *= (2 * np.pi) ** (len(poles) - len(zeros))
-                    break  # first PolesZeros stage only
+                    digital = _parse_digital_stage(stage)
+                    if digital is not None:
+                        digital_stages.append(digital)
 
                 seed_id = f"{net_code}.{sta_code}.{loc_code}.{cha_code}"
                 resp = ChannelResponse(
@@ -302,6 +410,7 @@ def read_inventory(path):
                     input_units=input_units,
                     start=UTCDateTime(start) if start else None,
                     end=UTCDateTime(end) if end else None,
+                    digital_stages=digital_stages,
                 )
                 inv.responses.setdefault(seed_id, []).append(resp)
 
@@ -309,9 +418,15 @@ def read_inventory(path):
 
 
 def remove_trace_response(
-    trace, inventory, output="VEL", pre_filt=None, water_level=60.0, taper=True
+    trace, inventory, output="VEL", pre_filt=None, water_level=60.0,
+    taper=True, full=False,
 ):
-    """Remove the inventory-recorded response from a trace, in place."""
+    """
+    Remove the inventory-recorded response from a trace, in place. With
+    ``full=True``, the digital FIR/Coefficients stages are deconvolved
+    along with the PAZ transfer function.
+
+    """
 
     resp = inventory.get_response(trace.id, trace.stats.starttime)
 
@@ -346,5 +461,6 @@ def remove_trace_response(
         water_level=water_level,
         pre_filt=pre_filt,
         taper=taper,
+        stages_remove=resp.digital_stages if full else None,
     )
     return trace
