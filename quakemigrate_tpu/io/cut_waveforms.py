@@ -2,7 +2,8 @@
 """
 Cut-waveform output: write the raw / response-removed ("real") /
 Wood-Anderson simulated waveforms for a located event (reference behaviour:
-io/cut_waveforms.py:44-213). Supported formats: MSEED (default), SAC.
+io/cut_waveforms.py:44-213). Supported formats: MSEED (default), SAC,
+GSE2 (raw integer-count waveforms only, as in the reference), SEGY.
 
 """
 
@@ -95,6 +96,8 @@ def get_waveforms(st, event, waveform_type, units):
 def write_waveforms(st, fpath, fstem, file_format):
     """Write a stream to file in the requested format."""
 
-    suffix = {"MSEED": ".m", "SAC": ".sac"}.get(file_format, ".waveforms")
+    suffix = {
+        "MSEED": ".m", "SAC": ".sac", "GSE2": ".gse2", "SEGY": ".segy",
+    }.get(file_format, ".waveforms")
     file = (fpath / fstem).with_suffix(suffix)
     st.write(str(file), format=file_format)

@@ -24,9 +24,13 @@ def read(path, starttime=None, endtime=None, nearest_sample=True, format=None):
     path = str(path)
     if format is None:
         with open(path, "rb") as f:
-            head = f.read(8)
+            head = f.read(16)
         if len(head) >= 8 and head[6:7] in b"DRQM" and head[:6].isdigit():
             format = "MSEED"
+        elif head.startswith(b"WID2"):
+            format = "GSE2"
+        elif head.startswith(b"C 1 SEG Y"):
+            format = "SEGY"
         else:
             format = "SAC"
 
@@ -39,9 +43,20 @@ def read(path, starttime=None, endtime=None, nearest_sample=True, format=None):
     if format.upper() == "SAC":
         from .sac import read_sac
 
-        st = read_sac(path)
-        if starttime is not None or endtime is not None:
-            st.trim(starttime=starttime, endtime=endtime,
-                    nearest_sample=nearest_sample)
-        return st
-    raise TypeError(f"Unknown waveform format: {format}")
+        reader = read_sac
+    elif format.upper() == "GSE2":
+        from .gse2 import read_gse2
+
+        reader = read_gse2
+    elif format.upper() == "SEGY":
+        from .segy import read_segy
+
+        reader = read_segy
+    else:
+        raise TypeError(f"Unknown waveform format: {format}")
+
+    st = reader(path)
+    if starttime is not None or endtime is not None:
+        st.trim(starttime=starttime, endtime=endtime,
+                nearest_sample=nearest_sample)
+    return st

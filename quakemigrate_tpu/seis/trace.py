@@ -810,6 +810,14 @@ class Stream:
             from .sac import write_sac
 
             write_sac(self, filename, **kwargs)
+        elif format.upper() == "GSE2":
+            from .gse2 import write_gse2
+
+            write_gse2(self, filename, **kwargs)
+        elif format.upper() == "SEGY":
+            from .segy import write_segy
+
+            write_segy(self, filename, **kwargs)
         else:
             raise ValueError(f"Unsupported output format: {format}")
         return self

@@ -230,3 +230,89 @@ class TestMSEEDForeignRecords:
         assert tr.stats.sampling_rate == 100
         assert tr.stats.starttime.julday == 100
         np.testing.assert_array_equal(tr.data, data)
+
+
+def test_gse2_roundtrip(tmp_path):
+    """GSE2/CM6 write -> read roundtrip, incl. multi-char + negative values."""
+
+    from quakemigrate_tpu.seis import Stream, Trace, read
+
+    rng = np.random.default_rng(5)
+    data = np.concatenate([
+        rng.integers(-10, 10, 100),           # 1-char values
+        rng.integers(-100000, 100000, 200),   # multi-char values
+        np.array([0, 2**25, -(2**25), 1]),    # extremes
+    ]).astype(np.int32)
+    tr = Trace(data, {"station": "GSET", "channel": "HHZ",
+                      "sampling_rate": 50.0,
+                      "starttime": "2021-02-18T01:02:03.456"})
+    f = tmp_path / "test.gse2"
+    Stream([tr]).write(str(f), format="GSE2")
+
+    st = read(str(f))  # format auto-detected from WID2
+    assert len(st) == 1
+    out = st[0]
+    assert out.stats.station == "GSET"
+    assert out.stats.channel == "HHZ"
+    assert out.stats.sampling_rate == 50.0
+    assert abs(out.stats.starttime - tr.stats.starttime) < 1e-3
+    np.testing.assert_array_equal(out.data, data)
+
+
+def test_gse2_rejects_floats(tmp_path):
+    from quakemigrate_tpu.seis import Stream, Trace
+
+    tr = Trace(np.array([0.5, 1.2]), {"station": "X",
+                                      "sampling_rate": 50.0})
+    with np.testing.assert_raises(ValueError):
+        Stream([tr]).write(str(tmp_path / "f.gse2"), format="GSE2")
+
+
+def test_gse2_checksum_detects_corruption(tmp_path):
+    from quakemigrate_tpu.seis import Stream, Trace, read
+
+    tr = Trace(np.arange(100, dtype=np.int32),
+               {"station": "X", "sampling_rate": 50.0})
+    f = tmp_path / "c.gse2"
+    Stream([tr]).write(str(f), format="GSE2")
+    text = f.read_text()
+    lines = text.splitlines()
+    # corrupt one data character
+    for i, ln in enumerate(lines):
+        if ln == "DAT2":
+            lines[i + 1] = ("9" if lines[i + 1][0] != "9" else "8") + lines[i + 1][1:]
+            break
+    f.write_text("\n".join(lines))
+    with np.testing.assert_raises(ValueError):
+        read(str(f))
+
+
+def test_segy_roundtrip(tmp_path):
+    from quakemigrate_tpu.seis import Stream, Trace, read
+
+    rng = np.random.default_rng(6)
+    traces = [
+        Trace(rng.normal(size=500).astype(np.float32),
+              {"station": f"S{i}", "channel": "HHZ",
+               "sampling_rate": 100.0,
+               "starttime": "2021-02-18T01:02:03.0"})
+        for i in range(3)
+    ]
+    f = tmp_path / "test.segy"
+    Stream(traces).write(str(f), format="SEGY")
+
+    st = read(str(f))  # auto-detected from the textual header
+    assert len(st) == 3
+    for orig, out in zip(traces, st):
+        assert out.stats.sampling_rate == 100.0
+        assert abs(out.stats.starttime - orig.stats.starttime) < 1.0
+        np.testing.assert_array_equal(out.data, orig.data)
+
+
+def test_segy_rejects_oversize(tmp_path):
+    from quakemigrate_tpu.seis import Stream, Trace
+
+    tr = Trace(np.zeros(70000, dtype=np.float32),
+               {"station": "X", "sampling_rate": 100.0})
+    with np.testing.assert_raises(ValueError):
+        Stream([tr]).write(str(tmp_path / "f.segy"), format="SEGY")
