@@ -143,6 +143,39 @@ class Grid3D:
 
         return int(np.prod(self.node_count))
 
+    # --- deprecated parameter names from older reference scripts ---
+    # (reference: lut/lut.py:365-396)
+
+    @property
+    def cell_count(self):
+        return self.node_count
+
+    @cell_count.setter
+    def cell_count(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            "\t'cell_count' -> 'node_count'"
+        )
+        self.node_count = value
+
+    @property
+    def cell_size(self):
+        return self.node_spacing
+
+    @cell_size.setter
+    def cell_size(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            "\t'cell_size' -> 'node_spacing'"
+        )
+        self.node_spacing = value
+
     @property
     def grid_corners(self):
         """xyz positions of the eight corners of the grid (grid space)."""

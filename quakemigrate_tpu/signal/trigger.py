@@ -93,6 +93,8 @@ class Trigger:
 
         self.marginal_window = kwargs.get("marginal_window", 2.0)
         self.min_event_interval = kwargs.get("min_event_interval", 4.0)
+        if kwargs.get("minimum_repeat"):
+            self.minimum_repeat = kwargs.get("minimum_repeat")
         self.normalise_coalescence = kwargs.get("normalise_coalescence", False)
         self.pad = kwargs.get("pad", 120.0)
         self.smooth_coa = kwargs.get("smooth_coa", False)
@@ -433,5 +435,34 @@ class Trigger:
     def threshold_method(self, value):
         if value in ("static", "mad", "median_ratio"):
             self._threshold_method = value
+        elif value == "dynamic":
+            # Deprecated name from older reference scripts
+            # (reference: signal/trigger.py:710-719)
+            print(
+                "FutureWarning: This threshold method has been renamed - "
+                "continuing.\nTo remove this message, change:\n"
+                "\t'dynamic' -> 'mad'"
+            )
+            self._threshold_method = "mad"
         else:
             raise util.InvalidTriggerThresholdMethodException
+
+    @property
+    def minimum_repeat(self):
+        """Deprecated name for min_event_interval (reference:
+        signal/trigger.py:721-737)."""
+
+        return self._min_event_interval
+
+    @minimum_repeat.setter
+    def minimum_repeat(self, value):
+        if value < 2 * self.marginal_window:
+            raise ValueError(
+                "\tMinimum repeat must be >= 2 * marginal window."
+            )
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            "\t'minimum_repeat' -> 'min_event_interval'"
+        )
+        self._min_event_interval = value

@@ -91,3 +91,47 @@ def test_smoothing(trigger):
 def test_chunks2trace():
     out = chunks2trace(np.array([1.0, 2.0]), (2, 3))
     np.testing.assert_array_equal(out, [1, 1, 1, 2, 2, 2])
+
+
+def test_trigger_validated_properties():
+    """min_event_interval >= 2*mw; 'dynamic' threshold renames to 'mad'."""
+
+    import pytest
+
+    import quakemigrate_tpu.util as util
+    from quakemigrate_tpu.signal.trigger import Trigger
+
+    trig = Trigger("not_a_lut", run_path="/tmp/qmtrig", run_name="t",
+                   marginal_window=2.0, min_event_interval=4.0)
+    with pytest.raises(ValueError):
+        trig.min_event_interval = 3.0  # < 2 * marginal_window
+
+    trig.threshold_method = "dynamic"  # deprecated name
+    assert trig.threshold_method == "mad"
+    with pytest.raises(util.InvalidTriggerThresholdMethodException):
+        trig.threshold_method = "bogus"
+
+    # deprecated 'minimum_repeat' kwarg maps through with validation
+    trig2 = Trigger("not_a_lut", run_path="/tmp/qmtrig", run_name="t2",
+                    marginal_window=2.0, minimum_repeat=5.0)
+    assert trig2.min_event_interval == 5.0
+    with pytest.raises(ValueError):
+        Trigger("not_a_lut", run_path="/tmp/qmtrig", run_name="t3",
+                marginal_window=2.0, minimum_repeat=1.0)
+
+
+def test_lut_deprecated_cell_names():
+    import numpy as np
+
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.lut.lut import Grid3D
+
+    grid = Grid3D(
+        [-0.05, -0.05, 0.0], [0.05, 0.05, 10.0], [2.0, 2.0, 2.0],
+        Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0),
+        Proj(proj="longlat"),
+    )
+    np.testing.assert_array_equal(grid.cell_count, grid.node_count)
+    np.testing.assert_array_equal(grid.cell_size, grid.node_spacing)
+    grid.cell_size = [1.0, 1.0, 1.0]
+    np.testing.assert_array_equal(grid.node_spacing, [1.0, 1.0, 1.0])
