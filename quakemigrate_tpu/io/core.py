@@ -72,9 +72,11 @@ def read_response_inv(response_file, sac_pz_format=False):
     """
 
     if sac_pz_format:
-        raise NotImplementedError(
-            "SAC_PZ is not yet supported. Please use StationXML."
-        )
+        # Supported natively here; the reference declines these files
+        # (reference: io/core.py:132-135)
+        from quakemigrate_tpu.seis.sacpz import read_sac_pz
+
+        return read_sac_pz(response_file)
     from quakemigrate_tpu.seis import read_inventory
 
     try:

@@ -353,15 +353,9 @@ class WaveformData:
         except Exception as e:
             raise util.ResponseNotFoundError(str(e), tr.id)
 
-        zeros = list(response.zeros)
-        if not velocity:
-            zeros.extend([0j])
-        paz = {
-            "poles": response.poles,
-            "zeros": zeros,
-            "gain": response.normalization_factor,
-            "sensitivity": response.sensitivity,
-        }
+        from quakemigrate_tpu.seis.response import paz_for_output
+
+        paz = paz_for_output(response, "VEL" if velocity else "DISP")
 
         try:
             tr.simulate(

@@ -417,23 +417,18 @@ def read_inventory(path):
     return inv
 
 
-def remove_trace_response(
-    trace, inventory, output="VEL", pre_filt=None, water_level=60.0,
-    taper=True, full=False,
-):
+def paz_for_output(resp, output="VEL"):
     """
-    Remove the inventory-recorded response from a trace, in place. With
-    ``full=True``, the digital FIR/Coefficients stages are deconvolved
-    along with the PAZ transfer function.
+    Build the PAZ dict for deconvolving ``resp`` to the requested output
+    units, honouring the response's recorded input units (StationXML
+    responses are typically w.r.t. velocity, SAC_PZ files w.r.t.
+    displacement). Each s-domain zero at the origin differentiates:
+    DISP -> VEL -> ACC.
 
     """
-
-    resp = inventory.get_response(trace.id, trace.stats.starttime)
 
     zeros = list(resp.zeros)
     units = (resp.input_units or "M/S").upper()
-    # Response input units -> requested output units via extra s-domain zeros
-    # (each zero at the origin differentiates: DISP -> VEL -> ACC)
     order = {"M": 0, "M/S": 1, "M/S**2": 2, "M/S/S": 2, "M/SEC": 1}.get(units, 1)
     target = {"DISP": 0, "VEL": 1, "ACC": 2}[output.upper()]
     diff = order - target
@@ -448,12 +443,27 @@ def remove_trace_response(
         if removed < -diff:
             raise ValueError("Cannot convert response units to requested output.")
 
-    paz = {
-        "poles": resp.poles,
+    return {
+        "poles": list(resp.poles),
         "zeros": zeros,
         "gain": resp.normalization_factor,
         "sensitivity": resp.sensitivity,
     }
+
+
+def remove_trace_response(
+    trace, inventory, output="VEL", pre_filt=None, water_level=60.0,
+    taper=True, full=False,
+):
+    """
+    Remove the inventory-recorded response from a trace, in place. With
+    ``full=True``, the digital FIR/Coefficients stages are deconvolved
+    along with the PAZ transfer function.
+
+    """
+
+    resp = inventory.get_response(trace.id, trace.stats.starttime)
+    paz = paz_for_output(resp, output)
     trace.data = simulate_seismometer(
         np.asarray(trace.data, dtype=np.float64),
         trace.stats.sampling_rate,

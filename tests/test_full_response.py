@@ -167,3 +167,154 @@ def test_full_removal_deconvolves_fir_shape(tmp_path):
 
     # The FIR rolloff is a real, measurable in-band effect (>10% at 45 Hz)
     assert expected < 0.9
+
+
+_SACPZ = """* **********************************
+* NETWORK   (KNETWK): XX
+* STATION    (KSTNM): PZ01
+* LOCATION   (KHOLE):
+* CHANNEL   (KCMPNM): HHZ
+* START             : 2020-01-01T00:00:00
+* END               : 2599-12-31T23:59:59
+* LATITUDE          : 12.5
+* LONGITUDE         : -4.25
+* ELEVATION         : 100.0
+* INPUT UNIT        : M
+* OUTPUT UNIT       : COUNTS
+* **********************************
+ZEROS 3
+POLES 2
+        -4.400000e-01   +4.400000e-01
+        -4.400000e-01   -4.400000e-01
+CONSTANT +1.500000e+09
+* **********************************
+* NETWORK   (KNETWK): XX
+* STATION    (KSTNM): PZ01
+* CHANNEL   (KCMPNM): HHN
+* INPUT UNIT        : M
+* **********************************
+ZEROS 3
+        +0.000000e+00   +0.000000e+00
+        +0.000000e+00   +0.000000e+00
+        -1.000000e+00   +0.000000e+00
+POLES 2
+        -4.400000e-01   +4.400000e-01
+        -4.400000e-01   -4.400000e-01
+CONSTANT +2.000000e+09
+"""
+
+
+def test_sac_pz_parsing(tmp_path):
+    """SAC_PZ files parse into the native Inventory (reference refuses
+    them, io/core.py:132-135)."""
+
+    from quakemigrate_tpu.io import read_response_inv
+
+    f = tmp_path / "SAC_PZs_XX_PZ01_HHZ"
+    f.write_text(_SACPZ)
+    inv = read_response_inv(str(f), sac_pz_format=True)
+
+    z = inv.get_response("XX.PZ01..HHZ")
+    # ZEROS 3 with no listed values -> three zeros at the origin
+    assert z.zeros == [0j, 0j, 0j]
+    assert len(z.poles) == 2
+    assert z.normalization_factor == 1.5e9
+    assert z.input_units == "M"
+
+    n = inv.get_response("XX.PZ01..HHN")
+    assert n.zeros.count(0j) == 2 and complex(-1, 0) in n.zeros
+    assert n.normalization_factor == 2.0e9
+
+    assert inv.get_coordinates("XX.PZ01..HHZ")["latitude"] == 12.5
+
+
+def test_sac_pz_removal_matches_stationxml(tmp_path):
+    """The same PZ set via SAC_PZ and StationXML gives identical output."""
+
+    from quakemigrate_tpu.io import read_response_inv
+    from quakemigrate_tpu.seis import Trace
+
+    # SAC_PZ is w.r.t. displacement (3 zeros, CONSTANT = A0*sens);
+    # equivalent StationXML: velocity PZ (2 zeros), A0=1, sens=1.5e9
+    pz = tmp_path / "SAC_PZs_XX_FIR1_HHZ"
+    pz.write_text("""* STATION    (KSTNM): FIR1
+* NETWORK   (KNETWK): XX
+* CHANNEL   (KCMPNM): HHZ
+* INPUT UNIT        : M
+ZEROS 3
+POLES 2
+        -4.400000e-01   +4.400000e-01
+        -4.400000e-01   -4.400000e-01
+CONSTANT +1.500000e+09
+""")
+    inv_pz = read_response_inv(str(pz), sac_pz_format=True)
+
+    xml = tmp_path / "resp.xml"
+    xml.write_text(_XML)  # PZ stage: 2 origin zeros, same poles, sens 1.5e9
+    inv_xml = read_response_inv(str(xml))
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=4096)
+    header = {"network": "XX", "station": "FIR1", "channel": "HHZ",
+              "sampling_rate": 100.0, "starttime": "2021-01-01T00:00:00.0"}
+    out_pz = remove_trace_response(
+        Trace(data.copy(), header), inv_pz, output="VEL",
+    )
+    out_xml = remove_trace_response(
+        Trace(data.copy(), header), inv_xml, output="VEL",
+    )
+    np.testing.assert_allclose(out_pz.data, out_xml.data, rtol=1e-10)
+
+
+def test_get_real_waveform_honours_input_units(tmp_path):
+    """
+    WaveformData.get_real_waveform must produce velocity regardless of
+    whether the response is recorded w.r.t. velocity (StationXML M/S) or
+    displacement (SAC_PZ M). Regression: the PAZ dict used to be built
+    assuming M/S, silently returning displacement for SAC_PZ responses.
+
+    """
+
+    import pandas as pd
+
+    from quakemigrate_tpu.io import Archive, read_response_inv
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    pz = tmp_path / "SAC_PZs_XX_PZ01_HHZ"
+    pz.write_text("""* STATION    (KSTNM): PZ01
+* NETWORK   (KNETWK): XX
+* CHANNEL   (KCMPNM): HHZ
+* INPUT UNIT        : M
+ZEROS 3
+POLES 2
+        -4.400000e-01   +4.400000e-01
+        -4.400000e-01   -4.400000e-01
+CONSTANT +1.500000e+09
+""")
+    inv = read_response_inv(str(pz), sac_pz_format=True)
+
+    day_dir = tmp_path / "mSEED/2021/049"
+    day_dir.mkdir(parents=True)
+    t = np.arange(6000) / 100.0
+    counts = 1.5e9 * np.sin(2 * np.pi * 5.0 * t)
+    Trace(counts, {"network": "XX", "station": "PZ01", "channel": "HHZ",
+                   "sampling_rate": 100.0,
+                   "starttime": "2021-02-18T12:00:00.0"}
+          ).write(str(day_dir / "PZ01_Z.m"), format="MSEED")
+
+    stations = pd.DataFrame({"Name": ["PZ01"], "Longitude": [0.0],
+                             "Latitude": [0.0], "Elevation": [0.0]})
+    archive = Archive(archive_path=tmp_path / "mSEED", stations=stations,
+                      archive_format="YEAR/JD/STATION", response_inv=inv,
+                      response_removal_params={"water_level": 60})
+    wd = archive.read_waveform_data(UTCDateTime("2021-02-18T12:00:10.0"),
+                                    UTCDateTime("2021-02-18T12:00:50.0"))
+    vel = wd.get_real_waveform(wd.waveforms[0].copy())
+    rms = np.sqrt(np.mean(vel.data[500:-500] ** 2))
+    # 1.5e9-count 5 Hz sinusoid with CONSTANT 1.5e9 -> ~1 m/s amplitude
+    np.testing.assert_allclose(rms, 1.0 / np.sqrt(2), rtol=0.02)
+
+    disp = wd.get_real_waveform(wd.waveforms[0].copy(), velocity=False)
+    rms_d = np.sqrt(np.mean(disp.data[500:-500] ** 2))
+    np.testing.assert_allclose(rms_d, 1.0 / np.sqrt(2) / (2 * np.pi * 5.0),
+                               rtol=0.06)
