@@ -71,12 +71,36 @@ def read_response_inv(response_file, sac_pz_format=False):
 
     """
 
+    from pathlib import Path
+
     if sac_pz_format:
         # Supported natively here; the reference declines these files
         # (reference: io/core.py:132-135)
         from quakemigrate_tpu.seis.sacpz import read_sac_pz
 
         return read_sac_pz(response_file)
+
+    # Sniff the format: StationXML, or RESP (evalresp blockette dumps --
+    # a single concatenated file or a directory of RESP.N.S.L.C files)
+    path = Path(response_file)
+    is_resp = False
+    if path.is_dir():
+        is_resp = any(
+            p.name.upper().startswith("RESP") for p in path.iterdir()
+        )
+    else:
+        with open(path) as f:
+            for line in f:
+                stripped = line.strip()
+                if not stripped:
+                    continue
+                is_resp = not stripped.startswith("<")
+                break
+    if is_resp:
+        from quakemigrate_tpu.seis.resp import read_resp
+
+        return read_resp(response_file)
+
     from quakemigrate_tpu.seis import read_inventory
 
     try:

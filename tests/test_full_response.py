@@ -318,3 +318,154 @@ CONSTANT +1.500000e+09
     rms_d = np.sqrt(np.mean(disp.data[500:-500] ** 2))
     np.testing.assert_allclose(rms_d, 1.0 / np.sqrt(2) / (2 * np.pi * 5.0),
                                rtol=0.06)
+
+
+_RESP = """#
+B050F03     Station:     FIR1
+B050F16     Network:     XX
+B052F03     Location:    ??
+B052F04     Channel:     HHZ
+B052F22     Start date:  2020,001,00:00:00
+B052F23     End date:    No Ending Time
+#
+#                  +-----------------------------------+
+#                  |    Response (Poles and Zeros)     |
+#                  +-----------------------------------+
+#
+B053F03     Transfer function type:                A [Laplace Transform (Rad/sec)]
+B053F04     Stage sequence number:                 1
+B053F05     Response in units lookup:              M/S - Velocity in Meters Per Second
+B053F06     Response out units lookup:             V - Volts
+B053F07     A0 normalization factor:               1.0
+B053F08     Normalization frequency:               1.0
+B053F09     Number of zeroes:                      2
+B053F14     Number of poles:                       2
+#              Complex zeroes:
+#              i  real          imag          real_error    imag_error
+B053F10-13     0  0.000000E+00  0.000000E+00  0.000000E+00  0.000000E+00
+B053F10-13     1  0.000000E+00  0.000000E+00  0.000000E+00  0.000000E+00
+#              Complex poles:
+B053F15-18     0 -4.400000E-01  4.400000E-01  0.000000E+00  0.000000E+00
+B053F15-18     1 -4.400000E-01 -4.400000E-01  0.000000E+00  0.000000E+00
+#
+B058F03     Stage sequence number:                 1
+B058F04     Sensitivity:                           1.000000E+00
+B058F05     Frequency of sensitivity:              1.0
+#
+#                  +-----------------------------------+
+#                  |      Response (Coefficients)      |
+#                  +-----------------------------------+
+#
+B054F03     Transfer function type:                D
+B054F04     Stage sequence number:                 2
+B054F07     Number of numerators:                  3
+B054F10     Number of denominators:                0
+#              Numerator coefficients:
+#              i, coefficient, error
+B054F08-09     0  2.500000E-01  0.000000E+00
+B054F08-09     1  5.000000E-01  0.000000E+00
+B054F08-09     2  2.500000E-01  0.000000E+00
+#
+B057F03     Stage sequence number:                 2
+B057F04     Input sample rate:                     4.000000E+02
+B057F05     Decimation factor:                     2
+B057F06     Decimation offset:                     0
+B057F07     Estimated delay (seconds):             2.500000E-03
+B057F08     Correction applied (seconds):          2.500000E-03
+#
+B058F03     Stage sequence number:                 2
+B058F04     Sensitivity:                           1.000000E+00
+#
+#                  +-----------------------------------+
+#                  |            FIR response           |
+#                  +-----------------------------------+
+#
+B061F03     Stage sequence number:                 3
+B061F04     Stage sequence number:                 3
+B061F05     Symmetry type:                         B
+B061F08-09     0  5.000000E-02
+B061F08-09     1  1.500000E-01
+B061F08-09     2  2.000000E-01
+B061F08-09     3  2.500000E-01
+B061F08-09     4  3.000000E-01
+#
+B057F03     Stage sequence number:                 3
+B057F04     Input sample rate:                     2.000000E+02
+B057F05     Decimation factor:                     2
+#
+B058F03     Stage sequence number:                 3
+B058F04     Sensitivity:                           1.000000E+00
+#
+B058F03     Stage sequence number:                 0
+B058F04     Sensitivity:                           1.500000E+09
+B058F05     Frequency of sensitivity:              1.0
+#
+"""
+
+
+def test_resp_matches_stationxml(tmp_path):
+    """
+    The same multi-stage response via RESP and StationXML gives identical
+    full-response removal output (the reference reads RESP via ObsPy).
+
+    """
+
+    from quakemigrate_tpu.io import read_response_inv
+    from quakemigrate_tpu.seis import Trace
+
+    resp_file = tmp_path / "RESP.XX.FIR1..HHZ"
+    resp_file.write_text(_RESP)
+    inv_resp = read_response_inv(str(resp_file))  # format sniffed
+
+    xml = tmp_path / "resp.xml"
+    xml.write_text(_XML)
+    inv_xml = read_response_inv(str(xml))
+
+    r = inv_resp.get_response("XX.FIR1..HHZ")
+    x = inv_xml.get_response("XX.FIR1..HHZ")
+    assert r.poles == x.poles and r.zeros == x.zeros
+    assert r.sensitivity == x.sensitivity
+    assert len(r.digital_stages) == 2
+    np.testing.assert_allclose(
+        r.digital_stages[0].coefficients, x.digital_stages[0].coefficients
+    )
+    np.testing.assert_allclose(
+        r.digital_stages[1].coefficients, x.digital_stages[1].coefficients
+    )
+    assert r.digital_stages[0].correction == 0.0025
+    assert str(r.start) == "2020-01-01T00:00:00.000000Z"
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=4096)
+    header = {"network": "XX", "station": "FIR1", "channel": "HHZ",
+              "sampling_rate": 100.0, "starttime": "2021-01-01T00:00:00.0"}
+    for full in (False, True):
+        out_resp = remove_trace_response(
+            Trace(data.copy(), header), inv_resp, output="VEL", full=full,
+        )
+        out_xml = remove_trace_response(
+            Trace(data.copy(), header), inv_xml, output="VEL", full=full,
+        )
+        np.testing.assert_allclose(out_resp.data, out_xml.data, rtol=1e-10,
+                                   err_msg=f"full={full}")
+
+
+def test_resp_directory_and_concatenation(tmp_path):
+    from quakemigrate_tpu.io import read_response_inv
+
+    d = tmp_path / "resp_dir"
+    d.mkdir()
+    (d / "RESP.XX.FIR1..HHZ").write_text(_RESP)
+    (d / "RESP.XX.FIR1..HHN").write_text(_RESP.replace(
+        "B052F04     Channel:     HHZ", "B052F04     Channel:     HHN"
+    ))
+    inv = read_response_inv(str(d))
+    assert sorted(inv.responses) == ["XX.FIR1..HHN", "XX.FIR1..HHZ"]
+
+    # one concatenated file with two epochs
+    concat = tmp_path / "RESP.concat"
+    concat.write_text(_RESP + _RESP.replace(
+        "B052F04     Channel:     HHZ", "B052F04     Channel:     HHE"
+    ))
+    inv2 = read_response_inv(str(concat))
+    assert sorted(inv2.responses) == ["XX.FIR1..HHE", "XX.FIR1..HHZ"]
