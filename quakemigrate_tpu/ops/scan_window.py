@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .migrate import detect_reduce
 from .stalta import _envelope
@@ -88,6 +89,33 @@ def _sta_lta_dynamic(signal, nsta, nlta, position):
         idx[None, :] < t - nsta_col
     )
     return jnp.where(valid, ratio, 1.0)
+
+
+@jax.jit
+def pack_detect_window(max_coa, max_norm_coa, max_idx):
+    """
+    Pack a detect window's three per-sample outputs into ONE [3, S] array
+    so the host pays a single fetch round-trip per window instead of
+    three (each fetch costs a full RTT on remote-device relays). The
+    int32 indices are bitcast into float bits -- lossless, unlike a value
+    cast, which would corrupt indices above 2^24 on large grids.
+
+    """
+
+    idx_f = jax.lax.bitcast_convert_type(
+        max_idx.astype(jnp.int32), jnp.float32
+    ).astype(max_coa.dtype)
+    return jnp.stack([max_coa, max_norm_coa, idx_f])
+
+
+def unpack_detect_window(packed):
+    """Host-side inverse of :func:`pack_detect_window` (numpy in)."""
+
+    packed = np.asarray(packed)
+    max_idx = np.ascontiguousarray(
+        packed[2].astype(np.float32)
+    ).view(np.int32)
+    return packed[0], packed[1], max_idx
 
 
 def fused_onsets(

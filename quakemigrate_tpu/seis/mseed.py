@@ -155,12 +155,49 @@ def _decode_record(buf, offset, hdr):
     raise MSEEDError(f"Unsupported miniSEED encoding: {enc}")
 
 
+# Per-file record index: (mtime_ns, size) -> int64 arrays of the data
+# records' byte offsets and time spans. A detect run reads consecutive
+# windows from the same day files, so after the first read only the
+# records inside each window need their headers parsed (files can hold
+# tens of thousands of records; the header walk dominates repeat reads).
+_INDEX_CACHE = {}
+_INDEX_CACHE_MAX = 128
+
+
+def _file_index(path):
+    import os
+
+    st = os.stat(path)
+    key = str(path)
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and cached[0] == (st.st_mtime_ns, st.st_size):
+        return cached[1]
+    return None
+
+
+def _store_index(path, offsets, starts, ends):
+    import os
+
+    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    st = os.stat(path)
+    _INDEX_CACHE[str(path)] = (
+        (st.st_mtime_ns, st.st_size),
+        (
+            np.asarray(offsets, dtype=np.int64),
+            np.asarray(starts, dtype=np.int64),
+            np.asarray(ends, dtype=np.int64),
+        ),
+    )
+
+
 def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
     """
     Read a miniSEED file into a Stream. Records are grouped by SEED id and
     joined into continuous traces; gaps/overlaps start new traces. If a time
     window is given, record decoding is skipped entirely for records outside
-    the window.
+    the window, and a per-file record index (built on the first read) lets
+    repeat reads of the same file skip the header walk too.
 
     """
 
@@ -170,6 +207,14 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
     start_ns = None if starttime is None else UTCDateTime(starttime).ns
     end_ns = None if endtime is None else UTCDateTime(endtime).ns
 
+    index = _file_index(path)
+    if index is not None:
+        return _read_indexed(
+            path, buf, index, start_ns, end_ns, starttime, endtime,
+            nearest_sample,
+        )
+
+    idx_offsets, idx_starts, idx_ends = [], [], []
     segments = {}  # seed id -> list of segment dicts (integer-ns times)
     offset = 0
     while offset + 48 <= len(buf):
@@ -189,6 +234,9 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
             sr = hdr["sampling_rate"]
             rec_start_ns = hdr["starttime_ns"]
             rec_end_ns = rec_start_ns + round((hdr["npts"] - 1) / sr * _NS)
+            idx_offsets.append(offset)
+            idx_starts.append(rec_start_ns)
+            idx_ends.append(rec_end_ns)
             skip = (start_ns is not None and rec_end_ns < start_ns) or (
                 end_ns is not None and rec_start_ns > end_ns
             )
@@ -234,6 +282,63 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
                         )
         offset += reclen
 
+    _store_index(path, idx_offsets, idx_starts, idx_ends)
+    return _segments_to_stream(segments, starttime, endtime, nearest_sample)
+
+
+def _read_indexed(
+    path, buf, index, start_ns, end_ns, starttime, endtime, nearest_sample
+):
+    """Read only the in-window records using a cached file index."""
+
+    offsets, starts, ends = index
+    mask = np.ones(offsets.shape, dtype=bool)
+    if start_ns is not None:
+        mask &= ends >= start_ns
+    if end_ns is not None:
+        mask &= starts <= end_ns
+
+    segments = {}
+    for offset in offsets[mask]:
+        offset = int(offset)
+        try:
+            hdr = _read_record_header(buf, offset)
+        except (MSEEDError, struct.error):
+            continue
+        sr = hdr["sampling_rate"]
+        rec_start_ns = hdr["starttime_ns"]
+        try:
+            data = _decode_record(buf, offset, hdr)
+        except (MSEEDError, ValueError) as exc:
+            logging.info(
+                f"Skipping unreadable miniSEED record at offset "
+                f"{offset} in {path}: {exc}"
+            )
+            continue
+        key = (hdr["network"], hdr["station"], hdr["location"],
+               hdr["channel"])
+        seglist = segments.setdefault(key, [])
+        tol_ns = round(0.5 / sr * _NS)
+        if seglist:
+            last = seglist[-1]
+            expected_ns = last["start_ns"] + round(last["n"] / sr * _NS)
+            if (
+                abs(rec_start_ns - expected_ns) < tol_ns
+                and last["sr"] == sr
+                and last["chunks"][-1].dtype == data.dtype
+            ):
+                last["chunks"].append(data)
+                last["n"] += len(data)
+                continue
+        seglist.append(
+            {"start_ns": rec_start_ns, "sr": sr, "chunks": [data],
+             "n": len(data)}
+        )
+
+    return _segments_to_stream(segments, starttime, endtime, nearest_sample)
+
+
+def _segments_to_stream(segments, starttime, endtime, nearest_sample):
     stream = Stream()
     for (net, sta, loc, cha), seglist in sorted(segments.items()):
         for seg in seglist:

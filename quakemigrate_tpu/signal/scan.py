@@ -444,6 +444,11 @@ class QuakeScan:
             # batch's archive reads and host-side onset preprocessing.
             if prepared:
                 results = self._run_detect_batch(prepared)
+                for r in results.values():
+                    # Start the device->host copy now; the drain one batch
+                    # later then finds the data already local
+                    if hasattr(r, "copy_to_host_async"):
+                        r.copy_to_host_async()
                 pending.append((prepared, results))
             if len(pending) > 1 or batch_start + batch_size >= n_steps:
                 while pending:
@@ -464,11 +469,18 @@ class QuakeScan:
                               prepared, results):
         """Fetch one batch's device results and write them out, in order."""
 
+        from quakemigrate_tpu.ops.scan_window import unpack_detect_window
+
         for i in sorted(prepared):
             step_label = str(starttime + self.timestep * i)
             data, onset_data = prepared[i]["data"], prepared[i]["onset_data"]
-            max_coa, max_coa_n, max_idx = results[i]
-            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
+            if isinstance(results[i], tuple):  # batched path: three arrays
+                max_coa, max_coa_n, max_idx = (
+                    np.asarray(a) for a in results[i]
+                )
+            else:  # per-window dispatch: one packed fetch per window
+                max_coa, max_coa_n, max_idx = unpack_detect_window(results[i])
+            coord = self.lut.index2coord(max_idx, unravel=True)
             coalescence.append(
                 data.starttime + self.pre_pad,
                 np.asarray(max_coa, dtype=np.float64),
@@ -650,6 +662,8 @@ class QuakeScan:
         fsmp = util.time2sample(self.pre_pad, self.scan_rate)
         lsmp = util.time2sample(self.post_pad, self.scan_rate)
 
+        from quakemigrate_tpu.ops.scan_window import pack_detect_window
+
         if "fused" in sample:
             from quakemigrate_tpu.ops.scan_window import detect_window_fused
 
@@ -673,12 +687,12 @@ class QuakeScan:
                         prepared[i]["fused"]
                     )
                     if self.mesh is not None:
-                        results[i] = self._sharded_detect_fused(
+                        out = self._sharded_detect_fused(
                             channels, chan_mask, slot_mask, nsta, nlta,
                             self._device_tt,
                         )
                     else:
-                        results[i] = detect_window_fused(
+                        out = detect_window_fused(
                             channels, chan_mask, slot_mask, nsta, nlta,
                             self._device_tt,
                             self.onset.position,
@@ -687,6 +701,7 @@ class QuakeScan:
                             fsmp, nsamples,
                             n_nodes_real=self._n_nodes, tile=self.tile,
                         )
+                    results[i] = pack_detect_window(*out)
             return results
 
         nsamples = sample["block"].shape[-1] - fsmp - lsmp
@@ -697,9 +712,9 @@ class QuakeScan:
             with jax.profiler.TraceAnnotation("qm_migrate_detect"):
                 for i in keys:
                     p = prepared[i]
-                    results[i] = self._run_detect_kernel(
+                    results[i] = pack_detect_window(*self._run_detect_kernel(
                         p["block"], p["mask"], p["available"], fsmp, nsamples
-                    )
+                    ))
             return results
 
         # Pad to the fixed batch size with inert windows (mask 0)
