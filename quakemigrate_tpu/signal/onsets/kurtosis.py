@@ -104,6 +104,12 @@ class KurtosisOnset(Onset):
                 data.endtime,
             )
 
+            # Availability-filter per station, then batch the WHOLE phase's
+            # channel rows into ONE device call (a per-station call would
+            # pay a dispatch round-trip each)
+            kept = {}
+            rows = []
+            station_slices = {}
             for station in data.stations:
                 waveforms = filtered_phase_waveforms.select(station=station)
 
@@ -127,11 +133,23 @@ class KurtosisOnset(Onset):
                         for tr in list(waveforms.select(id=key)):
                             waveforms.remove(tr)
 
+                kept[station] = waveforms
+                lo = len(rows)
+                rows.extend(
+                    np.asarray(tr.data, dtype=np.float64) for tr in waveforms
+                )
+                station_slices[station] = slice(lo, len(rows))
+
+            if not rows:
+                continue
+
+            cf_rows = np.array(kurtosis_onset(np.stack(rows), nkurt, nsmooth))
+            for station, sl in station_slices.items():
                 onsets_dict.setdefault(station, {}).update(
-                    {phase: self._onset(waveforms, nkurt, nsmooth, timespan)}
+                    {phase: self._combine(cf_rows[sl], nkurt, timespan)}
                 )
                 onsets.append(onsets_dict[station][phase])
-                filtered_waveforms += waveforms
+                filtered_waveforms += kept[station]
 
         if sum(availability.values()) == 0:
             raise util.DataAvailabilityException
@@ -150,12 +168,10 @@ class KurtosisOnset(Onset):
 
         return onsets, onset_data
 
-    def _onset(self, stream, nkurt, nsmooth, timespan):
-        traces = np.stack(
-            [np.asarray(tr.data, dtype=np.float64) for tr in stream]
-        )
-        onsets = np.array(kurtosis_onset(traces, nkurt, nsmooth))
+    def _combine(self, onsets, nkurt, timespan):
+        """RMS-combine one station's characteristic-function rows."""
 
+        onsets = onsets.copy()
         if timespan:
             pre_pad, _ = self.pad(timespan)
             taper_pad = util.time2sample(
