@@ -97,14 +97,21 @@ def pack_detect_window(max_coa, max_norm_coa, max_idx):
     Pack a detect window's three per-sample outputs into ONE [3, S] array
     so the host pays a single fetch round-trip per window instead of
     three (each fetch costs a full RTT on remote-device relays). The
-    int32 indices are bitcast into float bits -- lossless, unlike a value
-    cast, which would corrupt indices above 2^24 on large grids.
+    indices are bitcast into SAME-WIDTH float bits: a value cast would
+    corrupt indices above 2^24, and a float-width *conversion* of the
+    bitcast result flushes subnormal bit patterns (all indices < 2^23)
+    to zero -- the bits must only ever be copied, never converted.
 
     """
 
-    idx_f = jax.lax.bitcast_convert_type(
-        max_idx.astype(jnp.int32), jnp.float32
-    ).astype(max_coa.dtype)
+    if max_coa.dtype == jnp.float64:
+        idx_f = jax.lax.bitcast_convert_type(
+            max_idx.astype(jnp.int64), jnp.float64
+        )
+    else:
+        idx_f = jax.lax.bitcast_convert_type(
+            max_idx.astype(jnp.int32), jnp.float32
+        )
     return jnp.stack([max_coa, max_norm_coa, idx_f])
 
 
@@ -112,10 +119,9 @@ def unpack_detect_window(packed):
     """Host-side inverse of :func:`pack_detect_window` (numpy in)."""
 
     packed = np.asarray(packed)
-    max_idx = np.ascontiguousarray(
-        packed[2].astype(np.float32)
-    ).view(np.int32)
-    return packed[0], packed[1], max_idx
+    int_dtype = np.int64 if packed.dtype == np.float64 else np.int32
+    max_idx = np.ascontiguousarray(packed[2]).view(int_dtype)
+    return packed[0], packed[1], max_idx.astype(np.int32, copy=False)
 
 
 def fused_onsets(

@@ -236,3 +236,27 @@ def test_dynamic_stalta_mixed_windows_oracle():
                 ours[r], ref, rtol=1e-9, atol=1e-12,
                 err_msg=f"{position} row {r}",
             )
+
+
+def test_pack_detect_window_roundtrip_large_indices():
+    """Bitcast packing must be lossless for indices beyond 2^24 (where a
+    value cast to float32 would corrupt node indices on large grids)."""
+
+    from quakemigrate_tpu.ops.scan_window import (
+        pack_detect_window,
+        unpack_detect_window,
+    )
+
+    rng = np.random.default_rng(9)
+    for dtype in (np.float32, np.float64):
+        mx = rng.gamma(2.0, 1.5, 64).astype(dtype)
+        norm = rng.gamma(2.0, 1.5, 64).astype(dtype)
+        idx = np.concatenate([
+            np.array([0, 1, 2**24 + 1, 2**30 - 3, 10**9], dtype=np.int32),
+            rng.integers(0, 2**30, 59).astype(np.int32),
+        ])[:64]
+        packed = pack_detect_window(mx, norm, idx)
+        mx2, norm2, idx2 = unpack_detect_window(packed)
+        np.testing.assert_array_equal(np.asarray(mx2, dtype=dtype), mx)
+        np.testing.assert_array_equal(np.asarray(norm2, dtype=dtype), norm)
+        np.testing.assert_array_equal(idx2, idx)
