@@ -6,7 +6,7 @@ The reference advertises kurtosis onsets as an extension point but ships
 only STA/LTA (QuakeMigrate README.md:46); this module provides a working
 implementation in the style of Baillard et al. (2014, BSSA): a trailing-
 window kurtosis characteristic function, rectified to its positive
-gradient and normalised so the output is a positive function with baseline
+gradient and shifted so the output is a positive function with baseline
 1 -- directly compatible with the geometric-mean coalescence stack.
 
 All moments come from cumulative sums, so the computation is vectorised
@@ -65,8 +65,9 @@ def rolling_kurtosis(signal, nkurt):
 def kurtosis_onset(signal, nkurt, nsmooth=1):
     """
     Kurtosis characteristic function: positive gradient of the rolling
-    kurtosis (optionally smoothed over ``nsmooth`` samples), normalised by
-    its own scaled median absolute deviation and shifted to baseline 1.
+    kurtosis (optionally smoothed over ``nsmooth`` samples), shifted to
+    baseline 1. Kurtosis is dimensionless, so the CF is scale-free across
+    stations without further normalisation.
 
     Returns a positive array with baseline ~1 and sharp peaks at impulsive
     arrivals, suitable for geometric-mean coalescence stacking.
@@ -83,9 +84,57 @@ def kurtosis_onset(signal, nkurt, nsmooth=1):
             jnp.atleast_2d(cf)
         ).reshape(cf.shape)
 
-    # Robust scale from the non-zero CF values (MAD about zero)
-    med = jnp.median(jnp.where(cf > 0, cf, jnp.nan), axis=-1, keepdims=True)
-    med = jnp.nan_to_num(med, nan=1.0)
-    scale = jnp.maximum(med, jnp.finfo(cf.dtype).tiny)
+    # Kurtosis is dimensionless (m4 / m2^2), so its gradient needs no
+    # amplitude normalisation: baseline-1 plus the rectified gradient is
+    # already scale-free across stations
+    return 1.0 + cf
 
-    return 1.0 + cf / scale
+
+def kurtosis_cf_rows(signal, nkurt_rows, nsmooth):
+    """
+    Traceable batched kurtosis characteristic function with a PER-ROW
+    window length (rows may belong to different phases), for the fused
+    detect window. Semantics match :func:`kurtosis_onset` row-wise.
+
+    """
+
+    signal = jnp.asarray(signal)
+    t = signal.shape[-1]
+    idx = jnp.arange(t)
+    n_col = nkurt_rows[:, None].astype(signal.dtype)
+
+    def window_sum(p):
+        c = jnp.cumsum(p, axis=-1)
+        padded = jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (1,), c.dtype), c], axis=-1
+        )
+        hi = padded[..., idx + 1]
+        lo_idx = jnp.maximum(idx[None, :] + 1 - nkurt_rows[:, None], 0)
+        return hi - jnp.take_along_axis(padded, lo_idx, axis=-1)
+
+    s1 = window_sum(signal)
+    s2 = window_sum(signal**2)
+    s3 = window_sum(signal**3)
+    s4 = window_sum(signal**4)
+
+    mean = s1 / n_col
+    m2 = s2 / n_col - mean**2
+    m4 = (
+        s4 / n_col
+        - 4 * mean * (s3 / n_col)
+        + 6 * mean**2 * (s2 / n_col)
+        - 3 * mean**4
+    )
+    tiny = jnp.finfo(signal.dtype).tiny
+    kurt = m4 / jnp.maximum(m2**2, tiny) - 3.0
+    valid = idx[None, :] >= (nkurt_rows[:, None] - 1)
+    kurt = jnp.where(valid, kurt, 0.0)
+
+    grad = jnp.diff(kurt, axis=-1, prepend=kurt[..., :1])
+    cf = jnp.maximum(grad, 0.0)
+
+    if nsmooth > 1:
+        kernel = jnp.ones(nsmooth, dtype=cf.dtype) / nsmooth
+        cf = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="same"))(cf)
+
+    return 1.0 + cf

@@ -170,6 +170,58 @@ def fused_onsets(
 @partial(
     jax.jit,
     static_argnames=(
+        "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
+        "n_nodes_real", "tile",
+    ),
+)
+def detect_window_fused_kurtosis(
+    channels, chan_mask, slot_mask, nkurt, traveltimes,
+    nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
+    n_nodes_real=None, tile=4096,
+):
+    """
+    Fully-fused detect window for the kurtosis onset: per-row kurtosis
+    characteristic function (per-slot window lengths) -> taper-edge
+    neutralisation -> RMS channel combine -> clip -> migrate -> reduce,
+    as one device call. Matches KurtosisOnset._combine + migrate_detect.
+
+    """
+
+    from .kurtosis import kurtosis_cf_rows
+
+    n_slots, c_max, t = channels.shape
+    rows = channels.reshape(n_slots * c_max, t)
+    nkurt_rows = jnp.repeat(nkurt, c_max)
+
+    cf = kurtosis_cf_rows(rows, nkurt_rows, nsmooth)
+
+    # Neutralise the tapered edges (KurtosisOnset._combine sets the
+    # first taper_pad + nkurt - 1 and last taper_pad samples to the
+    # baseline 1.0)
+    idx = jnp.arange(t)
+    lo = (taper_pad + nkurt_rows - 1)[:, None]
+    edge = (idx[None, :] < lo) | (idx[None, :] >= t - max(taper_pad, 1))
+    cf = jnp.where(edge, 1.0, cf)
+
+    onsets_c = cf.reshape(n_slots, c_max, t)
+    weights = chan_mask[..., None]
+    n_live = jnp.maximum(chan_mask.sum(axis=1), 1.0)[:, None]
+    combined = jnp.sqrt((onsets_c**2 * weights).sum(axis=1) / n_live)
+    combined = jnp.clip(combined, min_onset_value, None)
+    combined = jnp.where(slot_mask[:, None] == 1.0, combined, 1.0)
+
+    available = slot_mask.sum()
+    n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
+    max_coa, max_idx, coa_sum = detect_reduce(
+        combined, traveltimes, slot_mask, available, fsmp, nsamples,
+        n_real, tile,
+    )
+    return max_coa, max_coa * n_real / coa_sum, max_idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "position", "transform", "min_onset_value", "fsmp", "nsamples",
         "n_nodes_real", "tile",
     ),

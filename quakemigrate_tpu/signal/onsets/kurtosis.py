@@ -168,6 +168,95 @@ class KurtosisOnset(Onset):
 
         return onsets, onset_data
 
+    def prepare_device_inputs(self, data, slots, c_max=None, dtype=None):
+        """
+        Build the fixed-shape channel block for the fully-fused kurtosis
+        detect program (ops.scan_window.detect_window_fused_kurtosis).
+        Returns (channels [n_slots, C_max, T], chan_mask, slot_mask,
+        nkurt, availability dict).
+
+        """
+
+        if c_max is None:
+            c_max = max(3, max(self.channel_counts.values()))
+        dtype = np.float32 if dtype is None else dtype
+
+        t_len = util.time2sample(
+            data.endtime - data.starttime, self.sampling_rate
+        ) + 1
+
+        n_slots = len(slots)
+        channels = np.zeros((n_slots, c_max, t_len), dtype=dtype)
+        chan_mask = np.zeros((n_slots, c_max), dtype=dtype)
+        slot_mask = np.zeros(n_slots, dtype=dtype)
+        nkurt = np.full(n_slots, 2, dtype=np.int32)
+        availability = {}
+
+        kept_by_phase = {}
+        nkurt_by_phase = {}
+        for phase in self.phases:
+            nkurt_by_phase[phase] = util.time2sample(
+                self.kurtosis_windows[phase], self.sampling_rate
+            ) + 1
+            filtered = pre_process(
+                data.waveforms.select(channel=self.channel_maps[phase]),
+                self.sampling_rate,
+                data.resample,
+                data.upfactor,
+                self.bandpass_filters[phase],
+                data.starttime,
+                data.endtime,
+            )
+            kept = {}
+            for station in data.stations:
+                waveforms = filtered.select(station=station)
+                available, av_dict = data.check_availability(
+                    waveforms,
+                    all_channels=self.all_channels,
+                    n_channels=self.channel_counts[phase],
+                    allow_gaps=self.allow_gaps,
+                    full_timespan=self.full_timespan,
+                    check_sampling_rate=True,
+                    sampling_rate=self.sampling_rate,
+                )
+                availability[f"{station}_{phase}"] = available
+                if available == 0:
+                    logging.info(f"\t\tNo {phase} onset for {station}.")
+                    continue
+                for key, chan_available in av_dict.items():
+                    if chan_available == 0:
+                        for tr in list(waveforms.select(id=key)):
+                            waveforms.remove(tr)
+                kept[station] = waveforms
+            kept_by_phase[phase] = kept
+
+        for s, (phase, station) in enumerate(slots):
+            nkurt[s] = nkurt_by_phase[phase]
+            waveforms = kept_by_phase[phase].get(station)
+            if waveforms is None:
+                continue
+            traces = list(waveforms)[:c_max]
+            for c, tr in enumerate(traces):
+                row = np.asarray(tr.data, dtype=dtype)
+                channels[s, c, : len(row)] = row[:t_len]
+                chan_mask[s, c] = 1.0
+            slot_mask[s] = 1.0
+
+        return channels, chan_mask, slot_mask, nkurt, availability
+
+    def fused_static_args(self, timespan):
+        """Static args for detect_window_fused_kurtosis: (nsmooth,
+        taper_pad, min_onset_value)."""
+
+        nsmooth = max(
+            1, util.time2sample(self.smoothing_window, self.sampling_rate)
+        )
+        pre_pad, _ = self.pad(timespan)
+        taper_pad = util.time2sample(
+            pre_pad - self.pre_pad, self.sampling_rate
+        )
+        return nsmooth, taper_pad, float(self.min_onset_value)
+
     def _combine(self, onsets, nkurt, timespan):
         """RMS-combine one station's characteristic-function rows."""
 

@@ -306,8 +306,8 @@ class QuakeScan:
             )
         elif self.fused_detect:
             logging.info(
-                "\tDevice program: standard migrate (fused window requires "
-                "an STALTAOnset)\n"
+                "\tDevice program: standard migrate (the fused window "
+                "covers STALTAOnset, and KurtosisOnset on one device)\n"
             )
         logging.info(util.log_spacer)
 
@@ -601,9 +601,15 @@ class QuakeScan:
 
     @property
     def _fused_active(self):
-        from .onsets import STALTAOnset
+        from .onsets import KurtosisOnset, STALTAOnset
 
-        return self.fused_detect and type(self.onset) is STALTAOnset
+        if not self.fused_detect:
+            return False
+        if type(self.onset) is STALTAOnset:
+            return True
+        # Kurtosis fused path is single-device (mesh runs use the
+        # standard sharded migrate with batched host onsets)
+        return type(self.onset) is KurtosisOnset and self.mesh is None
 
     def _prepare_window(self, data):
         """Host-side stage of one detect window: onsets + device inputs."""
@@ -616,22 +622,30 @@ class QuakeScan:
             self._build_device_state()
 
         if self._fused_active:
+            from .onsets import STALTAOnset
+
             slots = self._canonical_slots()
             with jax.profiler.TraceAnnotation("qm_prepare_channels"):
-                (channels, chan_mask, slot_mask, nsta, nlta,
-                 availability) = self.onset.prepare_device_inputs(
-                    data, slots, dtype=self._dtype
+                *device_inputs, availability = (
+                    self.onset.prepare_device_inputs(
+                        data, slots, dtype=self._dtype
+                    )
                 )
+            slot_mask = device_inputs[2]
             if slot_mask.sum() == 0:
                 raise util.DataAvailabilityException
             onset_data = OnsetData(
                 None, self.onset.phases, self.onset.channel_maps, None,
                 availability, data.starttime, data.endtime, self.scan_rate,
             )
+            kind = (
+                "stalta" if type(self.onset) is STALTAOnset else "kurtosis"
+            )
             return {
                 "data": data,
                 "onset_data": onset_data,
-                "fused": (channels, chan_mask, slot_mask, nsta, nlta),
+                "fused": tuple(device_inputs),
+                "fused_kind": kind,
             }
 
         with jax.profiler.TraceAnnotation("qm_onsets"):
@@ -665,11 +679,19 @@ class QuakeScan:
         from quakemigrate_tpu.ops.scan_window import pack_detect_window
 
         if "fused" in sample:
-            from quakemigrate_tpu.ops.scan_window import detect_window_fused
+            from quakemigrate_tpu.ops.scan_window import (
+                detect_window_fused,
+                detect_window_fused_kurtosis,
+            )
 
             nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
+            kind = sample["fused_kind"]
 
-            if self.mesh is not None and self._sharded_detect_fused is None:
+            if (
+                kind == "stalta"
+                and self.mesh is not None
+                and self._sharded_detect_fused is None
+            ):
                 from quakemigrate_tpu.parallel import make_sharded_detect_fused
 
                 self._sharded_detect_fused = make_sharded_detect_fused(
@@ -683,15 +705,31 @@ class QuakeScan:
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
                 for i in keys:
-                    channels, chan_mask, slot_mask, nsta, nlta = (
-                        prepared[i]["fused"]
-                    )
-                    if self.mesh is not None:
+                    if kind == "kurtosis":
+                        channels, chan_mask, slot_mask, nkurt = (
+                            prepared[i]["fused"]
+                        )
+                        nsmooth, taper_pad, min_onset = (
+                            self.onset.fused_static_args(self.timestep)
+                        )
+                        out = detect_window_fused_kurtosis(
+                            channels, chan_mask, slot_mask, nkurt,
+                            self._device_tt, nsmooth, taper_pad, min_onset,
+                            fsmp, nsamples,
+                            n_nodes_real=self._n_nodes, tile=self.tile,
+                        )
+                    elif self.mesh is not None:
+                        channels, chan_mask, slot_mask, nsta, nlta = (
+                            prepared[i]["fused"]
+                        )
                         out = self._sharded_detect_fused(
                             channels, chan_mask, slot_mask, nsta, nlta,
                             self._device_tt,
                         )
                     else:
+                        channels, chan_mask, slot_mask, nsta, nlta = (
+                            prepared[i]["fused"]
+                        )
                         out = detect_window_fused(
                             channels, chan_mask, slot_mask, nsta, nlta,
                             self._device_tt,

@@ -121,3 +121,78 @@ def test_decimated_grid_detect(setup):
     peak = int(np.argmax(coa.data))
     assert abs(x.data[peak] / 1e6 - SOURCE[0]) < 0.03
     assert abs(y.data[peak] / 1e6 - SOURCE[1]) < 0.03
+
+
+def test_fused_kurtosis_matches_standard(tmp_path):
+    """Fused kurtosis window == standard (host-onset) kurtosis detect."""
+
+    import numpy as np
+    import pandas as pd
+
+    from quakemigrate_tpu import QuakeScan, compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.seis import read
+    from quakemigrate_tpu.signal.onsets import KurtosisOnset
+    from quakemigrate_tpu.synthetics import (
+        GaussianDerivativeWavelet,
+        simulate_waveforms,
+    )
+
+    sps = 100
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    grid_spec = dict(
+        ll_corner=[-0.06, -0.06, 0.0], ur_corner=[0.06, 0.06, 20.0],
+        node_spacing=[2.0, 2.0, 2.0], grid_proj=gproj,
+        coord_proj=Proj(proj="longlat"),
+    )
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    stations = pd.DataFrame(
+        {"Name": [f"ST{i:02d}" for i in range(8)],
+         "Longitude": 0.045 * np.cos(angles),
+         "Latitude": 0.045 * np.sin(angles),
+         "Elevation": np.zeros(8)}
+    )
+    lut = compute_traveltimes(
+        grid_spec, stations, method="homogeneous", phases=["P", "S"],
+        vp=5.0, vs=3.0,
+    )
+    wavelet = GaussianDerivativeWavelet(4.0, sps, 30.0)
+    stream = simulate_waveforms(
+        wavelet, [0.0, 0.0, 12.0], lut, magnitude=2.0,
+        rng=np.random.default_rng(7),
+    )
+    day_dir = tmp_path / "mSEED" / "2021" / "049"
+    day_dir.mkdir(parents=True)
+    for tr in stream:
+        tr.write(str(day_dir / f"{tr.stats.station}_{tr.stats.channel[-1]}.m"),
+                 format="MSEED")
+    archive = Archive(
+        archive_path=tmp_path / "mSEED", stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+
+    def run(name, fused):
+        onset = KurtosisOnset(sampling_rate=sps)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
+            fused_detect=fused, precision="double",
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            tmp_path / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    standard = run("kstd", False)
+    fused = run("kfused", True)
+    st_s, st_f = read(str(standard)), read(str(fused))
+    for ch in ("COA", "COA_N", "X", "Y", "Z"):
+        np.testing.assert_array_equal(
+            st_s.select(station=ch)[0].data,
+            st_f.select(station=ch)[0].data,
+            err_msg=ch,
+        )
