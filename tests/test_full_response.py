@@ -469,3 +469,41 @@ def test_resp_directory_and_concatenation(tmp_path):
     ))
     inv2 = read_response_inv(str(concat))
     assert sorted(inv2.responses) == ["XX.FIR1..HHE", "XX.FIR1..HHZ"]
+
+
+def test_resp_hz_transfer_type(tmp_path):
+    """RESP 'B' (analog, Hz) poles/zeros convert to rad/s like the
+    StationXML HERTZ convention."""
+
+    from quakemigrate_tpu.seis.resp import read_resp
+
+    hz_resp = """B050F03     Station:     HZ01
+B050F16     Network:     XX
+B052F03     Location:    ??
+B052F04     Channel:     HHZ
+B053F03     Transfer function type:                B [Analog (Hz)]
+B053F04     Stage sequence number:                 1
+B053F05     Response in units lookup:              M/S - Velocity
+B053F07     A0 normalization factor:               2.0
+B053F09     Number of zeroes:                      1
+B053F14     Number of poles:                       2
+B053F10-13     0  0.000000E+00  0.000000E+00  0.0  0.0
+B053F15-18     0 -7.000000E-02  7.000000E-02  0.0  0.0
+B053F15-18     1 -7.000000E-02 -7.000000E-02  0.0  0.0
+B058F03     Stage sequence number:                 0
+B058F04     Sensitivity:                           5.000000E+08
+"""
+    f = tmp_path / "RESP.XX.HZ01..HHZ"
+    f.write_text(hz_resp)
+    r = read_resp(str(f)).get_response("XX.HZ01..HHZ")
+
+    two_pi = 2 * np.pi
+    np.testing.assert_allclose(
+        sorted(r.poles, key=lambda p: p.imag),
+        sorted([complex(-0.07, 0.07) * two_pi,
+                complex(-0.07, -0.07) * two_pi], key=lambda p: p.imag),
+    )
+    assert r.zeros == [0j]
+    # A0 scales by (2*pi)^(n_poles - n_zeros)
+    np.testing.assert_allclose(r.normalization_factor, 2.0 * two_pi)
+    assert r.sensitivity == 5.0e8
