@@ -58,6 +58,9 @@ def _sta_lta_dynamic(signal, nsta, nlta, position):
 
     """
 
+    if position not in ("classic", "centred"):
+        raise ValueError(f"Unknown STA/LTA position: {position}")
+
     t = signal.shape[-1]
     idx = jnp.arange(t)
     tiny = jnp.finfo(signal.dtype).tiny
