@@ -228,3 +228,31 @@ def test_sharded_fused_op_matches_single_device_op():
     np.testing.assert_allclose(
         np.asarray(ref[1]), np.asarray(out[1]), rtol=2e-6
     )
+
+
+def test_fused_env_squared_matches_standard(setup):
+    """The fused window's envelope transform path (as used by the VT
+    example) matches the standard host-onset path."""
+
+    root, archive, lut = setup
+
+    def run(name, fused):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS,
+                            signal_transform="env_squared")
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
+            fused_detect=fused, precision="double",
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    unfused = run("env_unfused", False)
+    fused = run("env_fused", True)
+    assert unfused.read_bytes() == fused.read_bytes()
