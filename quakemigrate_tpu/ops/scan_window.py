@@ -170,23 +170,16 @@ def fused_onsets(
     return combined, slot_mask.sum()
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
-        "n_nodes_real", "tile",
-    ),
-)
-def detect_window_fused_kurtosis(
-    channels, chan_mask, slot_mask, nkurt, traveltimes,
-    nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
-    n_nodes_real=None, tile=4096,
+def fused_kurtosis_onsets(
+    channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
+    min_onset_value,
 ):
     """
-    Fully-fused detect window for the kurtosis onset: per-row kurtosis
-    characteristic function (per-slot window lengths) -> taper-edge
-    neutralisation -> RMS channel combine -> clip -> migrate -> reduce,
-    as one device call. Matches KurtosisOnset._combine + migrate_detect.
+    Device-side onset front-end for the fused kurtosis window: per-row
+    kurtosis characteristic function (per-slot window lengths) ->
+    taper-edge neutralisation -> RMS channel combine -> clip. Returns
+    (combined [n_slots, T], available). Traceable, so it composes under
+    shard_map.
 
     """
 
@@ -213,7 +206,31 @@ def detect_window_fused_kurtosis(
     combined = jnp.clip(combined, min_onset_value, None)
     combined = jnp.where(slot_mask[:, None] == 1.0, combined, 1.0)
 
-    available = slot_mask.sum()
+    return combined, slot_mask.sum()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
+        "n_nodes_real", "tile",
+    ),
+)
+def detect_window_fused_kurtosis(
+    channels, chan_mask, slot_mask, nkurt, traveltimes,
+    nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
+    n_nodes_real=None, tile=4096,
+):
+    """
+    Fully-fused detect window for the kurtosis onset, as one device call.
+    Matches KurtosisOnset._combine + migrate_detect.
+
+    """
+
+    combined, available = fused_kurtosis_onsets(
+        channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
+        min_onset_value,
+    )
     n_real = traveltimes.shape[0] if n_nodes_real is None else n_nodes_real
     max_coa, max_idx, coa_sum = detect_reduce(
         combined, traveltimes, slot_mask, available, fsmp, nsamples,

@@ -153,23 +153,72 @@ def make_sharded_detect_fused(
             channels, chan_mask, slot_mask, nsta, nlta,
             position, transform, min_onset_value,
         )
-        shard = jax.lax.axis_index(grid_axis)
-        offset = shard * tt_local.shape[0]
-        mx, idx, sm = detect_reduce(
-            combined, tt_local, slot_mask, available, fsmp, nsamples,
-            n_nodes_real, tile=tile, node_offset=offset,
+        return _local_reduce_combine(
+            combined, slot_mask, available, tt_local, fsmp, nsamples,
+            n_nodes_real, tile, grid_axis,
         )
-        gmax = jax.lax.pmax(mx, grid_axis)
-        gsum = jax.lax.psum(sm, grid_axis)
-        big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
-        cand = jnp.where(mx == gmax, idx, big)
-        gidx = jax.lax.pmin(cand, grid_axis)
-        return gmax, gmax * n_nodes_real / gsum, gidx
 
     sharded = shard_map(
         _fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(grid_axis, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _local_reduce_combine(
+    combined, slot_mask, available, tt_local, fsmp, nsamples, n_nodes_real,
+    tile, grid_axis,
+):
+    """Per-shard fused reduce + ICI collective combine (shared by the
+    STA/LTA and kurtosis sharded windows)."""
+
+    shard = jax.lax.axis_index(grid_axis)
+    offset = shard * tt_local.shape[0]
+    mx, idx, sm = detect_reduce(
+        combined, tt_local, slot_mask, available, fsmp, nsamples,
+        n_nodes_real, tile=tile, node_offset=offset,
+    )
+    gmax = jax.lax.pmax(mx, grid_axis)
+    gsum = jax.lax.psum(sm, grid_axis)
+    big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
+    cand = jnp.where(mx == gmax, idx, big)
+    gidx = jax.lax.pmin(cand, grid_axis)
+    return gmax, gmax * n_nodes_real / gsum, gidx
+
+
+def make_sharded_detect_fused_kurtosis(
+    mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
+    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",
+):
+    """
+    Mesh-sharded version of
+    :func:`ops.scan_window.detect_window_fused_kurtosis`: the whole
+    kurtosis detect window as one jitted program over the device mesh
+    (onset front-end replicated per device, migration sharded).
+    Signature:
+    ``f(channels, chan_mask, slot_mask, nkurt, traveltimes_padded)``.
+
+    """
+
+    from quakemigrate_tpu.ops.scan_window import fused_kurtosis_onsets
+
+    def _fn(channels, chan_mask, slot_mask, nkurt, tt_local):
+        combined, available = fused_kurtosis_onsets(
+            channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
+            min_onset_value,
+        )
+        return _local_reduce_combine(
+            combined, slot_mask, available, tt_local, fsmp, nsamples,
+            n_nodes_real, tile, grid_axis,
+        )
+
+    sharded = shard_map(
+        _fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(grid_axis, None)),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -307,7 +307,7 @@ class QuakeScan:
         elif self.fused_detect:
             logging.info(
                 "\tDevice program: standard migrate (the fused window "
-                "covers STALTAOnset, and KurtosisOnset on one device)\n"
+                "covers the STALTA and kurtosis onsets)\n"
             )
         logging.info(util.log_spacer)
 
@@ -603,13 +603,9 @@ class QuakeScan:
     def _fused_active(self):
         from .onsets import KurtosisOnset, STALTAOnset
 
-        if not self.fused_detect:
-            return False
-        if type(self.onset) is STALTAOnset:
-            return True
-        # Kurtosis fused path is single-device (mesh runs use the
-        # standard sharded migrate with batched host onsets)
-        return type(self.onset) is KurtosisOnset and self.mesh is None
+        return self.fused_detect and type(self.onset) in (
+            STALTAOnset, KurtosisOnset,
+        )
 
     def _prepare_window(self, data):
         """Host-side stage of one detect window: onsets + device inputs."""
@@ -687,25 +683,39 @@ class QuakeScan:
             nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
             kind = sample["fused_kind"]
 
-            if (
-                kind == "stalta"
-                and self.mesh is not None
-                and self._sharded_detect_fused is None
-            ):
-                from quakemigrate_tpu.parallel import make_sharded_detect_fused
-
-                self._sharded_detect_fused = make_sharded_detect_fused(
-                    self.mesh,
-                    self.onset.position,
-                    self.onset.signal_transform,
-                    float(self.onset.min_onset_value),
-                    fsmp, nsamples, self._n_nodes, tile=self.tile,
+            if self.mesh is not None and self._sharded_detect_fused is None:
+                from quakemigrate_tpu.parallel import (
+                    make_sharded_detect_fused,
+                    make_sharded_detect_fused_kurtosis,
                 )
+
+                if kind == "kurtosis":
+                    nsmooth, taper_pad, min_onset = (
+                        self.onset.fused_static_args(self.timestep)
+                    )
+                    self._sharded_detect_fused = (
+                        make_sharded_detect_fused_kurtosis(
+                            self.mesh, nsmooth, taper_pad, min_onset,
+                            fsmp, nsamples, self._n_nodes, tile=self.tile,
+                        )
+                    )
+                else:
+                    self._sharded_detect_fused = make_sharded_detect_fused(
+                        self.mesh,
+                        self.onset.position,
+                        self.onset.signal_transform,
+                        float(self.onset.min_onset_value),
+                        fsmp, nsamples, self._n_nodes, tile=self.tile,
+                    )
 
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
                 for i in keys:
-                    if kind == "kurtosis":
+                    if self.mesh is not None:
+                        out = self._sharded_detect_fused(
+                            *prepared[i]["fused"], self._device_tt
+                        )
+                    elif kind == "kurtosis":
                         channels, chan_mask, slot_mask, nkurt = (
                             prepared[i]["fused"]
                         )
@@ -717,14 +727,6 @@ class QuakeScan:
                             self._device_tt, nsmooth, taper_pad, min_onset,
                             fsmp, nsamples,
                             n_nodes_real=self._n_nodes, tile=self.tile,
-                        )
-                    elif self.mesh is not None:
-                        channels, chan_mask, slot_mask, nsta, nlta = (
-                            prepared[i]["fused"]
-                        )
-                        out = self._sharded_detect_fused(
-                            channels, chan_mask, slot_mask, nsta, nlta,
-                            self._device_tt,
                         )
                     else:
                         channels, chan_mask, slot_mask, nsta, nlta = (

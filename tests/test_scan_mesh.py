@@ -256,3 +256,43 @@ def test_fused_env_squared_matches_standard(setup):
     unfused = run("env_unfused", False)
     fused = run("env_fused", True)
     assert unfused.read_bytes() == fused.read_bytes()
+
+
+def test_fused_kurtosis_mesh_matches_single(setup):
+    """The fused kurtosis window sharded over the mesh == single device."""
+
+    from quakemigrate_tpu.signal.onsets import KurtosisOnset
+
+    root, archive, lut = setup
+
+    def run(name, mesh):
+        onset = KurtosisOnset(sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
+            tile=64, fused_detect=True,
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    single = run("kf_single", None)
+    sharded = run("kf_mesh", make_mesh(jax.devices()))
+
+    from quakemigrate_tpu.seis import read
+
+    st_s = read(str(single))
+    st_m = read(str(sharded))
+    for station in ("COA", "X", "Y", "Z"):
+        np.testing.assert_array_equal(
+            st_s.select(station=station)[0].data,
+            st_m.select(station=station)[0].data,
+            err_msg=station,
+        )
+    a = st_s.select(station="COA_N")[0].data.astype(np.int64)
+    b = st_m.select(station="COA_N")[0].data.astype(np.int64)
+    assert np.abs(a - b).max() <= 1
