@@ -196,3 +196,50 @@ def test_fused_kurtosis_matches_standard(tmp_path):
             st_f.select(station=ch)[0].data,
             err_msg=ch,
         )
+
+
+def test_kurtosis_trigger_locate(setup):
+    """The full detect -> trigger -> locate chain with kurtosis onsets
+    (the picker recomputes kurtosis onsets over the event window)."""
+
+    from quakemigrate_tpu import Trigger
+
+    root, archive, lut = setup
+
+    # reuse the "kurt" detect run from test_kurtosis_onset_detect
+    scanmseed = (root / "runs" / "kurt" / "detect" / "scanmseed"
+                 / "2021_049.scanmseed")
+    assert scanmseed.exists()
+
+    trig = Trigger(lut, run_path=str(root / "runs"), run_name="kurt",
+                   marginal_window=1.0, min_event_interval=2.0)
+    trig.static_threshold = 1.5
+    trig.trigger("2021-02-18T12:00:20.0", "2021-02-18T12:00:45.0",
+                 interactive_plot=False)
+    events = pd.read_csv(
+        root / "runs" / "kurt" / "trigger" / "events"
+        / "kurt_2021_049_TriggeredEvents.csv"
+    )
+    assert len(events) >= 1
+
+    onset = KurtosisOnset(sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.kurtosis_windows = {"P": 1.0, "S": 1.0}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(root / "runs"),
+        run_name="kurt", marginal_window=1.0, timestep=5.0, tile=64,
+        plot_event_summary=False,
+    )
+    scan.locate(starttime="2021-02-18T12:00:20.0",
+                endtime="2021-02-18T12:00:45.0")
+
+    event_files = list((root / "runs" / "kurt" / "locate" / "events").glob("*.event"))
+    pick_files = list((root / "runs" / "kurt" / "locate" / "picks").glob("*.picks"))
+    assert event_files and pick_files
+    ev = pd.read_csv(event_files[0])
+    # location within the grid and not at a corner
+    assert -0.06 < ev["X"].iloc[0] < 0.06
+    assert 0.0 <= ev["Z"].iloc[0] <= 20.0
+    picks = pd.read_csv(pick_files[0])
+    assert len(picks) == 16  # 8 stations x P,S rows (picked or -1)
