@@ -1,0 +1,143 @@
+"""Similarity gate: measure in-order line overlap between this repo and the reference.
+
+The round-1 review found that a mechanical same-name/same-size copy detector missed
+renamed/trimmed copies. This tool implements the methodology the reviewer actually
+used: strip comments, docstrings and blank lines from both files, then run a
+``difflib.SequenceMatcher`` over the normalised line sequences and report the
+fraction of the *repo* file's lines that sit inside in-order matching blocks.
+
+Run as a script to print a table; ``tests/test_similarity_gate.py`` imports
+``check_all`` and fails the suite if any file exceeds the gate threshold.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+import tokenize
+from difflib import SequenceMatcher
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REFERENCE = Path("/root/reference")
+
+# Repo file (relative to quakemigrate_tpu/) -> reference counterpart (relative to
+# /root/reference/quakemigrate/). Files with no meaningful counterpart (original
+# subsystems: seis/, coords/, ops/, parallel/, core C sources) are skipped.
+COUNTERPARTS = {
+    "util.py": "util.py",
+    "io/data.py": "io/data.py",
+    "io/event.py": "io/event.py",
+    "io/core.py": "io/core.py",
+    "io/scanmseed.py": "io/scanmseed.py",
+    "io/triggered_events.py": "io/triggered_events.py",
+    "io/availability.py": "io/availability.py",
+    "io/coalescence.py": "io/coalescence.py",
+    "io/amplitudes.py": "io/amplitudes.py",
+    "io/cut_waveforms.py": "io/cut_waveforms.py",
+    "lut/lut.py": "lut/lut.py",
+    "lut/create.py": "lut/create_lut.py",
+    "signal/scan.py": "signal/scan.py",
+    "signal/trigger.py": "signal/trigger.py",
+    "signal/onsets/base.py": "signal/onsets/base.py",
+    "signal/onsets/stalta.py": "signal/onsets/stalta.py",
+    "signal/pickers/base.py": "signal/pickers/base.py",
+    "signal/pickers/gaussian.py": "signal/pickers/gaussian.py",
+    "signal/local_mag/local_mag.py": "signal/local_mag/local_mag.py",
+    "signal/local_mag/amplitude.py": "signal/local_mag/amplitude.py",
+    "signal/local_mag/magnitude.py": "signal/local_mag/magnitude.py",
+    "plot/event.py": "plot/event.py",
+    "plot/trigger.py": "plot/trigger.py",
+    "plot/phase_picks.py": "plot/phase_picks.py",
+    "plot/amplitudes.py": "plot/amplitudes.py",
+    "export/catalog.py": "export/to_obspy.py",
+    "export/to_nlloc.py": "export/to_nlloc.py",
+    "export/to_snuffler.py": "export/to_snuffler.py",
+    "export/to_mfast.py": "export/to_mfast.py",
+}
+
+# Gate threshold: fail above this in-order match fraction. The reviewer called
+# 60-80% "copied" and ~40% "mixed"; the round-2 target is <25% per file, with the
+# gate at 30% to leave noise headroom (format-string contracts, numpy idioms).
+THRESHOLD = 0.30
+
+
+def _strip(source: str) -> list[str]:
+    """Return normalised, non-empty code lines with comments/docstrings removed."""
+    out_tokens = []
+    try:
+        tokens = list(tokenize.generate_tokens(io.StringIO(source).readline))
+    except (tokenize.TokenError, IndentationError, SyntaxError):
+        # Fall back to naive comment stripping on unparsable input.
+        lines = []
+        for raw in source.splitlines():
+            code = raw.split("#", 1)[0].rstrip()
+            if code.strip():
+                lines.append(" ".join(code.split()))
+        return lines
+
+    prev_end = (1, 0)
+    buf: dict[int, list[str]] = {}
+    expect_docstring = True  # module docstring
+    prev_significant = None
+    for tok in tokens:
+        ttype, string, start, end, _ = tok
+        if ttype in (tokenize.COMMENT, tokenize.NL, tokenize.NEWLINE,
+                     tokenize.INDENT, tokenize.DEDENT, tokenize.ENCODING,
+                     tokenize.ENDMARKER):
+            if ttype == tokenize.NEWLINE:
+                expect_docstring = prev_significant in (":",)
+            continue
+        if ttype == tokenize.STRING and expect_docstring:
+            # A string statement right after a block opener / module start is a
+            # docstring: drop it entirely.
+            prev_significant = string
+            expect_docstring = False
+            continue
+        expect_docstring = False
+        prev_significant = string
+        buf.setdefault(start[0], []).append(string)
+        prev_end = end
+    del prev_end
+    return [" ".join(parts) for _, parts in sorted(buf.items()) if parts]
+
+
+def similarity(repo_file: Path, ref_file: Path) -> tuple[float, int]:
+    """Fraction of repo_file's normalised lines inside in-order matched blocks."""
+    a = _strip(repo_file.read_text())
+    b = _strip(ref_file.read_text())
+    if not a:
+        return 0.0, 0
+    sm = SequenceMatcher(a=a, b=b, autojunk=False)
+    matched = sum(block.size for block in sm.get_matching_blocks())
+    return matched / len(a), len(a)
+
+
+def check_all() -> list[tuple[str, float, int]]:
+    """Return (repo-relative path, match fraction, line count) for every mapping."""
+    results = []
+    for rel, ref_rel in sorted(COUNTERPARTS.items()):
+        repo_file = REPO / "quakemigrate_tpu" / rel
+        ref_file = REFERENCE / "quakemigrate" / ref_rel
+        if not repo_file.exists() or not ref_file.exists():
+            continue
+        frac, n = similarity(repo_file, ref_file)
+        results.append((f"quakemigrate_tpu/{rel}", frac, n))
+    return results
+
+
+def main() -> int:
+    rows = check_all()
+    rows.sort(key=lambda r: -r[1])
+    worst = 0.0
+    print(f"{'file':<55} {'match':>7} {'lines':>6}")
+    for path, frac, n in rows:
+        flag = "  <-- OVER GATE" if frac > THRESHOLD else ""
+        print(f"{path:<55} {frac:>6.1%} {n:>6}{flag}")
+        worst = max(worst, frac)
+    print(f"\ngate: {THRESHOLD:.0%}  worst: {worst:.1%}")
+    return 1 if worst > THRESHOLD else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
