@@ -1,24 +1,26 @@
 # -*- coding: utf-8 -*-
 """
-Utility functions, helpers and the exception taxonomy for quakemigrate_tpu.
+Shared helpers for quakemigrate_tpu: time/sample arithmetic, the resampling
+chain, robust statistics, logging plumbing, and the error taxonomy.
 
-Semantics follow the reference implementation (quakemigrate/util.py in
-QuakeMigrate/QuakeMigrate) where they are parity-critical: time <-> sample
-conversions set window sizes that feed directly into the scan outputs
-(reference: util.py:152-172, 248-269), MAD scaling (util.py:175-207), the
-Wood-Anderson response definition (util.py:272-313) and the resampling chain
-(util.py:404-604). The implementations here are original and operate on this
-package's own Stream/Trace data model (obspy is not a dependency).
+Behavioural contracts that feed parity with the reference implementation
+(QuakeMigrate/QuakeMigrate ``quakemigrate/util.py``) are preserved — window
+sizes derive from :func:`time2sample`/:func:`trim2sample` (ref util.py:152-172,
+248-269), the MAD scale factor (ref util.py:175-207), the Wood-Anderson PAZ
+constants (ref util.py:272-313) and the upsample-then-decimate resampling
+semantics (ref util.py:404-604) — but the code here is written for this
+package's own ``seis`` Trace/Stream model and is an independent
+implementation.
 
 """
 
 import logging
 import sys
-import time as _time
-import warnings
+import warnings  # noqa: F401  (re-exported for callers that silence warnings)
 from datetime import datetime
 from functools import wraps
 from itertools import tee
+from time import perf_counter
 
 import numpy as np
 
@@ -26,684 +28,659 @@ log_spacer = "=" * 110
 
 
 class AttribDict(dict):
-    """A dict subclass that also exposes keys as attributes."""
+    """Dictionary whose keys double as attributes (``d.x`` == ``d["x"]``)."""
 
-    def __getattr__(self, name):
-        try:
-            return self[name]
-        except KeyError:
-            raise AttributeError(name)
+    def __getattr__(self, key):
+        if key in self:
+            return self[key]
+        raise AttributeError(key)
 
-    def __setattr__(self, name, value):
-        self[name] = value
+    def __setattr__(self, key, value):
+        self[key] = value
 
-    def __delattr__(self, name):
-        try:
-            del self[name]
-        except KeyError:
-            raise AttributeError(name)
+    def __delattr__(self, key):
+        if key not in self:
+            raise AttributeError(key)
+        del self[key]
 
     def copy(self):
         return AttribDict(self)
 
 
 def make_directories(run, subdir=None):
-    """Make run directory, and optionally subdirectories within it."""
+    """Create the run directory tree (and optional subdirectory) on disk."""
 
-    run.mkdir(exist_ok=True)
-    if subdir:
-        (run / subdir).mkdir(exist_ok=True, parents=True)
+    target = run / subdir if subdir else run
+    target.mkdir(exist_ok=True, parents=True)
+
+
+# --- small numeric helpers ---------------------------------------------------
 
 
 def gaussian_1d(x, a, b, c):
-    """1-D Gaussian with amplitude a, mean b, sigma c."""
+    """Evaluate ``a * exp(-(x-b)^2 / (2 c^2))`` — used by the pick fitter."""
 
-    return a * np.exp(-1.0 * ((x - b) ** 2) / (2 * (c**2)))
+    z = (x - b) / c
+    return a * np.exp(-0.5 * z * z)
 
 
 def gaussian_3d(nx, ny, nz, sgm):
     """
-    3-D Gaussian kernel on an (nx, ny, nz) grid centred at the grid centre,
-    with per-axis (or scalar) sigma. Used for smoothing marginalised
-    coalescence maps (reference: util.py:75-116).
+    Separable 3-D Gaussian kernel on an ``(nx, ny, nz)`` grid, centred, with
+    per-axis (or scalar) sigma — the smoothing kernel for marginalised
+    coalescence maps.
 
     """
 
-    half = [(n - 1) / 2 for n in (nx, ny, nz)]
-    axes = [np.linspace(-h, h, n) for h, n in zip(half, (nx, ny, nz))]
-    ix, iy, iz = np.meshgrid(*axes, indexing="ij")
-
-    if np.isscalar(sgm):
-        sgm = np.repeat(sgm, 3)
-    sx, sy, sz = sgm
-
-    return np.exp(
-        -(ix * ix) / (2 * sx * sx)
-        - (iy * iy) / (2 * sy * sy)
-        - (iz * iz) / (2 * sz * sz)
-    )
+    sigmas = np.broadcast_to(np.asarray(sgm, dtype=float), (3,))
+    profiles = []
+    for n, s in zip((nx, ny, nz), sigmas):
+        ax = np.linspace(-(n - 1) / 2, (n - 1) / 2, n)
+        profiles.append(np.exp(-(ax * ax) / (2.0 * s * s)))
+    gx, gy, gz = profiles
+    return gx[:, None, None] * gy[None, :, None] * gz[None, None, :]
 
 
-def logger(logstem, log, loglevel="info"):
+def calculate_mad(x, scale=1.4826):
     """
-    Configure the root logger to emit message-only records to stdout and,
-    optionally, to a timestamped logfile under ``logstem``.
+    Median absolute deviation of ``x`` scaled so that, for normal data, it
+    estimates the standard deviation (scale = 1.4826). NaN-contaminated or
+    empty input yields NaN.
 
     """
 
-    level = logging.DEBUG if loglevel == "debug" else logging.INFO
-
-    if log:
-        now = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-        logfile = logstem.parent / f"{logstem.name}_{now}"
-        logfile.parent.mkdir(exist_ok=True, parents=True)
-        handlers = [
-            logging.FileHandler(str(logfile.with_suffix(".log"))),
-            logging.StreamHandler(sys.stdout),
-        ]
-    else:
-        handlers = [logging.StreamHandler(sys.stdout)]
-
-    logging.basicConfig(
-        level=level, format="%(message)s", handlers=handlers, force=True
-    )
+    x = np.asarray(x)
+    if x.size == 0 or np.isnan(x.astype(float).sum()):
+        return np.nan
+    centred = np.abs(x - np.median(x, axis=0, keepdims=True))
+    return scale * np.median(centred, axis=0)
 
 
 def time2sample(time, sampling_rate):
-    """Convert a duration in seconds to an integer number of samples."""
+    """Seconds -> nearest whole sample count at ``sampling_rate``."""
 
     return int(round(time * int(sampling_rate)))
 
 
 def trim2sample(time, sampling_rate):
     """
-    Round a duration up to the nearest millisecond that corresponds to an
-    integer number of samples at ``sampling_rate``.
+    Shortest duration >= ``time`` that is both a whole number of samples at
+    ``sampling_rate`` and a whole number of milliseconds.
 
     """
 
-    return int(np.ceil(time * sampling_rate) / sampling_rate * 1000) / 1000
+    whole_samples = np.ceil(time * sampling_rate) / sampling_rate
+    return int(whole_samples * 1000) / 1000
 
 
-def calculate_mad(x, scale=1.4826):
+def pairwise(iterable):
+    """Yield consecutive overlapping pairs: s -> (s0,s1), (s1,s2), ..."""
+
+    left, right = tee(iterable)
+    next(right, None)
+    return zip(left, right)
+
+
+# --- logging / timing --------------------------------------------------------
+
+
+def logger(logstem, log, loglevel="info"):
     """
-    Scaled Median Absolute Deviation of x; the default scale factor makes the
-    MAD a consistent estimator of the standard deviation for a normal
-    distribution.
+    (Re)configure root logging: message-only records to stdout, plus a
+    timestamped ``.log`` file beside ``logstem`` when ``log`` is truthy.
 
     """
 
-    x = np.asarray(x)
+    sinks = [logging.StreamHandler(sys.stdout)]
+    if log:
+        logstem.parent.mkdir(exist_ok=True, parents=True)
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        sinks.insert(0, logging.FileHandler(f"{logstem}_{stamp}.log"))
 
-    if not x.size:
-        return np.nan
-    if np.isnan(np.sum(x)):
-        return np.nan
+    logging.basicConfig(
+        level=logging.DEBUG if loglevel == "debug" else logging.INFO,
+        format="%(message)s",
+        handlers=sinks,
+        force=True,
+    )
 
-    med = np.median(x, axis=0, keepdims=True)
-    mad = np.median(np.abs(x - med), axis=0)
 
-    return scale * mad
+def timeit(*decorator_args, **_ignored):
+    """
+    Decorator factory that reports a function's wall-clock duration. Pass
+    ``"info"`` to log at info level; the default logs at debug level.
+
+    """
+
+    emit = logging.info if "info" in decorator_args else logging.debug
+
+    def decorate(func):
+        @wraps(func)
+        def timed(*args, **kwargs):
+            tick = perf_counter()
+            result = func(*args, **kwargs)
+            emit(" " * 21 + f"Elapsed time: {perf_counter() - tick:6f} seconds.")
+            return result
+
+        return timed
+
+    return decorate
+
+
+# --- instrument responses ----------------------------------------------------
+
+# Wood-Anderson torsion seismograph PAZ. Two conventions exist in the
+# literature for the pole positions; the "obspy" one is the standard set.
+_WOODANDERSON_POLES = {
+    True: [-6.283185 - 4.712j, -6.283185 + 4.712j],
+    False: [-5.49779 + 5.60886j, -5.49779 - 5.60886j],
+}
 
 
 def wa_response(convert="DIS2DIS", obspy_def=True):
     """
-    Wood-Anderson torsion seismograph response as a poles-and-zeros dict.
-
-    Two published definitions are supported: the standard one (as used by
-    ObsPy) and the IRIS/SAC one. ``convert`` controls the number of zeros so
-    the response maps between displacement/velocity spaces correctly.
+    Wood-Anderson response as a poles-and-zeros dict. ``convert`` selects the
+    number of zeros so that applying the response maps correctly between the
+    displacement/velocity domains (same-domain conversions need the extra
+    zero at the origin).
 
     """
 
-    if obspy_def:
-        woodanderson = {
-            "poles": [-6.283185 - 4.712j, -6.283185 + 4.712j],
-            "zeros": [0j],
-            "sensitivity": 2080,
-            "gain": 1.0,
-        }
-    else:
-        woodanderson = {
-            "poles": [-5.49779 + 5.60886j, -5.49779 - 5.60886j],
-            "zeros": [0j],
-            "sensitivity": 2080,
-            "gain": 1.0,
-        }
+    n_zeros = 2 if convert in ("DIS2DIS", "VEL2VEL") else 1
+    return {
+        "poles": list(_WOODANDERSON_POLES[obspy_def]),
+        "zeros": [0j] * n_zeros,
+        "sensitivity": 2080,
+        "gain": 1.0,
+    }
 
-    if convert in ("DIS2DIS", "VEL2VEL"):
-        woodanderson["zeros"].extend([0j])
 
-    return woodanderson
+# --- the resampling chain ----------------------------------------------------
+
+
+def _subsample_offset(trace):
+    """Seconds to add to snap ``trace``'s start onto the sample grid."""
+
+    rate = trace.stats.sampling_rate
+    micros_per_sample = 1e6 / rate
+    remainder = trace.stats.starttime.microsecond % micros_per_sample
+    if remainder == 0:
+        return None
+    return round(remainder / 1e6 * rate) / rate - remainder / 1e6
 
 
 def shift_to_sample(stream, interpolate=False):
     """
-    Ensure all traces in a stream are timestamped "on-sample" (an integer
-    number of samples after midnight). Off-sample traces are corrected either
-    by adjusting their metadata (sub-sample timing shift) or by Lanczos
-    interpolation onto the on-sample time grid.
+    Snap every trace onto the "on-sample" time grid (start an integer number
+    of samples after midnight). ``interpolate=False`` just nudges the
+    metadata; ``interpolate=True`` resamples the data onto the corrected grid
+    with a Lanczos kernel, preserving the sample count.
 
     """
 
     stream = stream.copy()
-
-    for tr in stream:
-        sr = tr.stats.sampling_rate
-        delta = tr.stats.starttime.microsecond % (1e6 / sr)
-        if delta == 0:
-            if sr < 1.0:
+    for trace in stream:
+        nudge = _subsample_offset(trace)
+        if nudge is None:
+            if trace.stats.sampling_rate < 1.0:
                 logging.warning(
-                    f"Trace\n\t{tr}\nhas a sampling rate less than 1 Hz, so "
+                    f"Trace\n\t{trace}\nhas a sampling rate less than 1 Hz, so "
                     "off-sample data might not be corrected!"
                 )
             continue
 
-        time_shift = round(delta / 1e6 * sr) / sr - delta / 1e6
+        verb = "Interpolating to apply a" if interpolate else "Applying"
+        logging.info(
+            f"Trace\n\t{trace}\nhas off-sample data. {verb} {nudge:+f} s "
+            "shift to timing."
+        )
         if not interpolate:
-            logging.info(
-                f"Trace\n\t{tr}\nhas off-sample data. Applying "
-                f"{time_shift:+f} s shift to timing."
-            )
-            tr.stats.starttime = tr.stats.starttime + time_shift
+            trace.stats.starttime = trace.stats.starttime + nudge
+            continue
+
+        # Resample onto the snapped grid. A negative nudge would put the
+        # first grid point before the data, so interpolate from the next
+        # sample instead, then restore the length with an edge replicate.
+        grid_start = trace.stats.starttime + nudge
+        if nudge < 0.0:
+            grid_start = grid_start + trace.stats.delta
+        trace.interpolate(
+            sampling_rate=trace.stats.sampling_rate,
+            method="lanczos",
+            a=20,
+            starttime=grid_start,
+        )
+        if nudge > 0.0:
+            trace.data = np.append(trace.data, trace.data[-1])
         else:
-            logging.info(
-                f"Trace\n\t{tr}\nhas off-sample data. Interpolating to apply "
-                f"a {time_shift:+f} s shift to timing."
-            )
-            new_starttime = tr.stats.starttime + time_shift
-            if time_shift < 0.0:
-                new_starttime = new_starttime + tr.stats.delta
-            tr.interpolate(
-                sampling_rate=sr, method="lanczos", a=20, starttime=new_starttime
-            )
-            if time_shift > 0.0:
-                tr.data = np.append(tr.data, tr.data[-1])
-            else:
-                tr.data = np.append(tr.data[0], tr.data)
-                tr.stats.starttime = tr.stats.starttime - tr.stats.delta
-
-    return stream
-
-
-def resample(stream, sampling_rate, resample, upfactor, starttime, endtime):
-    """
-    Resample all traces in a stream to ``sampling_rate``. By default only
-    decimation is performed; with ``resample=True`` and an integer
-    ``upfactor``, incompatible rates are linearly upsampled first, then
-    decimated (reference behaviour: util.py:404-487).
-
-    """
-
-    stream = stream.copy()
-
-    for trace in list(stream):
-        trace_sampling_rate = trace.stats.sampling_rate
-        if sampling_rate != trace_sampling_rate:
-            if (trace_sampling_rate % sampling_rate) == 0:
-                stream.remove(trace)
-                trace = decimate(trace, sampling_rate)
-                stream += trace
-            elif resample and upfactor is not None:
-                if int(trace_sampling_rate * upfactor) % sampling_rate != 0:
-                    raise BadUpfactorException(trace)
-                stream.remove(trace)
-                trace = upsample(trace, upfactor, starttime, endtime)
-                if trace.stats.sampling_rate != sampling_rate:
-                    trace = decimate(trace, sampling_rate)
-                stream += trace
-            else:
-                logging.info(
-                    "Mismatched sampling rates - cannot decimate data from\n\t"
-                    f"{trace}\n...to resample data, set resample = True and "
-                    "choose a suitable upfactor"
-                )
-
-    stream.trim(
-        starttime=starttime - 0.00001, endtime=endtime + 0.00001, nearest_sample=False
-    )
+            trace.data = np.insert(trace.data, 0, trace.data[0])
+            trace.stats.starttime = trace.stats.starttime - trace.stats.delta
 
     return stream
 
 
 def decimate(trace, sampling_rate):
     """
-    Decimate a trace to ``sampling_rate``: detrend, cosine taper, zero-phase
-    Butterworth anti-alias lowpass at (just below) the new Nyquist, then
-    integer decimation.
+    Reduce a trace to ``sampling_rate`` by integer decimation, preceded by
+    linear+mean detrend, a 5% cosine taper, and a zero-phase 2-corner
+    Butterworth anti-alias lowpass placed fractionally below the new Nyquist.
 
     """
 
-    trace = trace.copy()
-
-    trace.detrend("linear")
-    trace.detrend("demean")
-    trace.taper(type="cosine", max_percentage=0.05)
-    trace.filter(
+    out = trace.copy()
+    out.detrend("linear")
+    out.detrend("demean")
+    out.taper(type="cosine", max_percentage=0.05)
+    out.filter(
         "lowpass", freq=float(sampling_rate) / 2.000001, corners=2, zerophase=True
     )
-    trace.decimate(
-        factor=int(trace.stats.sampling_rate / sampling_rate), no_filter=True
-    )
-
-    return trace
+    out.decimate(factor=int(out.stats.sampling_rate / sampling_rate), no_filter=True)
+    return out
 
 
 def upsample(trace, upfactor, starttime, endtime):
     """
-    Upsample a trace by an integer factor via linear interpolation
-    (fencepost-preserving), padding to the requested window edges with
-    constant values where the original trace starts late / ends early by less
-    than one original sample interval.
+    Linearly interpolate a trace by an integer factor (original samples are
+    preserved as fenceposts). If the trace starts late / ends early relative
+    to the requested window by less than one *original* sample interval, the
+    gap is filled by replicating the edge value so a subsequent decimate sees
+    a full window.
 
     """
 
-    data = trace.data
-    dnew = np.zeros((len(data) - 1) * upfactor + 1)
-    dnew[::upfactor] = data
-    for i in range(1, upfactor):
-        dnew[i::upfactor] = (
-            float(i) / upfactor * data[1:] + float(upfactor - i) / upfactor * data[:-1]
-        )
+    data = np.asarray(trace.data, dtype=float)
+    fine_rate = trace.stats.sampling_rate * upfactor
+    coarse_idx = np.arange(data.size, dtype=float)
+    fine_idx = np.arange((data.size - 1) * upfactor + 1, dtype=float) / upfactor
+    fine = np.interp(fine_idx, coarse_idx, data)
 
-    new_starttime = trace.stats.starttime
-    if 0.0 < trace.stats.starttime - starttime < trace.stats.delta:
-        start_pad = np.round(
-            (trace.stats.starttime - starttime) * trace.stats.sampling_rate * upfactor
-        )
-        start_fill = np.full(int(start_pad), trace.data[0], dtype=float)
-        dnew = np.append(start_fill, dnew)
-        new_starttime = trace.stats.starttime - start_pad / (
-            trace.stats.sampling_rate * upfactor
-        )
+    fine_start = trace.stats.starttime
+    lead = trace.stats.starttime - starttime
+    if 0.0 < lead < trace.stats.delta:
+        n_lead = int(np.round(lead * fine_rate))
+        fine = np.concatenate([np.full(n_lead, data[0]), fine])
+        fine_start = trace.stats.starttime - n_lead / fine_rate
 
-    if 0.0 < endtime - trace.stats.endtime < trace.stats.delta:
-        end_pad = np.round(
-            (endtime - trace.stats.endtime) * trace.stats.sampling_rate * upfactor
-        )
-        end_fill = np.full(int(end_pad), trace.data[-1], dtype=float)
-        dnew = np.append(dnew, end_fill)
+    lag = endtime - trace.stats.endtime
+    if 0.0 < lag < trace.stats.delta:
+        n_lag = int(np.round(lag * fine_rate))
+        fine = np.concatenate([fine, np.full(n_lag, data[-1])])
 
     out = trace.copy()
-    out.data = dnew
-    out.stats.sampling_rate = int(upfactor * trace.stats.sampling_rate)
-    out.stats.starttime = new_starttime
-
+    out.data = fine
+    out.stats.sampling_rate = int(fine_rate)
+    out.stats.starttime = fine_start
     out.trim(
         starttime=starttime - 0.00001, endtime=endtime + 0.00001, nearest_sample=False
     )
-
     return out
+
+
+def resample(stream, sampling_rate, resample, upfactor, starttime, endtime):
+    """
+    Bring every trace in ``stream`` to ``sampling_rate``. Rates that divide
+    evenly are decimated directly; with ``resample=True`` and an integer
+    ``upfactor``, incompatible rates go through upsample-then-decimate.
+    Traces that cannot be conformed are left at their native rate (logged) —
+    the downstream availability check rejects them.
+
+    """
+
+    conformed = type(stream)()
+    for trace in stream:
+        native = trace.stats.sampling_rate
+        if native == sampling_rate:
+            conformed += trace.copy()
+        elif native % sampling_rate == 0:
+            conformed += decimate(trace, sampling_rate)
+        elif resample and upfactor is not None:
+            if int(native * upfactor) % sampling_rate != 0:
+                raise BadUpfactorException(trace)
+            fine = upsample(trace, upfactor, starttime, endtime)
+            if fine.stats.sampling_rate != sampling_rate:
+                fine = decimate(fine, sampling_rate)
+            conformed += fine
+        else:
+            logging.info(
+                "Mismatched sampling rates - cannot decimate data from\n\t"
+                f"{trace}\n...to resample data, set resample = True and "
+                "choose a suitable upfactor"
+            )
+            conformed += trace.copy()
+
+    conformed.trim(
+        starttime=starttime - 0.00001, endtime=endtime + 0.00001, nearest_sample=False
+    )
+    return conformed
 
 
 def merge_stream(stream):
     """
-    Merge all traces with contiguous data, or overlapping data which exactly
-    matches (no-clobber merge). Applied channel by channel so an individual
-    merge failure only drops that channel.
+    Merge contiguous / identically-overlapping segments channel by channel
+    (no-clobber). A channel whose segments genuinely conflict is dropped with
+    a log line rather than failing the whole stream.
 
     """
 
-    from quakemigrate_tpu.seis import Stream
-
-    stream = stream.copy()
-
-    seed_ids = sorted(set(trace.id for trace in stream))
-    stream_merged = Stream()
-    for seed_id in seed_ids:
+    merged = type(stream)()
+    for seed_id in sorted({trace.id for trace in stream}):
+        channel = stream.select(id=seed_id)
         try:
-            stream_merged += stream.select(id=seed_id).merge(method=-1)
-        except MergeError as error_message:
-            logging.info(f"\t\t{error_message}")
-            logging.info(f"\t\t{stream.select(id=seed_id)}")
+            merged += channel.copy().merge(method=-1)
+        except MergeError as err:
+            logging.info(f"\t\t{err}")
+            logging.info(f"\t\t{channel}")
             logging.info("\t\tThis channel will not be used for onset calculation.")
-
-    return stream_merged
-
-
-def pairwise(iterable):
-    """Iterate over an iterable pairwise: s -> (s0,s1), (s1,s2), ..."""
-
-    a, b = tee(iterable)
-    next(b, None)
-    return zip(a, b)
+    return merged
 
 
-def timeit(*args_, **kwargs_):
-    """Function decorator that logs the wall time elapsed during execution."""
-
-    def inner_function(func):
-        @wraps(func)
-        def wrapper(*args, **kwargs):
-            ts = _time.time()
-            result = func(*args, **kwargs)
-            msg = " " * 21 + f"Elapsed time: {_time.time() - ts:6f} seconds."
-            try:
-                if args_[0] == "info":
-                    logging.info(msg)
-            except IndexError:
-                logging.debug(msg)
-            return result
-
-        return wrapper
-
-    return inner_function
-
-
-def get_phase_component_strings(channel_maps):
-    """
-    Build regex-style component selector strings for the pick summary plot
-    from the user's channel maps, splitting S components into (up to) two
-    panels and pairing alphabetic with numeric labels.
-
-    """
-
-    p_comps = list(channel_maps["P"].strip("*").strip("[").strip("]"))[::2]
-    s_comps = list(channel_maps["S"].strip("*").strip("[").strip("]"))[::2]
-    p_str, s_str_1, s_str_2 = "", "", ""
-    for p_comp in p_comps:
-        p_str += f"{p_comp},"
-    s_alpha = [c for c in s_comps if not c.isnumeric()]
-    s_numeric = [c for c in s_comps if c.isnumeric()]
-    if s_alpha and s_numeric:
-        if len(s_alpha) > 2 or len(s_numeric) > 2:
-            logging.info(
-                "More than two pairs of S-phase components found in channel "
-                "maps. Only using first two for plotting!"
-            )
-        for i, (a, n) in enumerate(zip(s_alpha, s_numeric)):
-            if i == 0:
-                s_str_1 += f"{a},{n},"
-            elif i == 1:
-                s_str_2 += f"{a},{n},"
-    else:
-        for comps in [s_alpha, s_numeric]:
-            if comps:
-                s_str_1 += f"{comps[0]},"
-                if len(comps) > 1:
-                    s_str_2 += f"{comps[1]},"
-            if len(comps) > 2:
-                logging.info(
-                    "More than two alphabetical or numeric S-phase components"
-                    " found in channel maps. Only using first two for plotting!"
-                )
-
-    p_str = f"[{p_str.rstrip(',')}]"
-    s_str_1 = f"[{s_str_1.rstrip(',')}]"
-    s_str_2 = f"[{s_str_2.rstrip(',')}]"
-
-    return p_str, s_str_1, s_str_2
+# --- plotting helpers ---------------------------------------------------------
 
 
 class DateFormatter:
     """
-    Matplotlib tick formatter giving millisecond-precision datetime labels.
-    Format string uses `{ms}` for the sub-second field, e.g.
-    ``"%H:%M:%S.{ms}"`` with precision 3.
+    Matplotlib tick formatter producing sub-second datetime labels. The
+    format string marks the fractional-seconds field as ``{ms}``, e.g.
+    ``DateFormatter("%H:%M:%S.{ms}", precision=2)``.
 
     """
 
     def __init__(self, fmt, precision=3):
-        from matplotlib.dates import num2date
-
-        self.num2date = num2date
         self.fmt = fmt
         self.precision = precision
 
     def __call__(self, x, pos=0):
+        from matplotlib.dates import num2date
+
         if x == 0:
             raise ValueError(
                 "DateFormatter found a value of x=0, which is an illegal date; "
                 "this usually occurs because you have not informed the axis "
                 "that it is plotting dates."
             )
-
-        dt = self.num2date(x)
-        ms = dt.strftime("%f")[: self.precision]
-
-        return dt.strftime(self.fmt).format(ms=ms)
+        when = num2date(x)
+        fractional = f"{when.microsecond:06d}"[: self.precision]
+        return when.strftime(self.fmt).format(ms=fractional)
 
 
-# --- Exception taxonomy (mirrors the reference's recovery semantics) ---
+def get_phase_component_strings(channel_maps):
+    """
+    Derive component-selector strings for the pick-summary figure from the
+    per-phase channel maps. P components share one panel; S components are
+    split over (up to) two panels, pairing alphabetic with numeric codes
+    (e.g. N with 1, E with 2) when both conventions appear.
+
+    """
+
+    def components(phase):
+        # "*[N,E]" -> "N,E" -> every other char skips the commas.
+        bare = channel_maps[phase].strip("*").strip("[").strip("]")
+        return list(bare)[::2]
+
+    def bracketed(codes):
+        return "[" + ",".join(codes) + "]"
+
+    p_codes = components("P")
+    s_codes = components("S")
+    letters = [c for c in s_codes if not c.isnumeric()]
+    digits = [c for c in s_codes if c.isnumeric()]
+
+    panel_1, panel_2 = [], []
+    if letters and digits:
+        if max(len(letters), len(digits)) > 2:
+            logging.info(
+                "More than two pairs of S-phase components found in channel "
+                "maps. Only using first two for plotting!"
+            )
+        pairs = list(zip(letters, digits))
+        if pairs:
+            panel_1 = list(pairs[0])
+        if len(pairs) > 1:
+            panel_2 = list(pairs[1])
+    else:
+        for group in (letters, digits):
+            if group:
+                panel_1.append(group[0])
+                if len(group) > 1:
+                    panel_2.append(group[1])
+            if len(group) > 2:
+                logging.info(
+                    "More than two alphabetical or numeric S-phase components"
+                    " found in channel maps. Only using first two for plotting!"
+                )
+
+    return bracketed(p_codes), bracketed(panel_1), bracketed(panel_2)
 
 
-class MergeError(Exception):
-    """Raised when traces with conflicting data cannot be merged."""
+# --- error taxonomy -----------------------------------------------------------
+#
+# Recovery semantics mirror the reference (degrade, don't retry): detect
+# timesteps that raise Archive/Gap/Availability errors are zero-filled;
+# locate skips the event; picks/amplitudes fall back to sentinels. The
+# ``msg`` attribute, where present, is the indented variant used for
+# progress logs.
 
 
-class StationFileHeaderException(Exception):
-    """Incorrect header columns in station file."""
+class QMError(Exception):
+    """Base class: ``detail`` is a class-level template filled from args."""
 
-    def __init__(self):
-        super().__init__(
-            "Incorrect station file header - use:\nLatitude, Longitude, Elevation, Name"
-        )
+    detail = ""
 
-
-class InvalidVelocityModelHeader(Exception):
-    """Incorrect header columns in velocity model file."""
-
-    def __init__(self, key):
-        super().__init__(f"Must include at least '{key}' in header.")
+    def __init__(self, *args):
+        super().__init__(self.detail.format(*args) if self.detail else
+                         (args[0] if args else ""))
 
 
-class ArchiveFormatException(Exception):
-    """Archive format has not been set."""
+class MergeError(QMError):
+    detail = "{0}"
 
-    def __init__(self):
-        super().__init__(
-            "Archive format has not been set. Set when making the Archive "
-            "object with the kwarg 'archive_format=<path_structure>', or "
-            "afterwards with the command "
-            "'Archive.path_structure(<path_structure>)'."
-        )
+    def __init__(self, reason="Traces could not be merged without clobbering."):
+        super().__init__(reason)
 
 
-class ArchivePathStructureError(Exception):
-    """An invalid Archive path structure was selected."""
-
-    def __init__(self, archive_format):
-        super().__init__(
-            f"The archive path structure you have selected: '{archive_format}' "
-            "is not a valid option! See the documentation for "
-            "'Archive.path_structure' for a complete list, or specify a custom "
-            "format."
-        )
-
-
-class ArchiveEmptyException(Exception):
-    """No files in the archive for this time period."""
-
-    def __init__(self):
-        super().__init__("No data was available for this timestep.")
-        self.msg = "\t\tNo files found in archive for this time period."
-
-
-class NoScanMseedDataException(Exception):
-    """No .scanmseed files found."""
-
-    def __init__(self):
-        super().__init__("No .scanmseed data found.")
-
-
-class NoStationAvailabilityDataException(Exception):
-    """No .StationAvailability files found."""
-
-    def __init__(self):
-        super().__init__("No .StationAvailability files found.")
-
-
-class DataAvailabilityException(Exception):
-    """All data failed the specified data quality criteria."""
-
-    def __init__(self):
-        super().__init__(
-            "All data for this timestep did not pass the specified data "
-            "quality criteria."
-        )
-        self.msg = (
-            "\t\tAll data for this timestep failed to pass the"
-            "\n\t\tspecified data quality criteria. This includes the"
-            "\n\t\tpresence of gaps or overlaps, or the data not"
-            "\n\t\tspanning the full time window."
-        )
-
-
-class DataGapException(Exception):
-    """No data for the selected stations in this time window."""
+class StationFileHeaderException(QMError):
+    detail = ("Incorrect station file header - use:\n"
+              "Latitude, Longitude, Elevation, Name")
 
     def __init__(self):
-        super().__init__(
-            "No data present in the archive for the selected stations for "
-            "this time window."
-        )
-        self.msg = (
-            "\t\tNo data for the selected stations was found in the"
-            "\n\t\tarchive for this time window."
-        )
+        super().__init__()
 
 
-class ChannelNameException(Exception):
-    """Channel names do not conform to the SEED standard."""
-
-    def __init__(self, trace):
-        super().__init__(
-            "Channel name header does not conform to\nthe IRIS SEED standard "
-            "- 3 characters; ending in 'Z' for\nvertical and ending either "
-            f"'E' & 'N' or '1' & '2' for\nhorizontal components.\n"
-            f"    Working on trace: {trace}"
-        )
+class InvalidVelocityModelHeader(QMError):
+    detail = "Must include at least '{0}' in header."
 
 
-class NoOnsetPeak(Exception):
-    """No onset data exceeds the pick threshold."""
+class ArchiveFormatException(QMError):
+    detail = (
+        "Archive format has not been set. Set when making the Archive "
+        "object with the kwarg 'archive_format=<path_structure>', or "
+        "afterwards with the command "
+        "'Archive.path_structure(<path_structure>)'."
+    )
+
+    def __init__(self):
+        super().__init__()
+
+
+class ArchivePathStructureError(QMError):
+    detail = (
+        "The archive path structure you have selected: '{0}' "
+        "is not a valid option! See the documentation for "
+        "'Archive.path_structure' for a complete list, or specify a custom "
+        "format."
+    )
+
+
+class ArchiveEmptyException(QMError):
+    detail = "No data was available for this timestep."
+    msg = "\t\tNo files found in archive for this time period."
+
+    def __init__(self):
+        super().__init__()
+
+
+class NoScanMseedDataException(QMError):
+    detail = "No .scanmseed data found."
+
+    def __init__(self):
+        super().__init__()
+
+
+class NoStationAvailabilityDataException(QMError):
+    detail = "No .StationAvailability files found."
+
+    def __init__(self):
+        super().__init__()
+
+
+class DataAvailabilityException(QMError):
+    detail = (
+        "All data for this timestep did not pass the specified data "
+        "quality criteria."
+    )
+    msg = (
+        "\t\tAll data for this timestep failed to pass the"
+        "\n\t\tspecified data quality criteria. This includes the"
+        "\n\t\tpresence of gaps or overlaps, or the data not"
+        "\n\t\tspanning the full time window."
+    )
+
+    def __init__(self):
+        super().__init__()
+
+
+class DataGapException(QMError):
+    detail = (
+        "No data present in the archive for the selected stations for "
+        "this time window."
+    )
+    msg = (
+        "\t\tNo data for the selected stations was found in the"
+        "\n\t\tarchive for this time window."
+    )
+
+    def __init__(self):
+        super().__init__()
+
+
+class ChannelNameException(QMError):
+    detail = (
+        "Channel name header does not conform to\nthe IRIS SEED standard "
+        "- 3 characters; ending in 'Z' for\nvertical and ending either "
+        "'E' & 'N' or '1' & '2' for\nhorizontal components.\n"
+        "    Working on trace: {0}"
+    )
+
+
+class NoOnsetPeak(QMError):
+    detail = (
+        "\t\t    No onset signal exceeding pick threshold "
+        "({0:5.3f}) - continuing."
+    )
 
     def __init__(self, pick_threshold):
-        self.msg = (
-            "\t\t    No onset signal exceeding pick threshold "
-            f"({pick_threshold:5.3f}) - continuing."
-        )
-        super().__init__(self.msg)
+        super().__init__(pick_threshold)
+        self.msg = str(self)
 
 
-class BadUpfactorException(Exception):
-    """Chosen upfactor cannot be decimated to the target sampling rate."""
-
-    def __init__(self, trace):
-        super().__init__(
-            "Chosen upfactor cannot be decimated to\ntarget sampling rate."
-            f"\n    Working on trace: {trace}"
-        )
+class BadUpfactorException(QMError):
+    detail = (
+        "Chosen upfactor cannot be decimated to\ntarget sampling rate."
+        "\n    Working on trace: {0}"
+    )
 
 
-class OnsetTypeError(Exception):
-    """The onset object does not inherit from the required base class."""
+class OnsetTypeError(QMError):
+    detail = (
+        "The Onset object you have created does not inherit from the "
+        "required base class - see manual."
+    )
 
     def __init__(self):
-        super().__init__(
-            "The Onset object you have created does not inherit from the "
-            "required base class - see manual."
-        )
+        super().__init__()
 
 
-class PickerTypeError(Exception):
-    """The picker object does not inherit from the required base class."""
-
-    def __init__(self):
-        super().__init__(
-            "The PhasePicker object you have created does not inherit from "
-            "the required base class - see manual."
-        )
-
-
-class LUTPhasesException(Exception):
-    """The LUT does not contain traveltimes for the required phases."""
-
-    def __init__(self, message):
-        super().__init__(message)
-
-
-class PickOrderException(Exception):
-    """The P pick is later than the S pick."""
-
-    def __init__(self, event_uid, station, p_pick, s_pick):
-        super().__init__(
-            "The P-phase arrival-time pick is later than the S-phase arrival "
-            f"pick! Something has gone wrong.\nEvent: {event_uid}, station: "
-            f"{station}, p_pick: {p_pick}, s_pick: {s_pick}."
-        )
-
-
-class MagsTypeError(Exception):
-    """Unsupported object provided for magnitude calculation."""
+class PickerTypeError(QMError):
+    detail = (
+        "The PhasePicker object you have created does not inherit from "
+        "the required base class - see manual."
+    )
 
     def __init__(self):
-        super().__init__(
-            "The Mags object you have specified is not supported: currently "
-            "only `quakemigrate_tpu.signal.local_mag.LocalMag` - see manual."
-        )
+        super().__init__()
 
 
-class NoTriggerFilesFound(Exception):
-    """No trigger files were found during locate."""
+class LUTPhasesException(QMError):
+    detail = "{0}"
+
+
+class PickOrderException(QMError):
+    detail = (
+        "The P-phase arrival-time pick is later than the S-phase arrival "
+        "pick! Something has gone wrong.\nEvent: {0}, station: "
+        "{1}, p_pick: {2}, s_pick: {3}."
+    )
+
+
+class MagsTypeError(QMError):
+    detail = (
+        "The Mags object you have specified is not supported: currently "
+        "only `quakemigrate_tpu.signal.local_mag.LocalMag` - see manual."
+    )
 
     def __init__(self):
-        super().__init__(
-            "Double check you have supplied a valid run name and a time "
-            "period for which you have run detect."
-        )
+        super().__init__()
 
 
-class ResponseNotFoundError(Exception):
-    """The response inventory doesn't contain a response for this trace."""
+class NoTriggerFilesFound(QMError):
+    detail = (
+        "Double check you have supplied a valid run name and a time "
+        "period for which you have run detect."
+    )
 
-    def __init__(self, e, tr_id):
-        super().__init__(f"{e} -- skipping {tr_id}")
-
-
-class ResponseRemovalError(Exception):
-    """The response removal was not successful."""
-
-    def __init__(self, e, tr_id):
-        super().__init__(f"{e} -- skipping {tr_id}")
+    def __init__(self):
+        super().__init__()
 
 
-class NyquistException(Exception):
-    """The filter has a corner above the Nyquist frequency."""
-
-    def __init__(self, freqmax, f_nyquist, tr_id):
-        super().__init__(
-            f"    Selected bandpass_highcut {freqmax} Hz is at or above the "
-            f"Nyquist frequency ({f_nyquist} Hz) for trace {tr_id}. "
-        )
+class ResponseNotFoundError(QMError):
+    detail = "{0} -- skipping {1}"
 
 
-class PeakToTroughError(Exception):
-    """Anomalous set of peaks/troughs when measuring an amplitude."""
+class ResponseRemovalError(QMError):
+    detail = "{0} -- skipping {1}"
+
+
+class NyquistException(QMError):
+    detail = (
+        "    Selected bandpass_highcut {0} Hz is at or above the "
+        "Nyquist frequency ({1} Hz) for trace {2}. "
+    )
+
+
+class PeakToTroughError(QMError):
+    detail = "{0}"
 
     def __init__(self, err):
         super().__init__(err)
         self.msg = err
 
 
-class TimeSpanException(Exception):
-    """The start time specified is after the end time."""
+class TimeSpanException(QMError):
+    detail = "The start time specified is after the end time."
 
     def __init__(self):
-        super().__init__("The start time specified is after the end time.")
+        super().__init__()
 
 
-class InvalidTriggerThresholdMethodException(Exception):
-    """An invalid trigger threshold method was selected."""
-
-    def __init__(self):
-        super().__init__(
-            "Only 'static', 'mad' or 'median_ratio' thresholds are supported."
-        )
-
-
-class InvalidPickThresholdMethodException(Exception):
-    """An invalid pick threshold method was selected."""
+class InvalidTriggerThresholdMethodException(QMError):
+    detail = "Only 'static', 'mad' or 'median_ratio' thresholds are supported."
 
     def __init__(self):
-        super().__init__("Only 'percentile' or 'MAD' thresholds are supported.")
+        super().__init__()
+
+
+class InvalidPickThresholdMethodException(QMError):
+    detail = "Only 'percentile' or 'MAD' thresholds are supported."
+
+    def __init__(self):
+        super().__init__()
