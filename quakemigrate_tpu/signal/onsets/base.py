@@ -1,108 +1,94 @@
 # -*- coding: utf-8 -*-
 """
-Onset function base class and the OnsetData container.
+Abstract interface for onset (characteristic) function generators, plus the
+OnsetData result container.
 
-The pad logic (taper-aware pre/post padding of each scan window) follows
-the reference exactly (quakemigrate/signal/onsets/base.py:64-93) since it
-sets the scan-window geometry that output parity depends on.
+The window-padding arithmetic reproduces the reference semantics
+(quakemigrate/signal/onsets/base.py:64-93) — pads set the scan-window
+geometry that output parity depends on — with the taper allowance computed
+once and shared by both pads.
 
 """
 
-from abc import ABC, abstractmethod
+import abc
+from dataclasses import dataclass
+from math import ceil
 
-import numpy as np
-
-import quakemigrate_tpu.util as util
+from quakemigrate_tpu.util import trim2sample
 
 
-class Onset(ABC):
-    """Abstract base for onset (characteristic) function generators."""
+class Onset(metaclass=abc.ABCMeta):
+    """
+    Base class for onset generators. Subclasses implement
+    :meth:`calculate_onsets` and normally override the ``pre_pad`` /
+    ``post_pad`` properties with values derived from their window lengths;
+    the base exposes them as plain read/write views of ``_pre_pad`` /
+    ``_post_pad``.
+
+    """
 
     def __init__(self, **kwargs):
-        self.sampling_rate = kwargs.get("sampling_rate")
+        try:
+            self.sampling_rate = kwargs["sampling_rate"]
+        except KeyError:
+            raise ValueError("Must specify 'sampling_rate' for any Onset.")
         if self.sampling_rate is None:
             raise ValueError("Must specify 'sampling_rate' for any Onset.")
-
-        self._pre_pad = 0
-        self._post_pad = 0
+        self._pre_pad, self._post_pad = 0, 0
 
     def __str__(self):
-        return "Base Onset object - add a __str__ method to your Onset class"
+        return f"{type(self).__name__} onset (no __str__ provided)"
+
+    pre_pad = property(
+        lambda self: self._pre_pad,
+        lambda self, value: setattr(self, "_pre_pad", value),
+    )
+    post_pad = property(
+        lambda self: self._post_pad,
+        lambda self, value: setattr(self, "_post_pad", value),
+    )
 
     def pad(self, timespan):
         """
-        Pre/post pads for a scan window of length ``timespan``, including
-        an extra ceil(6%) of the padded window for the cosine taper.
+        Taper-aware (pre, post) pads in seconds for a scan window of length
+        ``timespan``: each pad is the onset's own requirement plus 6%
+        (rounded up) of the fully padded window, trimmed onto the sample/ms
+        grid.
 
         """
 
-        timespan += self.pre_pad + self.post_pad
-        pre_pad = util.trim2sample(
-            self.pre_pad + np.ceil(timespan * 0.06), self.sampling_rate
+        taper_allowance = ceil((timespan + self.pre_pad + self.post_pad) * 0.06)
+        return tuple(
+            trim2sample(base + taper_allowance, self.sampling_rate)
+            for base in (self.pre_pad, self.post_pad)
         )
-        post_pad = util.trim2sample(
-            self.post_pad + np.ceil(timespan * 0.06), self.sampling_rate
-        )
-
-        return pre_pad, post_pad
 
     def gaussian_halfwidth(self, phase):
-        """Estimate of the Gaussian half-width for the phase picker."""
+        """Gaussian half-width hint for the picker; custom onsets must provide it."""
 
         raise AttributeError(
-            "In order to use the GaussianPicker module with a custom Onset, "
-            "you need to provide a 'gaussian_halfwidth' method."
+            "GaussianPicker needs a 'gaussian_halfwidth' method on the Onset; "
+            "custom Onset classes must implement one to be pickable."
         )
 
-    @abstractmethod
+    @abc.abstractmethod
     def calculate_onsets(self, data, timespan=None):
-        """Calculate onset functions. Returns (onsets, OnsetData)."""
-
-    @property
-    @abstractmethod
-    def pre_pad(self):
-        return self._pre_pad
-
-    @pre_pad.setter
-    @abstractmethod
-    def pre_pad(self, value):
-        self._pre_pad = value
-
-    @property
-    @abstractmethod
-    def post_pad(self):
-        return self._post_pad
-
-    @post_pad.setter
-    @abstractmethod
-    def post_pad(self, value):
-        self._post_pad = value
+        """Compute onset functions; returns ``(onsets, OnsetData)``."""
 
 
+@dataclass
 class OnsetData:
     """
-    Encapsulates the output of an onset calculation: onset functions per
-    station/phase, pre-processed waveforms, and availability.
+    Result of one onset calculation: per-station/phase onset functions, the
+    pre-processed waveforms they came from, and the availability record.
 
     """
 
-    def __init__(
-        self,
-        onsets,
-        phases,
-        channel_maps,
-        filtered_waveforms,
-        availability,
-        starttime,
-        endtime,
-        sampling_rate,
-    ):
-        self.onsets = onsets
-        self.phases = phases
-        self.channel_maps = channel_maps
-        self.filtered_waveforms = filtered_waveforms
-        self.availability = availability
-
-        self.starttime = starttime
-        self.endtime = endtime
-        self.sampling_rate = sampling_rate
+    onsets: dict
+    phases: list
+    channel_maps: dict
+    filtered_waveforms: object
+    availability: dict
+    starttime: object
+    endtime: object
+    sampling_rate: float
