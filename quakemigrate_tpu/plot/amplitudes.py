@@ -103,7 +103,7 @@ def plot_amplitudes_vs_distance(magnitude, magnitudes, event, run,
     mag_lower = mag - mag_err
 
     distances = np.linspace(dist_min, dist_max, 10000)
-    att = magnitude._get_attenuation(distances)
+    att = magnitude._attenuation(distances)
 
     predicted_amp = np.power(10, (mag - att))
     predicted_amp_upper = np.power(10, (mag_upper - att))

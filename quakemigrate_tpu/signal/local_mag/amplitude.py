@@ -1,14 +1,14 @@
 # -*- coding: utf-8 -*-
 """
-Wood-Anderson corrected waveform amplitude measurement for local magnitude
-calculation.
+Wood-Anderson amplitude measurement for local magnitudes.
 
-Follows the reference algorithm (signal/local_mag/amplitude.py:174-1051):
-simulate Wood-Anderson displacement waveforms, measure the maximum half
-peak-to-trough amplitude (in millimetres) in P and S windows derived from
-picks-or-modelled arrival times +/- marginal window +/- traveltime
-uncertainty, correct for optional filter gain via the filter's frequency
-response, and measure noise amplitude in a pre-P window.
+Reproduces the reference measurement semantics
+(quakemigrate/signal/local_mag/amplitude.py:174-1051): per component, the
+maximum half peak-to-trough amplitude (millimetres) inside P and S windows
+built from picked-or-modelled arrival times ± marginal window ± a traveltime
+fraction; an average (RMS/STD/ENV) signal amplitude; a pre-P noise
+amplitude; and, when a measurement filter is applied, a gain correction read
+off the filter's frequency response at the observed frequency.
 
 """
 
@@ -40,98 +40,130 @@ AMPS_COLS = [
     "is_picked",
 ]
 
+# Sentinels for pick resolution: a phase with no row in the picks table vs a
+# pick attempt that failed (recorded as -1 by the picker).
+_NO_ONSET = "absent"
+_PICK_FAILED = "failed"
+
+# Component selectors, in the row order of the .amps file.
+_COMPONENT_ORDER = ("[E,2]", "[N,1]", "Z")
+
+
+def _mean_amplitude_mm(data, method):
+    """Average amplitude of a data vector, converted to millimetres."""
+
+    if method == "RMS":
+        level = np.sqrt(np.mean(data * data))
+    elif method == "STD":
+        level = np.std(data)
+    elif method == "ENV":
+        level = np.mean(np.abs(hilbert(data)))
+    else:
+        raise NotImplementedError(
+            "Only 'RMS', 'STD' and 'ENV' are available currently."
+        )
+    return 1000.0 * level
+
 
 class Amplitude:
     """
-    Measures Wood-Anderson corrected waveform amplitudes.
+    Measures Wood-Anderson corrected amplitudes for every component of every
+    station in the lookup table, for one located event.
 
-    Parameters (via the ``amplitude_params`` dict): signal_window,
-    noise_window, noise_measure ("RMS"/"STD"/"ENV"), loc_method,
-    highpass_filter/highpass_freq or bandpass_filter/bandpass_lowcut/
-    bandpass_highcut, filter_corners, prominence_multiplier.
+    ``amplitude_params`` keys: signal_window, noise_window, noise_measure
+    ("RMS"/"STD"/"ENV"), loc_method, prominence_multiplier, and either
+    highpass_filter+highpass_freq or bandpass_filter+bandpass_lowcut+
+    bandpass_highcut, with filter_corners.
 
     """
 
     def __init__(self, amplitude_params=None):
-        amplitude_params = amplitude_params or {}
+        params = dict(amplitude_params or {})
 
-        if "signal_window" not in amplitude_params:
+        if "signal_window" not in params:
             logging.warning(
                 "Warning: 'signal_window' not specified. Set to default: 0"
             )
-        self.signal_window = amplitude_params.get("signal_window", 0.0)
+        self.signal_window = params.get("signal_window", 0.0)
+        self.noise_window = params.get("noise_window", 5.0)
+        self.noise_measure = params.get("noise_measure", "RMS")
+        self.prominence_multiplier = params.get("prominence_multiplier", 0.0)
+        self.loc_method = params.get("loc_method", "spline")
+        self.filter_corners = params.get("filter_corners", 4)
 
-        self.noise_window = amplitude_params.get("noise_window", 5.0)
-        self.noise_measure = amplitude_params.get("noise_measure", "RMS")
-
-        self.prominence_multiplier = amplitude_params.get(
-            "prominence_multiplier", 0.0
-        )
-        self.loc_method = amplitude_params.get("loc_method", "spline")
-
-        self.highpass_filter = amplitude_params.get("highpass_filter", False)
-        if self.highpass_filter:
-            try:
-                self.highpass_freq = amplitude_params["highpass_freq"]
-            except KeyError as e:
-                raise AttributeError(
-                    f"Highpass filter frequency not specified! {e}"
-                )
-
-        self.bandpass_filter = amplitude_params.get("bandpass_filter", False)
-        if self.bandpass_filter:
-            self.bandpass_lowcut = amplitude_params.get("bandpass_lowcut")
-            self.bandpass_highcut = amplitude_params.get("bandpass_highcut")
-            if self.bandpass_lowcut is None or self.bandpass_highcut is None:
-                raise AttributeError("Bandpass filter frequencies not specified!")
-        self.filter_corners = amplitude_params.get("filter_corners", 4)
-
+        self.highpass_filter = params.get("highpass_filter", False)
+        self.bandpass_filter = params.get("bandpass_filter", False)
         if self.highpass_filter and self.bandpass_filter:
             raise AttributeError(
                 "Both bandpass filter *and* highpass filter selected! "
                 "Please choose one or the other."
             )
+        if self.highpass_filter:
+            if "highpass_freq" not in params:
+                raise AttributeError(
+                    "Highpass filter frequency not specified! 'highpass_freq'"
+                )
+            self.highpass_freq = params["highpass_freq"]
+        if self.bandpass_filter:
+            self.bandpass_lowcut = params.get("bandpass_lowcut")
+            self.bandpass_highcut = params.get("bandpass_highcut")
+            if None in (self.bandpass_lowcut, self.bandpass_highcut):
+                raise AttributeError("Bandpass filter frequencies not specified!")
 
     def __str__(self):
-        out = (
-            "\t    Amplitude parameters:\n"
-            f"\t\tSignal window    = {self.signal_window} s\n"
-            f"\t\tNoise window     = {self.noise_window} s\n"
-            f"\t\tNoise measure    = {self.noise_measure}\n"
-            f"\t\tLocation used    = {self.loc_method}\n"
-        )
+        lines = [
+            "\t    Amplitude parameters:",
+            f"\t\tSignal window    = {self.signal_window} s",
+            f"\t\tNoise window     = {self.noise_window} s",
+            f"\t\tNoise measure    = {self.noise_measure}",
+            f"\t\tLocation used    = {self.loc_method}",
+        ]
         if self.prominence_multiplier != 0.0:
-            out += f"\t\tProminence multiplier = {self.prominence_multiplier}\n"
+            lines.append(
+                f"\t\tProminence multiplier = {self.prominence_multiplier}"
+            )
         if self.highpass_filter:
-            out += (
-                "\t\tHighpass filter: \n"
-                f"\t\t    Filter frequency = {self.highpass_freq} Hz\n"
-                f"\t\t    Filter corners   = {self.filter_corners}\n"
-            )
+            lines += [
+                "\t\tHighpass filter: ",
+                f"\t\t    Filter frequency = {self.highpass_freq} Hz",
+                f"\t\t    Filter corners   = {self.filter_corners}",
+            ]
         elif self.bandpass_filter:
-            out += (
-                "\t\tBandpass filter: \n"
-                f"\t\t    Lowcut frequency  = {self.bandpass_lowcut} Hz\n"
-                f"\t\t    Highcut frequency = {self.bandpass_highcut} Hz\n"
-                f"\t\t    Filter corners    = {self.filter_corners}\n"
-            )
+            lines += [
+                "\t\tBandpass filter: ",
+                f"\t\t    Lowcut frequency  = {self.bandpass_lowcut} Hz",
+                f"\t\t    Highcut frequency = {self.bandpass_highcut} Hz",
+                f"\t\t    Filter corners    = {self.filter_corners}",
+            ]
+        return "\n".join(lines) + "\n"
 
-        return out
+    @property
+    def _filtering(self):
+        return self.bandpass_filter or self.highpass_filter
+
+    def pad(self, marginal_window, max_tt, fraction_tt):
+        """Pre/post pads (s) for the amplitude read, with 6% taper headroom."""
+
+        before = self.noise_window + marginal_window
+        after = self.signal_window + max_tt * (1 + fraction_tt) + marginal_window
+        taper = np.ceil((before + after) * 0.06)
+        return before + taper, after + taper
+
+    # -- the main measurement loop ----------------------------------------
 
     @util.timeit()
     def get_amplitudes(self, event, lut):
         """
-        Measure P/S amplitudes for each component of each station; returns
-        a DataFrame indexed by trace id (see AMPS_COLS for schema).
+        Build the amplitude observation table (one row per component, indexed
+        by trace id; schema = AMPS_COLS) for a located event.
 
         """
 
-        ev_loc = event.get_hypocentre(self.loc_method)
-
-        event_ijk = lut.index2coord(ev_loc, inverse=True)[0]
+        hypocentre = event.get_hypocentre(self.loc_method)
+        ijk = lut.index2coord(hypocentre, inverse=True)[0]
         try:
-            p_ttimes = lut.traveltime_to("P", event_ijk)
-            s_ttimes = lut.traveltime_to("S", event_ijk)
+            tt_p = lut.traveltime_to("P", ijk)
+            tt_s = lut.traveltime_to("S", ijk)
         except (KeyError, TypeError):
             raise util.LUTPhasesException(
                 "Both P and S traveltimes are required to measure phase "
@@ -139,385 +171,310 @@ class Amplitude:
                 "a new lookup table with phases=['P', 'S']"
             )
 
-        max_tt = lut.max_traveltime
-        pre_pad, post_pad = self.pad(
-            event.marginal_window, max_tt, lut.fraction_tt
+        before, after = self.pad(
+            event.marginal_window, lut.max_traveltime, lut.fraction_tt
         )
-        tr_start = event.otime - pre_pad
-        tr_end = event.otime + post_pad
+        read_start, read_end = event.otime - before, event.otime + after
 
-        rows = {}
-        for i, station_data in lut.station_data.iterrows():
-            station = station_data["Name"]
-
-            epi_dist, z_dist = self._get_distances(
-                ev_loc, station_data, lut.unit_conversion_factor
+        records = []
+        for idx, (_, station_row) in enumerate(lut.station_data.iterrows()):
+            station = station_row["Name"]
+            epi, dz = self._distances(
+                hypocentre, station_row, lut.unit_conversion_factor
             )
 
-            amps_template = [
-                "", epi_dist, z_dist,
-                np.nan, np.nan, np.nan, np.nan, np.nan,
-                np.nan, np.nan, np.nan, np.nan, np.nan,
-                np.nan, False,
-            ]
+            gather = event.data.raw_waveforms.select(station=station).copy()
+            gather.trim(starttime=read_start, endtime=read_end)
 
-            st = event.data.raw_waveforms.select(station=station).copy()
-            st.trim(starttime=tr_start, endtime=tr_end)
+            for selector in _COMPONENT_ORDER:
+                record = dict.fromkeys(AMPS_COLS, np.nan)
+                record.update(epi_dist=epi, z_dist=dz, is_picked=False)
 
-            for j, comp in enumerate(["[E,2]", "[N,1]", "Z"]):
-                amps = amps_template.copy()
-                tr = st.select(component=comp)
-                if (
-                    bool(tr)
-                    and len(tr) == 1
-                    and tr[0].stats.starttime < (tr_start + tr[0].stats.delta)
-                    and tr[0].stats.endtime > (tr_end - tr[0].stats.delta)
-                ):
-                    tr = tr[0]
-                else:
-                    amps[0] = f".{station}..{comp}"
-                    rows[i * 3 + j] = amps
-                    continue
-
-                amps[0] = tr.id
-
-                try:
-                    tr = event.data.get_wa_waveform(tr, velocity=False)
-                except (
-                    util.ResponseNotFoundError,
-                    util.ResponseRemovalError,
-                ) as e:
-                    logging.warning(str(e))
-                    rows[i * 3 + j] = amps
-                    continue
-
-                if self.bandpass_filter or self.highpass_filter:
-                    filter_sos = self._filter_trace(tr)
-                else:
-                    filter_sos = None
-
-                try:
-                    windows, picked = self._get_amplitude_windows(
-                        station, i, event, p_ttimes, s_ttimes, lut.fraction_tt
-                    )
-                    amps[14] = picked
-                except util.PickOrderException as e:
-                    logging.warning(f"{e}")
-                    rows[i * 3 + j] = amps
-                    continue
-
-                amps = self._measure_signal_amps(
-                    amps, tr, windows, self.noise_measure, filter_sos
+                trace = self._usable_trace(
+                    gather.select(component=selector), read_start, read_end
                 )
+                if trace is None:
+                    record["id"] = f".{station}..{selector}"
+                    records.append(record)
+                    continue
+                record["id"] = trace.id
 
-                amps[13] = self._measure_noise_amp(tr, windows,
-                                                   self.noise_measure)
+                try:
+                    trace = event.data.get_wa_waveform(trace, velocity=False)
+                except (util.ResponseNotFoundError, util.ResponseRemovalError) as err:
+                    logging.warning(str(err))
+                    records.append(record)
+                    continue
 
-                rows[i * 3 + j] = amps
+                sos = self._condition_trace(trace) if self._filtering else None
 
-        amplitudes = pd.DataFrame.from_dict(
-            rows, orient="index", columns=AMPS_COLS
-        )
-        return amplitudes.set_index("id")
+                try:
+                    windows, record["is_picked"] = self._amplitude_windows(
+                        station, idx, event, tt_p, tt_s, lut.fraction_tt
+                    )
+                except util.PickOrderException as err:
+                    logging.warning(f"{err}")
+                    records.append(record)
+                    continue
+
+                self._observe_phases(record, trace, windows, sos)
+                record["Noise_amp"] = self._noise_level(trace, windows)
+                records.append(record)
+
+        table = pd.DataFrame.from_records(records, columns=AMPS_COLS)
+        return table.set_index("id")
 
     @staticmethod
-    def _get_distances(ev_loc, station_data, unit_conversion_factor):
-        """Epicentral and vertical distances (km) from event to station."""
+    def _usable_trace(candidates, read_start, read_end):
+        """The single trace covering the full read window, else None."""
 
-        stla, stlo, stel = station_data[
-            ["Latitude", "Longitude", "Elevation"]
-        ].values
-        evlo, evla, evdp = ev_loc
+        if len(candidates) != 1:
+            return None
+        trace = candidates[0]
+        tick = trace.stats.delta
+        covers = (
+            trace.stats.starttime < read_start + tick
+            and trace.stats.endtime > read_end - tick
+        )
+        return trace if covers else None
 
-        epi_dist = gps2dist_azimuth(evla, evlo, stla, stlo)[0] / 1000
+    @staticmethod
+    def _distances(hypocentre, station_row, unit_conversion_factor):
+        """(epicentral, vertical) source-station distances in km."""
 
-        km_cf = 1000 / unit_conversion_factor
-        z_dist = (evdp - stel) / km_cf  # stel is positive-down depth
+        lon, lat, depth = hypocentre
+        epi_m, *_ = gps2dist_azimuth(
+            lat, lon, station_row["Latitude"], station_row["Longitude"]
+        )
+        # Station elevations are stored positive-down (depth convention).
+        per_km = 1000 / unit_conversion_factor
+        return epi_m / 1000, (depth - station_row["Elevation"]) / per_km
 
-        return epi_dist, z_dist
+    # -- filtering ---------------------------------------------------------
 
-    def _filter_trace(self, tr):
-        """Apply the requested high/bandpass filter; return its SOS."""
+    def _condition_trace(self, trace):
+        """
+        Detrend/taper/filter the trace in place with the configured filter and
+        return the filter's SOS (for later gain correction). A bandpass whose
+        highcut reaches Nyquist degrades to a highpass at the lowcut.
+
+        """
+
+        nyquist = 0.5 * trace.stats.sampling_rate
+        trace.detrend("linear")
+        trace.taper(0.05, "cosine")
 
         if self.bandpass_filter:
-            try:
-                return self._bandpass_filter(tr)
-            except util.NyquistException as e:
-                logging.warning(f"\t{e} Applying a high-pass filter instead..")
-                return self._highpass_filter(tr)
-        return self._highpass_filter(tr)
+            low, high = self.bandpass_lowcut, self.bandpass_highcut
+            if high / nyquist - 1.0 > -1e-6:
+                logging.warning(
+                    f"\t{util.NyquistException(high, nyquist, trace.id)} "
+                    "Applying a high-pass filter instead.."
+                )
+            else:
+                trace.filter(
+                    "bandpass", freqmin=low, freqmax=high,
+                    corners=self.filter_corners, zerophase=False,
+                )
+                return iirfilter(
+                    N=self.filter_corners, Wn=[low / nyquist, high / nyquist],
+                    btype="bandpass", ftype="butter", output="sos",
+                )
+            corner = low
+        else:
+            corner = self.highpass_freq
 
-    def _bandpass_filter(self, tr):
-        freqmin = self.bandpass_lowcut
-        freqmax = self.bandpass_highcut
-        corners = self.filter_corners
-
-        f_nyquist = 0.5 * tr.stats.sampling_rate
-        high_f_crit = freqmax / f_nyquist
-        if high_f_crit - 1.0 > -1e-6:
-            raise util.NyquistException(freqmax, f_nyquist, tr.id)
-
-        tr.detrend("linear")
-        tr.taper(0.05, "cosine")
-        tr.filter(
-            "bandpass", freqmin=freqmin, freqmax=freqmax, corners=corners,
-            zerophase=False,
+        trace.filter(
+            "highpass", freq=corner, corners=self.filter_corners, zerophase=False
         )
-
         return iirfilter(
-            N=corners,
-            Wn=[freqmin / f_nyquist, high_f_crit],
-            btype="bandpass",
-            ftype="butter",
-            output="sos",
-        )
-
-    def _highpass_filter(self, tr):
-        filt_freq = (
-            self.bandpass_lowcut if self.bandpass_filter else self.highpass_freq
-        )
-        corners = self.filter_corners
-
-        f_nyquist = 0.5 * tr.stats.sampling_rate
-
-        tr.detrend("linear")
-        tr.taper(0.05, "cosine")
-        tr.filter("highpass", freq=filt_freq, corners=corners, zerophase=False)
-
-        return iirfilter(
-            N=corners, Wn=filt_freq / f_nyquist, btype="highpass",
+            N=self.filter_corners, Wn=corner / nyquist, btype="highpass",
             ftype="butter", output="sos",
         )
 
-    def _get_amplitude_windows(self, station, i, event, p_ttimes, s_ttimes,
-                               fraction_tt):
+    # -- window construction -----------------------------------------------
+
+    def _amplitude_windows(self, station, idx, event, tt_p, tt_s, fraction_tt):
         """
-        [[P_start, P_end], [S_start, S_end]] measurement windows around the
-        picked-or-modelled arrival times, with overlap resolution.
+        ((P_start, P_end), (S_start, S_end)) measurement windows and the
+        is_picked flag. Overlapping windows are split at the midpoint; when
+        the inter-phase gap is shorter than the signal window the P window
+        ends at the S window start.
 
         """
 
-        p_pick, s_pick, picked = self._get_picks(station, event)
+        p_time, s_time, picked = self._arrival_times(station, idx, event, tt_p, tt_s)
+        if not p_time < s_time:
+            raise util.PickOrderException(event.uid, station, p_time, s_time)
 
-        for pick, phase in [[p_pick, "P"], [s_pick, "S"]]:
-            if not isinstance(pick, UTCDateTime):
-                if pick == "-1":
-                    if phase == "P":
-                        p_pick = event.otime + p_ttimes[i]
-                    else:
-                        s_pick = event.otime + s_ttimes[i]
-                elif pick == f"No {phase} onset":
-                    logging.debug(
-                        f"No onset available when picking {phase} on "
-                        f"{station}. Using modelled arrival times."
-                    )
-                    p_pick = event.otime + p_ttimes[i]
-                    s_pick = event.otime + s_ttimes[i]
-                    break
+        p_slack = event.marginal_window + tt_p[idx] * fraction_tt
+        s_slack = event.marginal_window + tt_s[idx] * fraction_tt
+        p_lo, p_hi = p_time - p_slack, p_time + p_slack
+        s_lo = s_time - s_slack
+        s_hi = s_time + s_slack + self.signal_window
 
-        if not p_pick < s_pick:
-            raise util.PickOrderException(event.uid, station, p_pick, s_pick)
-
-        p_start = p_pick - event.marginal_window - p_ttimes[i] * fraction_tt
-        p_end = p_pick + event.marginal_window + p_ttimes[i] * fraction_tt
-        s_start = s_pick - event.marginal_window - s_ttimes[i] * fraction_tt
-        s_end = (
-            s_pick
-            + event.marginal_window
-            + s_ttimes[i] * fraction_tt
-            + self.signal_window
-        )
-
-        if s_start < p_end:
-            mid_time = p_end + (s_start - p_end) / 2
-            windows = [[p_start, mid_time], [mid_time, s_end]]
-        elif s_start - p_end < self.signal_window:
-            windows = [[p_start, s_start], [s_start, s_end]]
+        if s_lo < p_hi:
+            midpoint = p_hi + (s_lo - p_hi) / 2
+            windows = ((p_lo, midpoint), (midpoint, s_hi))
+        elif s_lo - p_hi < self.signal_window:
+            windows = ((p_lo, s_lo), (s_lo, s_hi))
         else:
-            windows = [[p_start, p_end + self.signal_window], [s_start, s_end]]
-
+            windows = ((p_lo, p_hi + self.signal_window), (s_lo, s_hi))
         return windows, picked
 
+    def _arrival_times(self, station, idx, event, tt_p, tt_s):
+        """
+        Picked arrival times where available, modelled otherwise. A phase
+        entirely absent from the picks table forces *both* phases onto
+        modelled times; a failed pick (-1) falls back individually.
+
+        """
+
+        p_state = self._lookup_pick(event, station, "P")
+        s_state = self._lookup_pick(event, station, "S")
+        picked = isinstance(p_state, UTCDateTime) or isinstance(s_state, UTCDateTime)
+
+        modelled_p = event.otime + tt_p[idx]
+        modelled_s = event.otime + tt_s[idx]
+
+        if _NO_ONSET in (p_state, s_state):
+            logging.debug(
+                f"Missing onset when picking on {station}. Using modelled "
+                "arrival times."
+            )
+            return modelled_p, modelled_s, picked
+
+        p_time = modelled_p if p_state is _PICK_FAILED else p_state
+        s_time = modelled_s if s_state is _PICK_FAILED else s_state
+        return p_time, s_time, picked
+
     @staticmethod
-    def _get_picks(station, event):
-        """Picked arrival times for a station, or sentinel strings."""
+    def _lookup_pick(event, station, phase):
+        """A UTCDateTime pick, _PICK_FAILED (-1 sentinel), or _NO_ONSET."""
 
         picks = event.picks["df"]
-        picks = picks.loc[picks["Station"] == station]
-        picked = False
+        picks = picks[picks["Station"] == station]
+        if picks.empty:
+            return _PICK_FAILED
+        column = picks.loc[picks["Phase"] == phase, "PickTime"]
+        if column.empty:
+            return _NO_ONSET
+        try:
+            return UTCDateTime(str(column.iloc[0]))
+        except ValueError:
+            return _PICK_FAILED
 
-        if len(picks) > 0:
-            try:
-                p_pick = picks.loc[picks["Phase"] == "P"]["PickTime"].iloc[0]
-                p_pick = UTCDateTime(str(p_pick))
-                picked = True
-            except IndexError:
-                p_pick = "No P onset"
-            except ValueError:
-                p_pick = "-1"
-            try:
-                s_pick = picks.loc[picks["Phase"] == "S"]["PickTime"].iloc[0]
-                s_pick = UTCDateTime(str(s_pick))
-                picked = True
-            except IndexError:
-                s_pick = "No S onset"
-            except ValueError:
-                s_pick = "-1"
-        else:
-            p_pick = s_pick = "-1"
+    # -- measurement --------------------------------------------------------
 
-        return p_pick, s_pick, picked
+    def _observe_phases(self, record, trace, windows, sos):
+        """Fill the P_*/S_* fields of ``record`` from the two windows."""
 
-    def _measure_signal_amps(self, amps, tr, windows, method="RMS",
-                             filter_sos=None):
-        """Measure max half p2t amplitude + freq + time in each window."""
-
-        for k, (start_time, end_time) in enumerate(windows):
-            window = tr.slice(start_time, end_time)
-            phase = ["P", "S"][k]
-
-            if not bool(window) or window.data.max() == window.data.min():
+        for phase, (w_start, w_end) in zip("PS", windows):
+            segment = trace.slice(w_start, w_end)
+            if not bool(segment) or segment.data.max() == segment.data.min():
                 logging.warning(
                     f"{phase} signal window doesn't contain any data for "
-                    f"trace {window.id}"
+                    f"trace {segment.id}"
                 )
                 continue
-            window.detrend("linear")
+            segment.detrend("linear")
 
             try:
-                half_amp, approx_freq, p2t_time = (
-                    self._peak_to_trough_amplitude(window)
-                )
-            except util.PeakToTroughError as e:
+                half_amp, freq, when = self._peak_to_trough(segment)
+            except util.PeakToTroughError as err:
                 logging.warning(
                     f"Amplitude measurement failed in {phase} signal window "
-                    f"for trace {window.id}: {e.msg}"
+                    f"for trace {segment.id}: {err.msg}"
                 )
                 continue
 
-            average_amp = self._average_amplitude(window, method)
+            avg_amp = _mean_amplitude_mm(segment.data, self.noise_measure)
 
-            filter_gain = None
-            if self.bandpass_filter or self.highpass_filter:
-                _, filter_gain = sosfreqz(
-                    filter_sos, worN=[approx_freq], fs=tr.stats.sampling_rate
+            gain = None
+            if self._filtering:
+                _, response = sosfreqz(
+                    sos, worN=[freq], fs=trace.stats.sampling_rate
                 )
-                filter_gain = np.abs(filter_gain[0])
-                if not filter_gain:
+                gain = np.abs(response[0])
+                if not gain:
                     logging.info(
-                        f"\t    Warning: Invalid frequency ({approx_freq:.5g}"
-                        f" Hz) for {phase}_amp measurement on:\n\t\t{tr}"
+                        f"\t    Warning: Invalid frequency ({freq:.5g}"
+                        f" Hz) for {phase}_amp measurement on:\n\t\t{trace}"
                     )
                     continue
-                half_amp /= filter_gain
-                average_amp /= filter_gain
+                half_amp /= gain
+                avg_amp /= gain
 
-            amps[3 + k * 5 : 8 + k * 5] = (
-                half_amp, approx_freq, p2t_time, average_amp, filter_gain,
-            )
+            record[f"{phase}_amp"] = half_amp
+            record[f"{phase}_freq"] = freq
+            record[f"{phase}_time"] = when
+            record[f"{phase}_avg_amp"] = avg_amp
+            record[f"{phase}_filter_gain"] = gain
 
-        return amps
+    def _noise_level(self, trace, windows):
+        """Average amplitude (mm) in the noise window ending at P onset."""
 
-    def _peak_to_trough_amplitude(self, trace):
-        """
-        Maximum half peak-to-trough amplitude (mm), its approximate
-        frequency (from the p2t half-period) and observation time.
-
-        """
-
-        prominence = self.prominence_multiplier * np.max(np.abs(trace.data))
-        peaks, _ = find_peaks(trace.data, prominence=prominence)
-        troughs, _ = find_peaks(-trace.data, prominence=prominence)
-
-        full_amp = None
-        if len(peaks) == 0 or len(troughs) == 0:
-            raise util.PeakToTroughError("No peaks or troughs found!")
-        elif len(peaks) == 1 and len(troughs) == 1:
-            full_amp = np.abs(trace.data[peaks] - trace.data[troughs])[0]
-            pos = 0
-        elif len(peaks) == len(troughs):
-            if peaks[0] < troughs[0]:
-                a, b, c, d = peaks, troughs, peaks[1:], troughs[:-1]
-            else:
-                a, b, c, d = peaks, troughs, peaks[:-1], troughs[1:]
-        elif not np.abs(len(peaks) - len(troughs)) == 1:
-            raise util.PeakToTroughError("Consecutive peaks/troughs!")
-        elif len(peaks) > len(troughs):
-            if not peaks[0] < troughs[0]:
-                raise util.PeakToTroughError("Consecutive peaks/troughs!")
-            a, b, c, d = peaks[:-1], troughs, peaks[1:], troughs
-        else:
-            if not peaks[0] > troughs[0]:
-                raise util.PeakToTroughError("Consecutive peaks/troughs!")
-            a, b, c, d = peaks, troughs[1:], peaks, troughs[:-1]
-
-        if not full_amp:
-            fp1 = np.abs(trace.data[a] - trace.data[b])
-            fp2 = np.abs(trace.data[c] - trace.data[d])
-            if np.max(fp1) >= np.max(fp2):
-                pos = np.argmax(fp1)
-                full_amp = np.max(fp1)
-                peaks, troughs = a, b
-            else:
-                pos = np.argmax(fp2)
-                full_amp = np.max(fp2)
-                peaks, troughs = c, d
-
-        peak_time = trace.times()[peaks[pos]]
-        trough_time = trace.times()[troughs[pos]]
-        p2t_time = (
-            trace.stats.starttime + peak_time + (trough_time - peak_time) / 2
-        )
-
-        approx_freq = 1.0 / (np.abs(peak_time - trough_time) * 2.0)
-
-        # Local magnitude is defined from zero-to-peak amplitude in mm
-        half_amp = full_amp * 1000 / 2
-
-        return half_amp, approx_freq, p2t_time
-
-    def _measure_noise_amp(self, tr, windows, method="RMS"):
-        """Average amplitude (mm) in the pre-P noise window."""
-
-        p_start = windows[0][0]
-        noise = tr.slice(p_start - self.noise_window, p_start)
-
-        if not bool(noise) or noise.data.max() == noise.data.min():
+        p_window_start = windows[0][0]
+        segment = trace.slice(p_window_start - self.noise_window, p_window_start)
+        if not bool(segment) or segment.data.max() == segment.data.min():
             logging.warning(
-                f"Noise window doesn't contain any data for trace {noise.id}"
+                f"Noise window doesn't contain any data for trace {segment.id}"
             )
             return np.nan
+        segment.detrend("linear")
+        return _mean_amplitude_mm(segment.data, self.noise_measure)
 
-        noise.detrend("linear")
-        return self._average_amplitude(noise, method)
+    def _peak_to_trough(self, trace):
+        """
+        (half peak-to-trough amplitude in mm, approximate frequency, centre
+        time) of the largest adjacent peak-trough swing.
 
-    @staticmethod
-    def _average_amplitude(trace, method):
-        """Average amplitude of a trace, in millimetres."""
+        Peaks and troughs are paired by index alignment; depending on which
+        extremum comes first and the count difference, one or two candidate
+        pairings exist (see table below) and the swing is maximised over
+        both. Pathological sequences raise PeakToTroughError.
 
-        if method == "RMS":
-            amp = np.sqrt(np.mean(np.square(trace.data)))
-        elif method == "STD":
-            amp = np.std(trace.data)
-        elif method == "ENV":
-            amp = np.mean(np.abs(hilbert(trace.data)))
+        """
+
+        floor = self.prominence_multiplier * np.max(np.abs(trace.data))
+        peaks, _ = find_peaks(trace.data, prominence=floor)
+        troughs, _ = find_peaks(-trace.data, prominence=floor)
+        n_p, n_t = len(peaks), len(troughs)
+
+        if n_p == 0 or n_t == 0:
+            raise util.PeakToTroughError("No peaks or troughs found!")
+
+        # Candidate (peak_indices, trough_indices) alignments.
+        if n_p == 1 and n_t == 1:
+            pairings = [(peaks, troughs)]
+        elif n_p == n_t:
+            if peaks[0] < troughs[0]:
+                pairings = [(peaks, troughs), (peaks[1:], troughs[:-1])]
+            else:
+                pairings = [(peaks, troughs), (peaks[:-1], troughs[1:])]
+        elif abs(n_p - n_t) != 1:
+            raise util.PeakToTroughError("Consecutive peaks/troughs!")
+        elif n_p > n_t:
+            if peaks[0] >= troughs[0]:
+                raise util.PeakToTroughError("Consecutive peaks/troughs!")
+            pairings = [(peaks[:-1], troughs), (peaks[1:], troughs)]
         else:
-            raise NotImplementedError(
-                "Only 'RMS', 'STD' and 'ENV' are available currently."
-            )
+            if peaks[0] <= troughs[0]:
+                raise util.PeakToTroughError("Consecutive peaks/troughs!")
+            pairings = [(peaks, troughs[1:]), (peaks, troughs[:-1])]
 
-        return amp * 1000.0
+        best = None
+        for pk, tr_ in pairings:
+            swings = np.abs(trace.data[pk] - trace.data[tr_])
+            top = int(np.argmax(swings))
+            if best is None or swings[top] > best[0]:
+                best = (swings[top], pk[top], tr_[top])
 
-    def pad(self, marginal_window, max_tt, fraction_tt):
-        """Taper-aware pre/post pads for the amplitude windows."""
+        full_amp, peak_idx, trough_idx = best
+        t_axis = trace.times()
+        t_peak, t_trough = t_axis[peak_idx], t_axis[trough_idx]
+        centre = trace.stats.starttime + t_peak + (t_trough - t_peak) / 2
+        frequency = 0.5 / np.abs(t_peak - t_trough)
 
-        pre_pad = self.noise_window + marginal_window
-        post_pad = (
-            self.signal_window + max_tt * (1 + fraction_tt) + marginal_window
-        )
-
-        timespan = pre_pad + post_pad
-        pre_pad += np.ceil(timespan * 0.06)
-        post_pad += np.ceil(timespan * 0.06)
-
-        return pre_pad, post_pad
+        # ML uses zero-to-peak amplitude, reported in millimetres.
+        return full_amp * 1000 / 2, frequency, centre

@@ -1,7 +1,10 @@
 # -*- coding: utf-8 -*-
 """
-LocalMag: facade combining Wood-Anderson amplitude measurement and local
-magnitude calculation (reference: signal/local_mag/local_mag.py:141-208).
+LocalMag ties together the two halves of the magnitude pipeline — amplitude
+measurement (:class:`Amplitude`) and magnitude estimation
+(:class:`Magnitude`) — behind the single ``calc_magnitude`` entry point that
+QuakeScan.locate calls per event (reference:
+signal/local_mag/local_mag.py:141-208).
 
 """
 
@@ -9,68 +12,64 @@ import logging
 
 import numpy as np
 
-import quakemigrate_tpu.util as util
 from quakemigrate_tpu.io import write_amplitudes
+from quakemigrate_tpu.util import timeit
+
 from .amplitude import Amplitude
 from .magnitude import Magnitude
 
 
 class LocalMag:
     """
-    Measures Wood-Anderson corrected amplitudes and calculates a
-    network-averaged local magnitude estimate for each located event.
+    Per-event local magnitude driver: measure Wood-Anderson amplitudes,
+    estimate per-trace and network-mean ML, write the .amps file, and attach
+    the result to the event.
 
     """
 
     def __init__(self, amp_params, mag_params, plot_amplitudes=True):
-        self.amp = Amplitude(amp_params)
-        self.mag = Magnitude(mag_params)
+        self.amp, self.mag = Amplitude(amp_params), Magnitude(mag_params)
         self.plot = plot_amplitudes
 
     def __str__(self):
-        out = (
+        parts = [
             "\tCalculating local magnitudes from Wood-Anderson corrected "
-            "amplitude observations\n"
-        )
-        out += str(self.amp)
-        out += str(self.mag)
+            "amplitude observations\n",
+            str(self.amp),
+            str(self.mag),
+        ]
+        return "".join(parts)
 
-        return out
-
-    @util.timeit("info")
+    @timeit("info")
     def calc_magnitude(self, event, lut, run):
         """
-        Measure amplitudes, calculate per-trace magnitudes, write the .amps
-        file, and attach the network-mean magnitude to the event.
-
-        Returns (event, mean magnitude).
+        Full magnitude chain for one located event; returns
+        ``(event, network_mean_ML)``. Events with no usable amplitude
+        observations get NaN magnitudes but still produce an .amps file.
 
         """
 
-        amps = self.amp.get_amplitudes(event, lut)
+        observations = self.amp.get_amplitudes(event, lut)
 
-        if amps[self.mag.amp_feature].isnull().all():
+        if observations[self.mag.amp_feature].isnull().all():
             logging.warning(
                 "\t\tNo amplitude measurements were made! Skipping magnitude "
                 "calculation"
             )
-            write_amplitudes(run, amps, event)
-            event.add_local_magnitude(np.nan, np.nan, np.nan)
-
+            write_amplitudes(run, observations, event)
+            event.add_local_magnitude(*[np.nan] * 3)
             return event, np.nan
 
-        mags = self.mag.calculate_magnitudes(amps)
+        with_mags = self.mag.calculate_magnitudes(observations)
+        write_amplitudes(run, with_mags, event)
 
-        write_amplitudes(run, mags, event)
+        network_mag, network_err, r2, with_mags = self.mag.mean_magnitude(with_mags)
+        event.add_local_magnitude(network_mag, network_err, r2)
 
-        mag, mag_err, mag_r2, mags = self.mag.mean_magnitude(mags)
-
-        event.add_local_magnitude(mag, mag_err, mag_r2)
-
-        if self.plot and mag is not np.nan and not np.isnan(mag):
+        if self.plot and np.isfinite(network_mag):
             self.mag.plot_amplitudes(
-                mags, event, run, lut.unit_conversion_factor,
+                with_mags, event, run, lut.unit_conversion_factor,
                 self.amp.noise_measure,
             )
 
-        return event, mag
+        return event, network_mag

@@ -1,14 +1,14 @@
 # -*- coding: utf-8 -*-
 """
-Local magnitude calculation from Wood-Anderson corrected amplitude
-measurements.
+Local magnitude estimation from Wood-Anderson amplitude observations.
 
-ML = log10(amp) + logA0(dist) + station_correction, with 8 built-in
-attenuation curves (Hutton-Boore, keir2006, Danakil2017,
-Greenfield2018_{askja,bardarbunga,comb}, Langston1998, UK) or a user
-callable; noise/trace/station/distance/pick filters; (weighted) network
-mean; and an r-squared goodness-of-fit of the predicted
-amplitude-vs-distance curve (reference: signal/local_mag/magnitude.py).
+Implements ``ML = log10(amp) + logA0(dist) + station_correction`` with the
+same eight published attenuation curves as the reference
+(quakemigrate/signal/local_mag/magnitude.py:645-706), expressed here as a
+coefficient table over the common functional form
+``a*log10(d/d0) + b*(d-d0) + c``; plus the observation filters, the
+(optionally weighted) network mean, and the amplitude-vs-distance r² quality
+metric (ref magnitude.py:403-424, 708-928).
 
 """
 
@@ -16,319 +16,306 @@ import logging
 
 import numpy as np
 
+# logA0 curves of the form a*log10(dist/d0) + b*(dist-d0) + c,
+# keyed by the published-curve name: (a, d0, b, c).
+_HINGE_CURVES = {
+    "keir2006": (1.196997, 17.0, 0.001066, 2.0),
+    "Danakil2017": (1.274336, 17.0, -0.000273, 2.0),
+    "Greenfield2018_askja": (1.4406, 17.0, 0.003, 2.0),
+    "Greenfield2018_bardarbunga": (1.2534, 17.0, 0.0032, 2.0),
+    "Greenfield2018_comb": (1.1999, 17.0, 0.0016, 2.0),
+    "Hutton-Boore": (1.11, 100.0, 0.00189, 3.0),
+    "Langston1998": (0.776, 17.0, 0.000902, 2.0),
+}
+
+# Curves that do not fit the hinge form.
+_OTHER_CURVES = {
+    "UK": lambda d: (
+        1.11 * np.log10(d) + 0.00189 * d - 1.16 * np.exp(-0.2 * d) - 2.09
+    ),
+}
+
+
+def _evaluate_logA0(curve, dist):
+    """Evaluate a named attenuation curve (or raise for unknown names)."""
+
+    if curve in _HINGE_CURVES:
+        a, d0, b, c = _HINGE_CURVES[curve]
+        return a * np.log10(dist / d0) + b * (dist - d0) + c
+    if curve in _OTHER_CURVES:
+        return _OTHER_CURVES[curve](dist)
+    raise ValueError(f"{curve} is not a valid A0 attenuation function.")
+
 
 class Magnitude:
     """
-    Calculates local magnitudes from amplitude observations and combines
-    them into a network-averaged mean.
+    Turns a table of amplitude observations into per-trace local magnitudes
+    and a network-averaged estimate.
+
+    Parameters arrive as a single dict; recognised keys (with defaults):
+    A0 (required), use_hyp_dist (False), amp_feature ("S_amp"),
+    station_corrections ({}), amp_multiplier (1.0), weighted_mean (False),
+    trace_filter (None), noise_filter (1.0), station_filter (None),
+    dist_filter (False), pick_filter (False), r2_only_used (True).
 
     """
 
-    def __init__(self, magnitude_params=None):
-        magnitude_params = magnitude_params or {}
+    _DEFAULTS = {
+        "use_hyp_dist": False,
+        "amp_feature": "S_amp",
+        "station_corrections": {},
+        "amp_multiplier": 1.0,
+        "weighted_mean": False,
+        "trace_filter": None,
+        "noise_filter": 1.0,
+        "station_filter": None,
+        "dist_filter": False,
+        "pick_filter": False,
+        "r2_only_used": True,
+    }
 
-        self.A0 = magnitude_params.get("A0")
+    def __init__(self, magnitude_params=None):
+        params = dict(magnitude_params or {})
+        self.A0 = params.get("A0")
         if not self.A0:
             raise TypeError("A0 attenuation correction not specified in params!")
-        self.use_hyp_dist = magnitude_params.get("use_hyp_dist", False)
-        self.amp_feature = magnitude_params.get("amp_feature", "S_amp")
-        self.station_corrections = magnitude_params.get(
-            "station_corrections", {}
-        )
-        self.amp_multiplier = magnitude_params.get("amp_multiplier", 1.0)
-
-        self.weighted_mean = magnitude_params.get("weighted_mean", False)
-        self.trace_filter = magnitude_params.get("trace_filter")
-        self.noise_filter = magnitude_params.get("noise_filter", 1.0)
-        self.station_filter = magnitude_params.get("station_filter")
-        self.dist_filter = magnitude_params.get("dist_filter", False)
-        self.pick_filter = magnitude_params.get("pick_filter", False)
-        self.r2_only_used = magnitude_params.get("r2_only_used", True)
+        for key, default in self._DEFAULTS.items():
+            setattr(self, key, params.get(key, default))
 
     def __str__(self):
-        out = (
-            "\t    Magnitude parameters:\n"
-            f"\t\tA0 attenuation function = {self.A0}\n"
-            f"\t\tUse hyp distance        = {self.use_hyp_dist}\n"
-            f"\t\tAmplitude feature       = {self.amp_feature}\n"
-        )
+        lines = [
+            "\t    Magnitude parameters:",
+            f"\t\tA0 attenuation function = {self.A0}",
+            f"\t\tUse hyp distance        = {self.use_hyp_dist}",
+            f"\t\tAmplitude feature       = {self.amp_feature}",
+        ]
         if self.station_corrections:
-            out += "\t\tStation corrections supplied\n"
-        out += (
-            f"\t\tAmplitude multiplier    = {self.amp_multiplier}\n"
-            f"\t\tUse weighted mean       = {self.weighted_mean}\n"
-        )
+            lines.append("\t\tStation corrections supplied")
+        lines += [
+            f"\t\tAmplitude multiplier    = {self.amp_multiplier}",
+            f"\t\tUse weighted mean       = {self.weighted_mean}",
+        ]
         if self.trace_filter is not None:
-            out += f"\t\tTrace filter            = {self.trace_filter}\n"
-        out += f"\t\tNoise filter            = {self.noise_filter} x\n"
+            lines.append(f"\t\tTrace filter            = {self.trace_filter}")
+        lines.append(f"\t\tNoise filter            = {self.noise_filter} x")
         if self.station_filter is not None:
-            out += f"\t\tStation filter          = {self.station_filter}\n"
+            lines.append(f"\t\tStation filter          = {self.station_filter}")
         if self.dist_filter:
-            out += f"\t\tDistance filter         = {self.dist_filter} km\n"
+            lines.append(f"\t\tDistance filter         = {self.dist_filter} km")
         if self.pick_filter:
-            out += "\t\tUsing picked observations only\n"
+            lines.append("\t\tUsing picked observations only")
+        return "\n".join(lines) + "\n"
 
-        return out
+    # -- helpers ---------------------------------------------------------
+
+    def _attenuation(self, dist):
+        """logA0 term: user callable or a named built-in curve."""
+
+        return self.A0(dist) if callable(self.A0) else _evaluate_logA0(self.A0, dist)
+
+    def _source_distances(self, frame):
+        """Hypocentral or epicentral distance per observation (km)."""
+
+        epi = frame["epi_dist"].values
+        if self.use_hyp_dist:
+            return np.hypot(epi, frame["z_dist"].values)
+        return epi.copy()
+
+    def _corrections_for(self, trace_ids):
+        """Per-trace station correction terms (0 where none supplied)."""
+
+        return np.array([self.station_corrections.get(t, 0.0) for t in trace_ids])
+
+    def _gain_corrected_noise(self, frame, noise):
+        """Divide noise amps by the signal filter gain when gains exist."""
+
+        gains = frame[f"{self.amp_feature[0]}_filter_gain"]
+        if gains.isnull().values.all():
+            return noise, False
+        return noise / gains.values, True
+
+    # -- per-trace magnitudes --------------------------------------------
 
     def calculate_magnitudes(self, amplitudes):
         """
-        Per-trace ML and ML_Err from the amplitude measurements; appended
-        as columns to (a copy of) the input DataFrame.
+        Append ML / ML_Err columns (on a copy of the amplitudes table). The
+        magnitude error spans log10(amp ± noise); observations below the
+        noise amplitude, or with zero amplitude/distance, become NaN.
 
         """
 
-        trace_ids = amplitudes.index
         amps = amplitudes[self.amp_feature].values * self.amp_multiplier
-        noise_amps = amplitudes["Noise_amp"].values * self.amp_multiplier
-        filter_gains = amplitudes[f"{self.amp_feature[0]}_filter_gain"]
-        if not filter_gains.isnull().values.all():
-            noise_amps = noise_amps / filter_gains.values
+        noise = amplitudes["Noise_amp"].values * self.amp_multiplier
+        noise, _ = self._gain_corrected_noise(amplitudes, noise)
 
         with np.errstate(invalid="ignore"):
-            amps[amps < noise_amps] = np.nan
-            amps[amps == 0.0] = np.nan
+            amps = np.where((amps < noise) | (amps == 0.0), np.nan, amps)
 
-        edist, zdist = amplitudes["epi_dist"], amplitudes["z_dist"]
-        if self.use_hyp_dist:
-            dist = np.sqrt(edist.values**2 + zdist.values**2)
-        else:
-            dist = edist.values.copy()
+        dist = self._source_distances(amplitudes)
         dist[dist == 0.0] = np.nan
 
-        mags, mag_errs = self._calc_mags(trace_ids, amps, noise_amps, dist)
+        att = self._attenuation(dist)
+        corr = self._corrections_for(amplitudes.index)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ml = np.log10(amps) + att + corr
+            span = np.log10(amps + noise) - np.log10(amps - noise)
 
-        magnitudes = amplitudes.copy()
-        magnitudes["ML"] = mags
-        magnitudes["ML_Err"] = mag_errs
+        out = amplitudes.copy()
+        out["ML"] = ml
+        out["ML_Err"] = span
+        return out
 
-        return magnitudes
+    # -- network mean -----------------------------------------------------
 
     def mean_magnitude(self, magnitudes):
         """
-        Network-averaged (optionally weighted) mean local magnitude, its
-        standard deviation, and the amplitude-vs-distance r-squared.
+        Combine per-trace magnitudes into a network mean.
 
-        Returns (mean_mag, mean_mag_err, mag_r_squared, magnitudes) where
-        ``magnitudes`` gains Station_Correction / filter flags / Dist /
-        Used columns.
+        Returns ``(mean, err, r_squared, table)`` where ``table`` gains
+        Station_Correction, the active filter flags, Dist and Used columns.
+        With ``weighted_mean``, observations are weighted by 1/ML_Err².
 
         """
 
-        magnitudes = magnitudes.copy()
-        corrs = [
-            self.station_corrections.get(t, 0.0) for t in magnitudes.index
-        ]
-        magnitudes["Station_Correction"] = corrs
+        table = magnitudes.copy()
+        table["Station_Correction"] = self._corrections_for(table.index)
 
-        filter_gains = magnitudes[f"{self.amp_feature[0]}_filter_gain"]
-        if not filter_gains.isnull().values.all():
-            magnitudes.loc[:, "Noise_amp"] /= filter_gains
+        noise, corrected = self._gain_corrected_noise(table, table["Noise_amp"])
+        if corrected:
+            table.loc[:, "Noise_amp"] = noise
 
-        magnitudes = self._filter_mags(magnitudes)
-
-        used_mags = magnitudes[magnitudes["Used"]]
-        if len(used_mags) == 0:
+        table = self._apply_filters(table)
+        kept = table[table["Used"]]
+        if kept.empty:
             logging.warning(
                 "\t    No magnitude observations match the filtering "
                 "criteria! Skipping."
             )
-            return np.nan, np.nan, np.nan, magnitudes
+            return np.nan, np.nan, np.nan, table
 
-        mags = used_mags["ML"].values
+        values = kept["ML"].values
+        errors = kept["ML_Err"].values
+        weights = errors**-2.0 if self.weighted_mean else np.ones_like(values)
 
-        if self.weighted_mean:
-            weights = (1 / used_mags["ML_Err"].values) ** 2
+        mean = np.average(values, weights=weights)
+        if values.size > 1:
+            err = np.sqrt(np.sum(((values - mean) * weights) ** 2) / weights.sum())
         else:
-            weights = np.ones_like(mags)
+            err = errors[0]
 
-        mean_mag = np.sum(mags * weights) / np.sum(weights)
-        if len(mags) > 1:
-            mean_mag_err = np.sqrt(
-                np.sum(((mags - mean_mag) * weights) ** 2) / np.sum(weights)
-            )
-        else:
-            mean_mag_err = used_mags["ML_Err"].values[0]
+        r2 = self._r_squared(table, mean, only_used=self.r2_only_used)
+        return mean, err, r2, table
 
-        mag_r_squared = self._mag_r_squared(
-            magnitudes, mean_mag, only_used=self.r2_only_used
-        )
+    def _apply_filters(self, table):
+        """
+        Add a flag column per active filter and combine them into ``Used``.
+        Rows lacking an amplitude or noise measurement are dropped first.
+        Also adds the Dist column (zero distances masked to NaN).
 
-        return mean_mag, mean_mag_err, mag_r_squared, magnitudes
+        """
 
-    def plot_amplitudes(self, magnitudes, event, run, unit_conversion_factor,
-                        noise_measure="RMS"):
-        """Amplitude-vs-distance summary plot (see plot.amplitudes)."""
+        table = table.dropna(subset=[self.amp_feature, "Noise_amp"]).copy()
 
-        from quakemigrate_tpu.plot.amplitudes import plot_amplitudes_vs_distance
-
-        plot_amplitudes_vs_distance(
-            self, magnitudes, event, run, unit_conversion_factor,
-            noise_measure,
-        )
-
-    def _calc_mags(self, trace_ids, amps, noise_amps, dist):
-        """ML = log10(amp) + logA0(dist) + station correction, + error."""
-
-        corrs = np.array(
-            [self.station_corrections.get(t, 0.0) for t in trace_ids]
-        )
-
-        att = self._get_attenuation(dist)
-
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mags = np.log10(amps) + att + corrs
-            upper_mags = np.log10(amps + noise_amps) + att + corrs
-            lower_mags = np.log10(amps - noise_amps) + att + corrs
-        mag_errs = upper_mags - lower_mags
-
-        return mags, mag_errs
-
-    def _get_attenuation(self, dist):
-        """Attenuation from the chosen logA0 curve or user callable."""
-
-        if callable(self.A0):
-            return self.A0(dist)
-        return self._logA0(dist)
-
-    def _logA0(self, dist):
-        """Built-in logA0 attenuation correction curves."""
-
-        eqn = self.A0
-
-        if eqn == "keir2006":
-            att = 1.196997 * np.log10(dist / 17.0) + 0.001066 * (dist - 17.0) + 2.0
-        elif eqn == "Danakil2017":
-            att = 1.274336 * np.log10(dist / 17.0) - 0.000273 * (dist - 17.0) + 2.0
-        elif eqn == "Greenfield2018_askja":
-            att = 1.4406 * np.log10(dist / 17.0) + 0.003 * (dist - 17.0) + 2.0
-        elif eqn == "Greenfield2018_bardarbunga":
-            att = 1.2534 * np.log10(dist / 17.0) + 0.0032 * (dist - 17.0) + 2.0
-        elif eqn == "Greenfield2018_comb":
-            att = 1.1999 * np.log10(dist / 17.0) + 0.0016 * (dist - 17.0) + 2.0
-        elif eqn == "Hutton-Boore":
-            att = 1.11 * np.log10(dist / 100.0) + 0.00189 * (dist - 100.0) + 3.0
-        elif eqn == "Langston1998":
-            att = 0.776 * np.log10(dist / 17.0) + 0.000902 * (dist - 17) + 2.0
-        elif eqn == "UK":
-            att = (
-                1.11 * np.log10(dist)
-                + 0.00189 * dist
-                - 1.16 * np.exp(-0.2 * dist)
-                - 2.09
-            )
-        else:
-            raise ValueError(f"{eqn} is not a valid A0 attenuation function.")
-
-        return att
-
-    def _filter_mags(self, magnitudes):
-        """Apply noise/trace/station/distance/pick filters -> Used flag."""
-
-        magnitudes = magnitudes.dropna(subset=[self.amp_feature, "Noise_amp"])
-        magnitudes = magnitudes.copy()
-
+        flags = []
         if self.noise_filter != 0.0:
-            amps = magnitudes[self.amp_feature].values
-            noise_amps = magnitudes["Noise_amp"].values
-            magnitudes["Noise_Filter"] = False
             with np.errstate(invalid="ignore"):
-                magnitudes.loc[
-                    (amps > noise_amps * self.noise_filter), "Noise_Filter"
-                ] = True
+                table["Noise_Filter"] = (
+                    table[self.amp_feature].values
+                    > table["Noise_amp"].values * self.noise_filter
+                )
+            flags.append("Noise_Filter")
 
         if self.trace_filter is not None:
-            magnitudes["Trace_Filter"] = False
-            magnitudes.loc[
-                magnitudes.index.str.contains(self.trace_filter), "Trace_Filter"
-            ] = True
+            table["Trace_Filter"] = table.index.str.contains(self.trace_filter)
+            flags.append("Trace_Filter")
 
         if self.station_filter is not None:
-            magnitudes["Station_Filter"] = True
-            for stn in list(self.station_filter):
-                magnitudes.loc[
-                    magnitudes.index.str.contains(f".{stn}.", regex=False),
-                    "Station_Filter",
-                ] = False
+            excluded = np.zeros(len(table), dtype=bool)
+            for station in list(self.station_filter):
+                excluded |= table.index.str.contains(f".{station}.", regex=False)
+            table["Station_Filter"] = ~excluded
+            flags.append("Station_Filter")
 
-        edist, zdist = magnitudes["epi_dist"], magnitudes["z_dist"]
-        if self.use_hyp_dist:
-            dist = np.sqrt(edist.values**2 + zdist.values**2)
-        else:
-            dist = edist.values.copy()
-
+        dist = self._source_distances(table)
         if self.dist_filter:
-            magnitudes["Dist_Filter"] = False
-            magnitudes.loc[(dist <= self.dist_filter), "Dist_Filter"] = True
+            table["Dist_Filter"] = dist <= self.dist_filter
+            flags.append("Dist_Filter")
 
         dist[dist == 0.0] = np.nan
-        magnitudes["Dist"] = dist
+        table["Dist"] = dist
 
-        magnitudes["Used"] = True
-        if self.trace_filter is not None:
-            magnitudes.loc[~magnitudes["Trace_Filter"], "Used"] = False
-        if self.station_filter is not None:
-            magnitudes.loc[~magnitudes["Station_Filter"], "Used"] = False
-        if self.dist_filter:
-            magnitudes.loc[~magnitudes["Dist_Filter"], "Used"] = False
         if self.pick_filter:
-            magnitudes.loc[~magnitudes["is_picked"], "Used"] = False
-        if self.noise_filter != 0.0:
-            magnitudes.loc[~magnitudes["Noise_Filter"], "Used"] = False
+            flags.append("is_picked")
 
-        return magnitudes
+        used = np.ones(len(table), dtype=bool)
+        for flag in flags:
+            used &= table[flag].values.astype(bool)
+        table["Used"] = used
+        return table
 
-    def _mag_r_squared(self, magnitudes, mean_mag, only_used=True):
+    # -- quality of fit ---------------------------------------------------
+
+    def _r_squared(self, table, mean_mag, only_used=True):
         """
-        r-squared of the fit between observed log amplitudes and the curve
-        predicted by the mean magnitude + attenuation function.
+        r² between observed log-amplitudes (corrected) and those predicted
+        by the mean magnitude through the attenuation curve.
+
+        With ``only_used=False``, rows are kept if they pass the structural
+        filters, and noise-dominated rows are kept only where the predicted
+        amplitude is at least 5x their noise amplitude (requires an active
+        noise filter).
 
         """
 
         if only_used:
-            magnitudes = magnitudes[magnitudes["Used"]]
+            table = table[table["Used"]]
         else:
-            if self.trace_filter is not None:
-                magnitudes = magnitudes[magnitudes["Trace_Filter"]]
-            if self.station_filter is not None:
-                magnitudes = magnitudes[magnitudes["Station_Filter"]]
-            if self.dist_filter:
-                magnitudes = magnitudes[magnitudes["Dist_Filter"]]
+            for flag in ("Trace_Filter", "Station_Filter", "Dist_Filter"):
+                if flag in table.columns:
+                    table = table[table[flag]]
             if self.noise_filter <= 0.0:
                 raise AttributeError(
                     "Noise filter must be greater than 1 to use custom mag "
                     "r-squared filtering. Change 'only_used' to True, or set "
                     f"a noise filter (current = {self.noise_filter})"
                 )
-            for _, mag in magnitudes[~magnitudes["Noise_Filter"]].iterrows():
-                noise_amp = (
-                    mag["Noise_amp"]
+            weak = table[~table["Noise_Filter"]]
+            if not weak.empty:
+                noise = (
+                    weak["Noise_amp"].values
                     * self.amp_multiplier
-                    * np.power(10, mag["Station_Correction"])
+                    * 10.0 ** weak["Station_Correction"].values
                 )
-                att = self._get_attenuation(mag["Dist"])
-                predicted_amp = np.power(10, (mean_mag - att))
-                if predicted_amp / noise_amp < 5:
-                    magnitudes = magnitudes.drop(labels=mag.name)
+                predicted = 10.0 ** (mean_mag - self._attenuation(weak["Dist"].values))
+                table = table.drop(index=weak.index[predicted / noise < 5])
 
-        amps = (
-            magnitudes[self.amp_feature].values
+        observed = (
+            table[self.amp_feature].values
             * self.amp_multiplier
-            * np.power(10, magnitudes["Station_Correction"])
+            * 10.0 ** table["Station_Correction"].values
         )
-
-        if len(amps) < 2 or amps.min() == amps.max():
+        if observed.size < 2 or observed.min() == observed.max():
             logging.info(
                 "\t    Insufficient amplitude measurements to make an r2 "
                 "estimate - skipping."
             )
             return np.nan
 
-        dist = magnitudes["Dist"]
-        att = self._get_attenuation(dist)
+        log_obs = np.log10(observed)
+        modelled = mean_mag - self._attenuation(table["Dist"].values)
+        residual_ss = np.sum((log_obs - modelled) ** 2)
+        total_ss = np.sum((log_obs - log_obs.mean()) ** 2)
+        return (total_ss - residual_ss) / total_ss
 
-        log_amp_mean = np.log10(amps).mean()
-        log_amp_variance = ((np.log10(amps) - log_amp_mean) ** 2).sum()
+    # -- plotting ----------------------------------------------------------
 
-        mod_variance = ((np.log10(amps) - (mean_mag - att)) ** 2).sum()
+    def plot_amplitudes(
+        self, magnitudes, event, run, unit_conversion_factor, noise_measure="RMS"
+    ):
+        """Write the amplitude-vs-distance summary figure for this event."""
 
-        return (log_amp_variance - mod_variance) / log_amp_variance
+        from quakemigrate_tpu.plot.amplitudes import plot_amplitudes_vs_distance
+
+        plot_amplitudes_vs_distance(
+            self, magnitudes, event, run, unit_conversion_factor, noise_measure
+        )
