@@ -8,15 +8,14 @@ signal/local_mag/local_mag.py:141-208).
 
 """
 
-import logging
+import logging as _logging
 
 import numpy as np
 
 from quakemigrate_tpu.io import write_amplitudes
+from quakemigrate_tpu.signal.local_mag.amplitude import Amplitude
+from quakemigrate_tpu.signal.local_mag.magnitude import Magnitude
 from quakemigrate_tpu.util import timeit
-
-from .amplitude import Amplitude
-from .magnitude import Magnitude
 
 
 class LocalMag:
@@ -33,8 +32,8 @@ class LocalMag:
 
     def __str__(self):
         parts = [
-            "\tCalculating local magnitudes from Wood-Anderson corrected "
-            "amplitude observations\n",
+            "\tCalculating local magnitudes from "
+            "Wood-Anderson corrected amplitude observations\n",
             str(self.amp),
             str(self.mag),
         ]
@@ -52,9 +51,9 @@ class LocalMag:
         observations = self.amp.get_amplitudes(event, lut)
 
         if observations[self.mag.amp_feature].isnull().all():
-            logging.warning(
-                "\t\tNo amplitude measurements were made! Skipping magnitude "
-                "calculation"
+            _logging.warning(
+                "\t\tNo amplitude measurements were made! "
+                "Skipping magnitude calculation"
             )
             write_amplitudes(run, observations, event)
             event.add_local_magnitude(*[np.nan] * 3)
