@@ -2,28 +2,58 @@
 """
 Waveform archive access and data-quality checking.
 
-Archive serves time windows of waveform data from a regular directory
-structure (7 named formats + custom format strings, mirroring the
-reference's quakemigrate/io/data.py:181-219); WaveformData encapsulates the
-query result and provides availability checks, instrument response removal
-and Wood-Anderson simulation -- all built on quakemigrate_tpu.seis instead
-of ObsPy.
+``Archive`` resolves time windows onto a day-structured waveform archive
+(the same seven named layouts as the reference, quakemigrate/io/data.py:
+181-219, plus custom format strings) and returns a :class:`WaveformData`.
+``WaveformData`` owns the query result: availability checks, instrument
+response removal, and Wood-Anderson simulation — implemented on this
+package's ``seis`` stack rather than ObsPy.
 
 """
 
-from itertools import chain
 import logging
 import pathlib
 
 import quakemigrate_tpu.util as util
 from quakemigrate_tpu.seis import Stream, UTCDateTime, read
-from quakemigrate_tpu.seis.response import simulate_seismometer
+from quakemigrate_tpu.seis.response import paz_for_output, simulate_seismometer
+
+# Named archive layouts -> glob templates. "{station}" survives the first
+# .format() pass (day fields) and is filled per station in the second.
+_ARCHIVE_LAYOUTS = {
+    "SeisComp3": (
+        "{year}/*/{station}/<CH>/*.{station}.*.*.D.{year}.{jday:03d}"
+    ),
+    "YEAR/JD/*_STATION_*": "{year}/{jday:03d}/*_{station}_*",
+    "YEAR/JD/STATION": "{year}/{jday:03d}/{station}*",
+    "STATION.YEAR.JULIANDAY": "*{station}.*.{year}.{jday:03d}",
+    "/STATION/STATION.YearMonthDay": (
+        "{station}/{station}.{year}{month:02d}{day:02d}"
+    ),
+    "YEAR_JD/STATION*": "{year}_{jday:03d}/{station}*",
+    "YEAR_JD/STATION_*": "{year}_{jday:03d}/{station}_*",
+}
+
+_SECONDS_PER_DAY = 86400
+
+# Configuration shared between an Archive and the WaveformData it produces.
+_SHARED_CONFIG = (
+    "stations",
+    "read_all_stations",
+    "resample",
+    "upfactor",
+    "response_inv",
+    "water_level",
+    "pre_filt",
+    "remove_full_response",
+)
 
 
 class Archive:
     """
-    Handles reading of archived waveform data between two timestamps.
-    Returns a :class:`WaveformData` object.
+    Reads archived continuous waveform data between two timestamps, returning
+    a :class:`WaveformData`. Configure the directory layout with
+    ``archive_format`` (a named layout) or ``format`` (a custom template).
 
     """
 
@@ -31,316 +61,264 @@ class Archive:
         self.archive_path = pathlib.Path(archive_path)
         self.stations = stations["Name"]
         if archive_format:
-            channels = kwargs.get("channels", "*")
-            self.path_structure(archive_format, channels)
+            self.path_structure(archive_format, kwargs.get("channels", "*"))
         else:
             self.format = kwargs.get("format")
 
-        self.read_all_stations = kwargs.get("read_all_stations", False)
-        self.resample = kwargs.get("resample", False)
-        self.upfactor = kwargs.get("upfactor")
-        self.interpolate = kwargs.get("interpolate", False)
-        self.response_inv = kwargs.get("response_inv")
-        response_removal_params = kwargs.get("response_removal_params", {})
-        if self.response_inv and "water_level" not in response_removal_params:
+        toggles = {
+            "read_all_stations": False,
+            "resample": False,
+            "upfactor": None,
+            "interpolate": False,
+            "response_inv": None,
+        }
+        for key, default in toggles.items():
+            setattr(self, key, kwargs.get(key, default))
+
+        removal = kwargs.get("response_removal_params", {})
+        if self.response_inv and "water_level" not in removal:
             print(
                 "Warning: 'water level' for instrument correction not "
                 "specified. Set to default: 60"
             )
-        self.water_level = response_removal_params.get("water_level", 60.0)
-        self.pre_filt = response_removal_params.get("pre_filt")
-        self.remove_full_response = response_removal_params.get(
-            "remove_full_response", False
-        )
+        self.water_level = removal.get("water_level", 60.0)
+        self.pre_filt = removal.get("pre_filt")
+        self.remove_full_response = removal.get("remove_full_response", False)
 
     def __str__(self, response_only=False):
         if self.response_inv:
-            response_str = (
-                "\tResponse removal parameters:\n"
-                f"\t\tWater level  = {self.water_level}\n"
-            )
+            response_lines = [
+                "\tResponse removal parameters:",
+                f"\t\tWater level  = {self.water_level}",
+            ]
             if self.pre_filt is not None:
-                response_str += f"\t\tPre-filter   = {self.pre_filt} Hz\n"
-            response_str += (
+                response_lines.append(f"\t\tPre-filter   = {self.pre_filt} Hz")
+            response_lines.append(
                 "\t\tRemove full response (inc. FIR stages) = "
-                f"{self.remove_full_response}\n"
+                f"{self.remove_full_response}"
             )
+            response_str = "\n".join(response_lines) + "\n"
         else:
             response_str = "\tNo instrument response inventory provided!\n"
 
         if response_only:
             return response_str
 
-        out = (
-            "quakemigrate_tpu Archive object"
-            f"\n\tArchive path\t:\t{self.archive_path}"
-            f"\n\tPath structure\t:\t{self.format}"
-            f"\n\tResampling\t:\t{self.resample}"
-        )
+        lines = [
+            "quakemigrate_tpu Archive object",
+            f"\tArchive path\t:\t{self.archive_path}",
+            f"\tPath structure\t:\t{self.format}",
+            f"\tResampling\t:\t{self.resample}",
+        ]
         if self.upfactor:
-            out += f"\n\tUpfactor\t:\t{self.upfactor}"
-        out += "\n\tStations:"
-        for station in self.stations:
-            out += f"\n\t\t{station}"
-        out += f"\n{response_str}"
-        return out
+            lines.append(f"\tUpfactor\t:\t{self.upfactor}")
+        lines.append("\tStations:")
+        lines.extend(f"\t\t{station}" for station in self.stations)
+        return "\n".join(lines) + f"\n{response_str}"
 
     def path_structure(self, archive_format="YEAR/JD/STATION", channels="*"):
-        """Set the directory structure / file naming format of the archive."""
+        """Select one of the named archive layouts (see _ARCHIVE_LAYOUTS)."""
 
-        if archive_format == "SeisComp3":
-            self.format = (
-                "{year}/*/{station}/" + channels + "/*.{station}.*.*.D."
-                "{year}.{jday:03d}"
-            )
-        elif archive_format == "YEAR/JD/*_STATION_*":
-            self.format = "{year}/{jday:03d}/*_{station}_*"
-        elif archive_format == "YEAR/JD/STATION":
-            self.format = "{year}/{jday:03d}/{station}*"
-        elif archive_format == "STATION.YEAR.JULIANDAY":
-            self.format = "*{station}.*.{year}.{jday:03d}"
-        elif archive_format == "/STATION/STATION.YearMonthDay":
-            self.format = "{station}/{station}.{year}{month:02d}{day:02d}"
-        elif archive_format == "YEAR_JD/STATION*":
-            self.format = "{year}_{jday:03d}/{station}*"
-        elif archive_format == "YEAR_JD/STATION_*":
-            self.format = "{year}_{jday:03d}/{station}_*"
-        else:
+        try:
+            template = _ARCHIVE_LAYOUTS[archive_format]
+        except KeyError:
             raise util.ArchivePathStructureError(archive_format)
+        self.format = template.replace("<CH>", channels)
 
     def read_waveform_data(self, starttime, endtime, pre_pad=0.0, post_pad=0.0):
         """
-        Read waveform data between two times (plus optional extra pads,
-        which are retained only in ``raw_waveforms``).
+        Read all waveform data overlapping [starttime - pre_pad,
+        endtime + post_pad]. The pads survive only in ``raw_waveforms``;
+        ``waveforms`` is trimmed back to the requested window.
 
         """
 
-        pre_pad = max(0.0, pre_pad)
-        post_pad = max(0.0, post_pad)
+        pre_pad, post_pad = max(0.0, pre_pad), max(0.0, post_pad)
+        read_start = starttime - pre_pad
+        read_end = endtime + post_pad
 
+        inherited = {key: getattr(self, key) for key in _SHARED_CONFIG}
         data = WaveformData(
-            starttime=starttime,
-            endtime=endtime,
-            stations=self.stations,
-            read_all_stations=self.read_all_stations,
-            resample=self.resample,
-            upfactor=self.upfactor,
-            response_inv=self.response_inv,
-            water_level=self.water_level,
-            pre_filt=self.pre_filt,
-            remove_full_response=self.remove_full_response,
-            pre_pad=pre_pad,
-            post_pad=post_pad,
+            starttime, endtime, pre_pad=pre_pad, post_pad=post_pad, **inherited
         )
 
-        files = self._load_from_path(starttime - pre_pad, endtime + post_pad)
-
-        st = Stream()
-        try:
-            first = next(files)
-            files = chain([first], files)
-            for file in files:
-                file = str(file)
-                try:
-                    st += read(
-                        file,
-                        starttime=starttime - pre_pad,
-                        endtime=endtime + post_pad,
-                        nearest_sample=True,
-                    )
-                except TypeError:
-                    logging.info(f"File not readable as waveform data - {file}")
-                    continue
-
-            st = util.merge_stream(st)
-            data.raw_waveforms = st.copy()
-
-            st = util.shift_to_sample(st, interpolate=self.interpolate)
-
-            if self.read_all_stations:
-                st_selected = Stream()
-                for station in self.stations:
-                    st_selected += st.select(station=station)
-                st = st_selected.copy()
-
-            if pre_pad != 0.0 or post_pad != 0.0:
-                for tr in list(st):
-                    tr.trim(starttime=starttime, endtime=endtime,
-                            nearest_sample=True)
-                    if not bool(tr):
-                        st.remove(tr)
-
-            if not bool(st):
-                raise util.DataGapException
-
-            data.waveforms = st
-
-        except StopIteration:
+        paths = self._candidate_files(read_start, read_end)
+        if not paths:
             raise util.ArchiveEmptyException
 
+        gathered = Stream()
+        for path in paths:
+            try:
+                gathered += read(str(path), starttime=read_start,
+                                 endtime=read_end, nearest_sample=True)
+            except TypeError:
+                logging.info(f"File not readable as waveform data - {path}")
+
+        gathered = util.merge_stream(gathered)
+        data.raw_waveforms = gathered.copy()
+
+        usable = util.shift_to_sample(gathered, interpolate=self.interpolate)
+        if self.read_all_stations:
+            wanted = Stream()
+            for station in self.stations:
+                wanted += usable.select(station=station)
+            usable = wanted.copy()
+
+        if pre_pad or post_pad:
+            trimmed = Stream()
+            for trace in usable:
+                trace.trim(starttime=starttime, endtime=endtime,
+                           nearest_sample=True)
+                if bool(trace):
+                    trimmed += trace
+            usable = trimmed
+
+        if not bool(usable):
+            raise util.DataGapException
+
+        data.waveforms = usable
         return data
 
-    def _load_from_path(self, starttime, endtime):
-        """Generator of files in the archive overlapping the time window."""
+    def _candidate_files(self, window_start, window_end):
+        """All archive paths whose day/station patterns overlap the window."""
 
         if self.format is None:
             raise util.ArchiveFormatException
 
-        files = iter([])
-        loadstart = UTCDateTime(starttime.date)
-        while loadstart <= endtime:
-            temp_format = self.format.format(
-                year=loadstart.year,
-                month=loadstart.month,
-                day=loadstart.day,
-                jday=loadstart.julday,
+        wildcards = ["*"] if self.read_all_stations else list(self.stations)
+        paths = []
+        day = UTCDateTime(window_start.date)
+        while day <= window_end:
+            day_pattern = self.format.format(
+                year=day.year,
+                month=day.month,
+                day=day.day,
+                jday=day.julday,
                 station="{station}",
-                dtime=loadstart,
+                dtime=day,
             )
-            if self.read_all_stations is True:
-                file_format = temp_format.format(station="*")
-                file_format = file_format.replace("**", "*")
-                files = chain(files, self.archive_path.glob(file_format))
-            else:
-                for station in self.stations:
-                    file_format = temp_format.format(station=station)
-                    files = chain(files, self.archive_path.glob(file_format))
-            loadstart = UTCDateTime(loadstart.date) + 86400
-
-        return files
+            for name in wildcards:
+                glob_pattern = day_pattern.format(station=name)
+                if name == "*":
+                    glob_pattern = glob_pattern.replace("**", "*")
+                paths.extend(self.archive_path.glob(glob_pattern))
+            day = UTCDateTime(day.date) + _SECONDS_PER_DAY
+        return paths
 
 
 class WaveformData:
     """
-    Encapsulates waveform data returned by an Archive query, with data
-    quality checks and response removal utilities.
+    One archive query's worth of waveform data, plus the quality checks and
+    response-removal utilities that operate on it.
 
     """
 
-    def __init__(
-        self,
-        starttime,
-        endtime,
-        stations=None,
-        response_inv=None,
-        water_level=60.0,
-        pre_filt=None,
-        remove_full_response=False,
-        read_all_stations=False,
-        resample=False,
-        upfactor=None,
-        pre_pad=0.0,
-        post_pad=0.0,
-    ):
-        self.starttime = starttime
-        self.endtime = endtime
-        self.stations = stations
-        self.response_inv = response_inv
-        self.water_level = water_level
-        self.pre_filt = pre_filt
-        self.remove_full_response = remove_full_response
+    _DEFAULTS = {
+        "stations": None,
+        "response_inv": None,
+        "water_level": 60.0,
+        "pre_filt": None,
+        "remove_full_response": False,
+        "read_all_stations": False,
+        "resample": False,
+        "upfactor": None,
+        "pre_pad": 0.0,
+        "post_pad": 0.0,
+    }
 
-        self.read_all_stations = read_all_stations
-        self.resample = resample
-        self.upfactor = upfactor
-        self.pre_pad = pre_pad
-        self.post_pad = post_pad
+    def __init__(self, starttime, endtime, **kwargs):
+        self.starttime, self.endtime = starttime, endtime
+        for key, default in self._DEFAULTS.items():
+            setattr(self, key, kwargs.get(key, default))
 
-        self.raw_waveforms = None
+        self.raw_waveforms = self.wa_waveforms = self.real_waveforms = None
         self.waveforms = Stream()
-        self.wa_waveforms = None
-        self.real_waveforms = None
 
-    def check_availability(
-        self,
-        st,
-        all_channels=False,
-        n_channels=None,
-        allow_gaps=False,
-        full_timespan=True,
-        check_sampling_rate=False,
-        sampling_rate=None,
-        check_start_end_times=False,
-    ):
+    # -- data quality -------------------------------------------------------
+
+    def check_availability(self, st, **criteria):
         """
-        Check a stream against data-quality criteria: no flatlines, no
-        overlaps, (optionally) no gaps / full timespan / exact sampling rate
-        / exact start+end times. Returns (available, {tr_id: 0/1}).
+        Evaluate each channel of ``st`` against the data-quality criteria and
+        combine into an overall flag.
+
+        Criteria kwargs: allow_gaps, full_timespan (default True),
+        check_sampling_rate + sampling_rate, check_start_end_times,
+        all_channels + n_channels. Returns ``(available, {tr_id: 0/1})``.
 
         """
 
-        availability = {}
+        per_channel = {}
+        for tr_id in sorted({tr.id for tr in st}):
+            ok = self._channel_passes(st.select(id=tr_id), criteria)
+            per_channel[tr_id] = int(ok)
+
+        flags = list(per_channel.values())
         available = 0
-        timespan = self.endtime - self.starttime
-
-        if bool(st):
-            for tr_id in sorted(set(tr.id for tr in st)):
-                st_id = st.select(id=tr_id)
-                availability[tr_id] = 0
-
-                if any(
-                    len(tr.data) and tr.data.max() == tr.data.min()
-                    for tr in st_id
-                ):
-                    continue
-                overlaps = st_id.get_gaps(max_gap=-0.000001)
-                if len(overlaps) != 0:
-                    continue
-                if not allow_gaps:
-                    gaps = st_id.get_gaps()
-                    if len(gaps) != 0:
-                        continue
-                if check_sampling_rate:
-                    if not sampling_rate:
-                        raise TypeError(
-                            "Please specify sampling_rate if you wish to "
-                            "check all channels are at the correct sampling "
-                            "rate."
-                        )
-                    if any(
-                        tr.stats.sampling_rate != sampling_rate for tr in st_id
-                    ):
-                        continue
-                if full_timespan:
-                    n_samples = (
-                        round(timespan * st_id[0].stats.sampling_rate) + 1
+        if flags and min(flags) == 1:
+            if criteria.get("all_channels", False):
+                n_channels = criteria.get("n_channels")
+                if not n_channels:
+                    raise TypeError(
+                        "Please specify n_channels if you wish to check "
+                        "all channels meet the availability criteria."
                     )
-                    if len(st_id) > 1:
-                        continue
-                    elif st_id[0].stats.npts < n_samples:
-                        logging.debug("Trace has too few samples.")
-                        continue
-                if check_start_end_times:
-                    if len(st_id) > 1:
-                        continue
-                    elif (
-                        st_id[0].stats.starttime != self.starttime
-                        or st_id[0].stats.endtime != self.endtime
-                    ):
-                        continue
-
-                availability[tr_id] = 1
-
-            if all(ava == 1 for ava in availability.values()):
-                if all_channels:
-                    if not n_channels:
-                        raise TypeError(
-                            "Please specify n_channels if you wish to check "
-                            "all channels meet the availability criteria."
-                        )
-                    elif len(availability) == n_channels:
-                        available = 1
-                else:
+                if len(per_channel) == n_channels:
                     available = 1
-            elif not all_channels and any(
-                ava == 1 for ava in availability.values()
-            ):
+            else:
                 available = 1
+        elif flags and max(flags) == 1 and not criteria.get("all_channels", False):
+            available = 1
 
-        return available, availability
+        return available, per_channel
+
+    def _channel_passes(self, channel, criteria):
+        """True if one channel's traces satisfy every active criterion."""
+
+        # Flatlined segments are never usable.
+        if any(len(tr.data) and tr.data.max() == tr.data.min() for tr in channel):
+            return False
+
+        # Overlaps always disqualify; gaps only when not allowed.
+        if channel.get_gaps(max_gap=-0.000001):
+            return False
+        if not criteria.get("allow_gaps", False) and channel.get_gaps():
+            return False
+
+        if criteria.get("check_sampling_rate", False):
+            rate = criteria.get("sampling_rate")
+            if not rate:
+                raise TypeError(
+                    "Please specify sampling_rate if you wish to "
+                    "check all channels are at the correct sampling "
+                    "rate."
+                )
+            if any(tr.stats.sampling_rate != rate for tr in channel):
+                return False
+
+        if criteria.get("full_timespan", True):
+            if len(channel) > 1:
+                return False
+            span_samples = (
+                round((self.endtime - self.starttime)
+                      * channel[0].stats.sampling_rate) + 1
+            )
+            if channel[0].stats.npts < span_samples:
+                logging.debug("Trace has too few samples.")
+                return False
+
+        if criteria.get("check_start_end_times", False):
+            if len(channel) > 1:
+                return False
+            stats = channel[0].stats
+            if stats.starttime != self.starttime or stats.endtime != self.endtime:
+                return False
+
+        return True
+
+    # -- response removal ----------------------------------------------------
 
     def get_real_waveform(self, tr, velocity=True):
-        """Remove the instrument response from a trace."""
+        """Deconvolve the instrument response from a trace (VEL or DISP)."""
 
         if not self.response_inv:
             raise AttributeError("No response inventory provided!")
@@ -350,13 +328,10 @@ class WaveformData:
 
         try:
             response = self.response_inv.get_response(tr.id, tr.stats.starttime)
-        except Exception as e:
-            raise util.ResponseNotFoundError(str(e), tr.id)
-
-        from quakemigrate_tpu.seis.response import paz_for_output
+        except Exception as err:
+            raise util.ResponseNotFoundError(str(err), tr.id)
 
         paz = paz_for_output(response, "VEL" if velocity else "DISP")
-
         try:
             tr.simulate(
                 paz_remove=paz,
@@ -364,25 +339,19 @@ class WaveformData:
                 water_level=self.water_level,
                 taper=True,
                 stages_remove=(
-                    response.digital_stages
-                    if self.remove_full_response
-                    else None
+                    response.digital_stages if self.remove_full_response else None
                 ),
             )
-        except ValueError as e:
-            raise util.ResponseRemovalError(e, tr.id)
+        except ValueError as err:
+            raise util.ResponseRemovalError(err, tr.id)
 
-        if self.real_waveforms is None:
-            self.real_waveforms = Stream()
-        self.real_waveforms.append(tr.copy())
-
+        self.real_waveforms = self._stash(self.real_waveforms, tr)
         return tr
 
     def get_wa_waveform(self, tr, velocity=False):
-        """Simulate a Wood-Anderson displacement waveform for a trace."""
+        """Simulate the Wood-Anderson record of a trace (displacement)."""
 
         tr = self.get_real_waveform(tr.copy(), velocity)
-
         tr.data = simulate_seismometer(
             tr.data,
             tr.stats.sampling_rate,
@@ -390,9 +359,14 @@ class WaveformData:
             water_level=self.water_level,
             taper=True,
         )
-
-        if self.wa_waveforms is None:
-            self.wa_waveforms = Stream()
-        self.wa_waveforms.append(tr.copy())
-
+        self.wa_waveforms = self._stash(self.wa_waveforms, tr)
         return tr
+
+    @staticmethod
+    def _stash(store, tr):
+        """Append a copy of ``tr`` to a lazily created Stream."""
+
+        if store is None:
+            store = Stream()
+        store.append(tr.copy())
+        return store
