@@ -1,10 +1,10 @@
 # -*- coding: utf-8 -*-
 """
-Event: accumulates everything known about a single located earthquake --
-waveform data, coalescence time series, the 4-D coalescence map, origin
-time, the three location estimates (spline/gaussian/covariance), phase
-picks and local magnitude -- and writes the 20-column .event file with the
-reference's precision contract (quakemigrate/io/event.py:23-44,441-508).
+The Event object: a single candidate earthquake's accumulated state through
+the locate stage — waveforms, coalescence series, 4-D map, origin time, the
+three location estimates, picks and local magnitude — plus the ``.event``
+CSV writer with the reference's 20-column schema and precision contract
+(quakemigrate/io/event.py:23-44, 441-508).
 
 """
 
@@ -15,35 +15,20 @@ import pandas as pd
 
 import quakemigrate_tpu.util as util
 
+_AXES = ("X", "Y", "Z")
+_UNC_KEYS = ("ErrX", "ErrY", "ErrZ")
 
-EVENT_FILE_COLS = [
-    "EventID",
-    "DT",
-    "X",
-    "Y",
-    "Z",
-    "COA",
-    "COA_NORM",
-    "GAU_X",
-    "GAU_Y",
-    "GAU_Z",
-    "GAU_ErrX",
-    "GAU_ErrY",
-    "GAU_ErrZ",
-    "COV_ErrX",
-    "COV_ErrY",
-    "COV_ErrZ",
-    "COV_Err_XYZ",
-    "TRIG_COA",
-    "DEC_COA",
-    "DEC_COA_NORM",
-]
-
-XYZ, ERR_XYZ = ["X", "Y", "Z"], ["ErrX", "ErrY", "ErrZ"]
+# The 20-column .event schema, in file order (ref io/event.py:23-44).
+EVENT_FILE_COLS = (
+    ["EventID", "DT", *_AXES, "COA", "COA_NORM"]
+    + [f"GAU_{key}" for key in _AXES + _UNC_KEYS]
+    + [f"COV_{key}" for key in (*_UNC_KEYS, "Err_XYZ")]
+    + ["TRIG_COA", "DEC_COA", "DEC_COA_NORM"]
+)
 
 
 class Event:
-    """Everything known about one candidate/located event."""
+    """State accumulator for one triggered/located event."""
 
     def __init__(self, marginal_window, triggered_event=None):
         self.marginal_window = marginal_window
@@ -51,18 +36,25 @@ class Event:
         if triggered_event is not None:
             self.uid = triggered_event["EventID"]
             self.trigger_time = triggered_event["CoaTime"]
-            self.trigger_info = self._parse_triggered_event(triggered_event)
+            self.trigger_info = self._trigger_fields(triggered_event)
 
-        self.data = None
-        self.coa_data = None
-        self.map4d = None
-        self.trim_bounds = None
-        self._marginalise_inputs = None
-        self.onset_data = None
-        self.otime = None
-        self.locations = {}
-        self.picks = {}
-        self.localmag = {}
+        self.data = self.coa_data = self.map4d = None
+        self.trim_bounds = self._marginalise_inputs = None
+        self.onset_data = self.otime = None
+        self.locations, self.picks, self.localmag = {}, {}, {}
+
+    @staticmethod
+    def _trigger_fields(row):
+        """TRIG/DEC coalescence values carried over from the trigger stage."""
+
+        wanted = {"TRIG_COA": "TRIG_COA", "DEC_COA": "COA",
+                  "DEC_COA_NORM": "COA_NORM"}
+        try:
+            return {out: row[src] for out, src in wanted.items()}
+        except KeyError:
+            return dict.fromkeys(wanted, np.nan)
+
+    # -- accumulation -------------------------------------------------------
 
     def add_waveform_data(self, data):
         self.data = data
@@ -70,206 +62,186 @@ class Event:
     def add_compute_output(self, times, max_coa, max_coa_n, coord, map4d,
                            onset_data):
         """
-        Store the outputs of the locate-stage migration: the coalescence
-        time series, the 4-D map (flattened-node [N, S] or (nx,ny,nz,S))
-        and the onset data.
+        Record the locate-stage migration outputs: coalescence time series
+        (as a DataFrame), the retained 4-D map, and the onset data. The
+        origin time is the time of peak coalescence.
 
         """
 
-        self.coa_data = pd.DataFrame(
-            {
-                "DT": times,
-                "COA": np.asarray(max_coa, dtype=np.float64),
-                "COA_NORM": np.asarray(max_coa_n, dtype=np.float64),
-                "X": coord[:, 0],
-                "Y": coord[:, 1],
-                "Z": coord[:, 2],
-            }
-        )
+        columns = {
+            "DT": times,
+            "COA": np.asarray(max_coa, dtype=np.float64),
+            "COA_NORM": np.asarray(max_coa_n, dtype=np.float64),
+        }
+        columns.update(zip(_AXES, np.asarray(coord).T))
+        self.coa_data = pd.DataFrame(columns)
         self.map4d = map4d
-        idxmax = self.coa_data["COA"].astype(float).idxmax()
-        self.otime = self.coa_data.iloc[idxmax]["DT"]
         self.onset_data = onset_data
+        self.otime = self._peak_row()["DT"]
+
+    def _peak_row(self):
+        """The coa_data row at maximum coalescence (first on ties)."""
+
+        return self.coa_data.iloc[self.coa_data["COA"].astype(float).idxmax()]
+
+    def _store_location(self, name, coords, uncertainties=None,
+                        geometric_error=False):
+        entry = dict(zip(_AXES, coords))
+        if uncertainties is not None:
+            entry.update(zip(_UNC_KEYS, uncertainties))
+            if geometric_error:
+                entry["Err_XYZ"] = float(np.prod(uncertainties)) ** (1 / 3)
+        self.locations[name] = entry
 
     def add_covariance_location(self, xyz, xyz_unc):
-        cov_err_xyz = np.power(xyz_unc[0] * xyz_unc[1] * xyz_unc[2], 1 / 3)
-        self.locations["covariance"] = {
-            "X": xyz[0],
-            "Y": xyz[1],
-            "Z": xyz[2],
-            "ErrX": xyz_unc[0],
-            "ErrY": xyz_unc[1],
-            "ErrZ": xyz_unc[2],
-            "Err_XYZ": cov_err_xyz,
-        }
+        self._store_location("covariance", xyz, xyz_unc, geometric_error=True)
 
     def add_gaussian_location(self, xyz, xyz_unc):
-        self.locations["gaussian"] = {
-            "X": xyz[0],
-            "Y": xyz[1],
-            "Z": xyz[2],
-            "ErrX": xyz_unc[0],
-            "ErrY": xyz_unc[1],
-            "ErrZ": xyz_unc[2],
-        }
+        self._store_location("gaussian", xyz, xyz_unc)
 
     def add_spline_location(self, xyz):
-        self.locations["spline"] = dict(zip(XYZ, xyz))
+        self._store_location("spline", xyz)
 
-    def add_picks(self, pick_df, **kwargs):
-        self.picks["df"] = pick_df
-        for key, value in kwargs.items():
-            self.picks[key] = value
+    def add_picks(self, pick_df, **extras):
+        self.picks = {"df": pick_df, **extras}
 
     def add_local_magnitude(self, mag, mag_err, mag_r2):
-        self.localmag["ML"] = mag
-        self.localmag["ML_Err"] = mag_err
-        self.localmag["ML_r2"] = mag_r2
+        self.localmag = {"ML": mag, "ML_Err": mag_err, "ML_r2": mag_r2}
+
+    # -- window logic --------------------------------------------------------
 
     def in_marginal_window(self):
-        """Is the trigger time within the marginal window of the otime?"""
+        """Whether the trigger time falls inside otime ± marginal_window."""
 
-        window_start = self.otime - self.marginal_window
-        window_end = self.otime + self.marginal_window
-        cond = window_start < self.trigger_time < window_end
-        if not cond:
-            logging.info(f"\tEvent {self.uid} is outside marginal window.")
-            logging.info(
+        inside = abs(self.trigger_time - self.otime) < self.marginal_window
+        if not inside:
+            for line in (
+                f"\tEvent {self.uid} is outside marginal window.",
                 "\tDefine more realistic error - the marginal window should "
-                "be an estimate of overall uncertainty."
-            )
-            logging.info(util.log_spacer)
-
-        return cond
+                "be an estimate of overall uncertainty.",
+                util.log_spacer,
+            ):
+                logging.info(line)
+        return inside
 
     def mw_times(self, sampling_rate):
-        """Timestamps for trigger_time +/- 2 * marginal_window."""
+        """Sample timestamps spanning trigger_time ± 2·marginal_window."""
 
-        npts = int(4 * self.marginal_window * sampling_rate) + 1
-        start = self.trigger_time - 2 * self.marginal_window
+        count = int(4 * self.marginal_window * sampling_rate) + 1
+        first = self.trigger_time - 2 * self.marginal_window
         return np.array(
-            [start + i / sampling_rate for i in range(npts)], dtype=object
+            [first + i / sampling_rate for i in range(count)], dtype=object
         )
 
     def trim2window(self):
         """
-        Trim coa_data (and map4d, if retained) to otime +/- marginal_window.
-        The trimmed sample bounds within the original scan window are kept
-        in ``trim_bounds`` for two-pass (map-free) marginalisation.
+        Restrict coa_data (and map4d where kept) to otime ± marginal_window,
+        remembering the sample bounds (``trim_bounds``) for two-pass
+        map-free marginalisation, then re-derive the origin time.
 
         """
 
-        window_start = self.otime - self.marginal_window
-        window_end = self.otime + self.marginal_window
+        lo = self.otime - self.marginal_window
+        hi = self.otime + self.marginal_window
+        keep = self.coa_data["DT"].map(lambda t: lo <= t <= hi)
+        self.coa_data = self.coa_data[keep]
 
-        self.coa_data = self.coa_data[
-            (self.coa_data["DT"] >= window_start)
-            & (self.coa_data["DT"] <= window_end)
-        ]
         self.trim_bounds = (self.coa_data.index[0], self.coa_data.index[-1])
         if self.map4d is not None:
-            self.map4d = self.map4d[
-                ..., self.trim_bounds[0] : self.trim_bounds[1]
-            ]
+            first, last = self.trim_bounds
+            self.map4d = self.map4d[..., first:last]
         self.coa_data = self.coa_data.reset_index(drop=True)
+        self.otime = self._peak_row()["DT"]
 
-        idxmax = self.coa_data["COA"].astype(float).idxmax()
-        self.otime = self.coa_data.iloc[idxmax]["DT"]
+    # -- output --------------------------------------------------------------
 
     def write(self, run, lut):
-        """Write the .event CSV with LUT-precision-aware rounding."""
+        """Write the ``.event`` file, honouring the LUT precision contract."""
 
-        fpath = run.path / "locate" / run.subname / "events"
-        fpath.mkdir(exist_ok=True, parents=True)
+        outdir = run.path / "locate" / run.subname / "events"
+        outdir.mkdir(exist_ok=True, parents=True)
 
-        out = {"EventID": self.uid, **self.trigger_info, **self.localmag}
-        out = {**out, **self.max_coalescence}
-
-        loc = self.locations["spline"]
-        gau = {
-            f"GAU_{key}": value
-            for key, value in self.locations["gaussian"].items()
+        record = {
+            "EventID": self.uid,
+            **self.trigger_info,
+            **self.localmag,
+            **self.max_coalescence,
+            **self.locations["spline"],
         }
-        cov = {
-            f"COV_{key}": value
-            for key, value in list(self.locations["covariance"].items())[3:]
-        }
-        out = {**out, **loc, **gau, **cov}
+        record.update(
+            (f"GAU_{key}", val)
+            for key, val in self.locations["gaussian"].items()
+        )
+        record.update(
+            (f"COV_{key}", self.locations["covariance"][key])
+            for key in (*_UNC_KEYS, "Err_XYZ")
+        )
 
-        if self.localmag.get("ML") is not None:
-            event_file_cols = EVENT_FILE_COLS + ["ML", "ML_Err", "ML_r2"]
-        else:
-            event_file_cols = EVENT_FILE_COLS
+        columns = list(EVENT_FILE_COLS)
+        has_ml = self.localmag.get("ML") is not None
+        if has_ml:
+            columns += ["ML", "ML_Err", "ML_r2"]
 
-        event_df = pd.DataFrame([out])[event_file_cols]
+        frame = pd.DataFrame([record])[columns]
+        self._format_sig_figs(frame, like="COA", spec=".4g")
+        self._round_position_columns(frame, lut)
+        if has_ml:
+            self._format_sig_figs(frame, like="ML", spec=".3g")
 
-        for col in event_df.filter(like="COA").columns:
-            event_df[col] = event_df[col].map(
-                lambda x: f"{x:.4g}", na_action="ignore"
+        frame.to_csv((outdir / str(self.uid)).with_suffix(".event"), index=False)
+
+    @staticmethod
+    def _format_sig_figs(frame, like, spec):
+        """Render matching columns as fixed-significant-figure strings."""
+
+        for col in frame.filter(like=like).columns:
+            frame[col] = frame[col].map(
+                lambda x: format(x, spec), na_action="ignore"
             )
 
-        for axis_precision, axis in zip(lut.precision, XYZ):
-            cols = [axis, f"GAU_{axis}"]
+    @staticmethod
+    def _round_position_columns(frame, lut):
+        """
+        Round location columns to match the LUT's spatial precision: X/Y to
+        at least 6 decimals, Z (and all uncertainty columns) to the depth
+        precision — whole units when the grid is in metres.
+
+        """
+
+        for precision, axis in zip(lut.precision, _AXES):
+            targets = [axis, f"GAU_{axis}"]
             if axis == "Z":
-                unit_correction = 3 if lut.unit_name == "km" else 0
-                decimals = max((axis_precision + 2), 0 + unit_correction)
-                cols.extend(event_df.filter(regex="Err[X,Y,Z]"))
-                cols.extend(["COV_Err_XYZ"])
+                decimals = max(precision + 2, 3 if lut.unit_name == "km" else 0)
+                targets += list(frame.filter(regex="Err[X,Y,Z]"))
+                targets.append("COV_Err_XYZ")
             else:
-                decimals = max((axis_precision + 2), 6)
-            for col in cols:
-                event_df[col] = event_df.loc[:, col].round(decimals=decimals)
+                decimals = max(precision + 2, 6)
+            for col in targets:
+                frame[col] = frame[col].round(decimals=decimals)
                 if decimals <= 0:
-                    event_df[col] = event_df.loc[:, col].astype(int)
+                    frame[col] = frame[col].astype(int)
 
-        if self.localmag.get("ML") is not None:
-            for col in ["ML", "ML_Err", "ML_r2"]:
-                event_df[col] = event_df[col].map(
-                    lambda x: f"{x:.3g}", na_action="ignore"
-                )
-
-        file = (fpath / f"{self.uid}").with_suffix(".event")
-        event_df.to_csv(file, index=False)
+    # -- views ----------------------------------------------------------------
 
     def get_hypocentre(self, method="spline"):
-        """[X, Y, Z] of the event hypocentre in geographic coordinates."""
+        """[X, Y, Z] of the chosen location estimate."""
 
-        hypocentre = self.locations[method]
-        return np.array([hypocentre[k] for k in XYZ])
+        return np.array([self.locations[method][axis] for axis in _AXES])
 
     hypocentre = property(get_hypocentre)
 
     def get_loc_uncertainty(self, method="gaussian"):
-        loc = self.locations[method]
-        return np.array([loc[k] for k in ERR_XYZ])
+        return np.array([self.locations[method][key] for key in _UNC_KEYS])
 
     loc_uncertainty = property(get_loc_uncertainty)
 
     @property
     def local_magnitude(self):
-        if len(self.localmag) == 0:
+        if not self.localmag:
             return None
-        return (value for _, value in self.localmag.items())
+        return iter(self.localmag.values())
 
     @property
     def max_coalescence(self):
-        idxmax = self.coa_data["COA"].astype("float").idxmax()
-        max_coa = self.coa_data.iloc[idxmax]
-        keys = ["DT", "COA", "COA_NORM"]
-        return dict(zip(keys, max_coa[keys].values))
-
-    @staticmethod
-    def _parse_triggered_event(event_data):
-        try:
-            trigger_info = {
-                "TRIG_COA": event_data["TRIG_COA"],
-                "DEC_COA": event_data["COA"],
-                "DEC_COA_NORM": event_data["COA_NORM"],
-            }
-        except KeyError:
-            trigger_info = {
-                "TRIG_COA": np.nan,
-                "DEC_COA": np.nan,
-                "DEC_COA_NORM": np.nan,
-            }
-        return trigger_info
+        peak = self._peak_row()
+        return {key: peak[key] for key in ("DT", "COA", "COA_NORM")}
