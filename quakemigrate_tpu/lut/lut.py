@@ -1,23 +1,28 @@
 # -*- coding: utf-8 -*-
 """
-Traveltime lookup tables on a Cartesian grid.
+Projection-aware 3-D grids and traveltime lookup tables.
 
-Mirrors the reference's Grid3D/LUT semantics (quakemigrate/lut/lut.py:25-943)
--- projection-aware 3-D grids, per-station-per-phase traveltime tables,
-integer-sample serving for the migration kernel -- built on
-quakemigrate_tpu.coords instead of pyproj.
+Same capability surface as the reference Grid3D/LUT
+(quakemigrate/lut/lut.py:25-943): corner/spacing grid definition with a
+coordinate-space <-> grid-space projection pair, per-station-per-phase
+traveltime tables, decimation, interpolation, pickling, and integer-sample
+serving for the migration kernel. Projections come from
+``quakemigrate_tpu.coords`` (no pyproj).
 
-The served traveltime stack is the device-side input of the TPU migration
-kernel: ``serve_traveltimes`` returns int32 sample offsets with shape
-(nx, ny, nz, n_onsets) for API parity (reference: lut.py:502-538); the scan
-engine flattens the node axis to the node-major [n_nodes, n_onsets] layout
-the kernel wants.
+``serve_traveltimes`` keeps the reference's (nx, ny, nz, n_onsets) layout at
+the API boundary; the scan engine flattens to the node-major
+[n_nodes, n_onsets] layout the TPU kernel wants.
+
+Pickle layout note: instance attribute names (``_node_count``,
+``_node_spacing``, ``ll_corner``, ``traveltimes``, ...) are part of the
+on-disk LUT contract — do not rename them.
 
 """
 
 import copy
 import pathlib
 import pickle
+from itertools import product
 
 import numpy as np
 import pandas as pd
@@ -26,387 +31,381 @@ from scipy.interpolate import RegularGridInterpolator
 from quakemigrate_tpu.coords import Transformer
 
 
+def _renamed_parameter(old, new):
+    """Property factory for deprecated parameter names (ref lut.py:365-396)."""
+
+    def read(self):
+        return getattr(self, new)
+
+    def write(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n"
+            f"\t'{old}' -> '{new}'"
+        )
+        setattr(self, new, value)
+
+    return property(read, write)
+
+
 class Grid3D:
     """
-    A regular 3-D grid defined by its lower-left/upper-right corners (in the
-    input coordinate projection), a node spacing, and a pair of projections
-    (input coordinate space and grid space).
+    Regular 3-D grid: lower-left / upper-right corners given in an input
+    coordinate projection, transformed into a Cartesian grid projection, and
+    discretised at a fixed node spacing.
 
     """
 
     def __init__(self, ll_corner, ur_corner, node_spacing, grid_proj, coord_proj):
-        self.grid_proj = grid_proj
-        self.coord_proj = coord_proj
+        self.grid_proj, self.coord_proj = grid_proj, coord_proj
 
-        self.ll_corner = self.coord2grid(ll_corner)[0]
-        self.ur_corner = self.coord2grid(ur_corner)[0]
-
-        grid_dims = self.ur_corner - self.ll_corner
+        self.ll_corner, self.ur_corner = (
+            self.coord2grid(corner)[0] for corner in (ll_corner, ur_corner)
+        )
         self.node_spacing = node_spacing
-        self.node_count = np.ceil(grid_dims / self.node_spacing) + 1
 
-    def decimate(self, df, inplace=False):
-        """Decimate the traveltime tables by an integer factor per axis."""
+        span = self.ur_corner - self.ll_corner
+        self.node_count = 1 + np.ceil(span / self.node_spacing)
 
-        df = np.array(df, dtype=int)
-
-        new_node_count = 1 + (self.node_count - 1) // df
-        c1 = (self.node_count - df * (new_node_count - 1) - 1) // 2
-
-        grid = self if inplace else copy.deepcopy(self)
-        grid.node_count = new_node_count
-        grid.node_spacing = self.node_spacing * df
-
-        for station, phase_tables in grid.traveltimes.items():
-            for phase, ttimes in phase_tables.items():
-                grid[station][phase] = ttimes[
-                    c1[0] :: df[0], c1[1] :: df[1], c1[2] :: df[2]
-                ]
-
-        if not inplace:
-            return grid
-
-    def index2grid(self, value, inverse=False, unravel=False):
-        """Convert between grid indices and grid coordinate space."""
-
-        if unravel:
-            value = np.column_stack(np.unravel_index(value, self.node_count))
-        else:
-            value = np.array(value)
-
-        if inverse:
-            out = np.rint((value - self.ll_corner) / self.node_spacing)
-            out = np.vstack(out.astype(int))
-        else:
-            out = np.vstack(self.ll_corner + (value * self.node_spacing))
-
-        if out.shape[1] == 1:
-            out = out.T
-
-        return out
+    # -- coordinate transforms ----------------------------------------------
 
     def coord2grid(self, value, inverse=False):
-        """Convert between input coordinate space and grid coordinate space."""
+        """Input coordinate space <-> grid space (inverse: grid -> coords)."""
 
-        v1, v2, v3 = np.array(value, dtype=float).T
+        route = (
+            (self.grid_proj, self.coord_proj)
+            if inverse
+            else (self.coord_proj, self.grid_proj)
+        )
+        components = np.array(value, dtype=float).T
+        transformed = Transformer.from_proj(*route).transform(*components)
+        return np.column_stack(transformed)
 
+    def index2grid(self, value, inverse=False, unravel=False):
+        """Grid indices <-> grid space (inverse: positions -> indices)."""
+
+        value = (
+            np.column_stack(np.unravel_index(value, self.node_count))
+            if unravel
+            else np.array(value)
+        )
         if inverse:
-            transformer = Transformer.from_proj(self.grid_proj, self.coord_proj)
+            fractional = (value - self.ll_corner) / self.node_spacing
+            points = np.vstack(np.rint(fractional).astype(int))
         else:
-            transformer = Transformer.from_proj(self.coord_proj, self.grid_proj)
-
-        return np.column_stack(transformer.transform(v1, v2, v3))
+            points = np.vstack(self.ll_corner + value * self.node_spacing)
+        return points.T if points.shape[1] == 1 else points
 
     def index2coord(self, value, inverse=False, unravel=False):
-        """Convert between grid indices and input coordinate space."""
+        """Grid indices <-> input coordinate space (via grid space)."""
 
         if inverse:
-            value = self.coord2grid(value)
-            out = self.index2grid(value, inverse=True)
-        else:
-            value = self.index2grid(value, unravel=unravel)
-            out = self.coord2grid(value, inverse=True)
+            return self.index2grid(self.coord2grid(value), inverse=True)
+        return self.coord2grid(self.index2grid(value, unravel=unravel),
+                               inverse=True)
 
-        return out
+    # -- decimation -----------------------------------------------------------
+
+    def decimate(self, df, inplace=False):
+        """
+        Thin the traveltime tables by integer factors per axis, recentring so
+        the retained nodes sit symmetrically within the original grid.
+
+        """
+
+        factors = np.array(df, dtype=int)
+        kept = 1 + (self.node_count - 1) // factors
+        offset = (self.node_count - factors * (kept - 1) - 1) // 2
+        window = tuple(slice(o, None, f) for o, f in zip(offset, factors))
+
+        target = self if inplace else copy.deepcopy(self)
+        target.node_count = kept
+        target.node_spacing = self.node_spacing * factors
+        for tables in target.traveltimes.values():
+            for phase in tables:
+                tables[phase] = tables[phase][window]
+
+        if not inplace:
+            return target
+
+    # -- validated grid geometry ----------------------------------------------
 
     @property
     def node_count(self):
-        """Number of nodes in each dimension of the grid."""
+        """Nodes per axis (int32[3])."""
 
         return self._node_count
 
     @node_count.setter
     def node_count(self, value):
-        value = np.array(value, dtype="int32")
-        assert np.all(value > 0), "Node count must be greater than [0]"
-        self._node_count = value
+        counts = np.asarray(value).astype("int32")
+        if not (counts > 0).all():
+            raise AssertionError("Node count must be greater than [0]")
+        self._node_count = counts
 
     @property
     def node_spacing(self):
-        """Spacing of nodes in each dimension of the grid."""
+        """Node spacing per axis (float64[3]; scalars broadcast)."""
 
         return self._node_spacing
 
     @node_spacing.setter
     def node_spacing(self, value):
-        value = np.array(value, dtype="float64")
-        if value.size == 1:
-            value = np.repeat(value, 3)
-        else:
-            assert value.shape == (3,), "Node spacing must be an nx3 array."
-        assert np.all(value > 0), "Node spacing must be greater than [0]"
-        self._node_spacing = value
+        spacing = np.asarray(value, dtype="float64")
+        if spacing.size == 1:
+            spacing = np.full(3, float(spacing))
+        if spacing.shape != (3,):
+            raise AssertionError("Node spacing must be an nx3 array.")
+        if not (spacing > 0).all():
+            raise AssertionError("Node spacing must be greater than [0]")
+        self._node_spacing = spacing
 
     @property
     def n_nodes(self):
-        """Total number of nodes in the grid."""
+        """Total node count."""
 
         return int(np.prod(self.node_count))
 
-    # --- deprecated parameter names from older reference scripts ---
-    # (reference: lut/lut.py:365-396)
+    cell_count = _renamed_parameter("cell_count", "node_count")
+    cell_size = _renamed_parameter("cell_size", "node_spacing")
 
-    @property
-    def cell_count(self):
-        return self.node_count
-
-    @cell_count.setter
-    def cell_count(self, value):
-        if value is None:
-            return
-        print(
-            "FutureWarning: Parameter name has changed - continuing.\n"
-            "To remove this message, change:\n"
-            "\t'cell_count' -> 'node_count'"
-        )
-        self.node_count = value
-
-    @property
-    def cell_size(self):
-        return self.node_spacing
-
-    @cell_size.setter
-    def cell_size(self, value):
-        if value is None:
-            return
-        print(
-            "FutureWarning: Parameter name has changed - continuing.\n"
-            "To remove this message, change:\n"
-            "\t'cell_size' -> 'node_spacing'"
-        )
-        self.node_spacing = value
+    # -- derived geometry -------------------------------------------------------
 
     @property
     def grid_corners(self):
-        """xyz positions of the eight corners of the grid (grid space)."""
+        """The eight grid corner positions, in grid space."""
 
-        c = self.node_count - 1
-        i, j, k = np.meshgrid([0, c[0]], [0, c[1]], [0, c[2]], indexing="ij")
-
-        return self.index2grid(np.c_[i.flatten(), j.flatten(), k.flatten()])
+        extremes = [(0, top) for top in self.node_count - 1]
+        return self.index2grid(list(product(*extremes)))
 
     def get_grid_extent(self, cells=False):
-        """Geographic extent of the grid (nodes, or node-centred cells)."""
+        """Geographic extent of the grid (node centres, or full cells)."""
 
-        ll, ur = self.grid_corners[0], self.grid_corners[-1]
-
+        lower, upper = self.grid_corners[0], self.grid_corners[-1]
         if cells is True:
-            ll = ll - self.node_spacing / 2
-            ur = ur + self.node_spacing / 2
-
-        return self.coord2grid([ll, ur], inverse=True)
+            half = self.node_spacing / 2
+            lower, upper = lower - half, upper + half
+        return self.coord2grid([lower, upper], inverse=True)
 
     grid_extent = property(get_grid_extent)
 
     @property
     def grid_xyz(self):
-        """xyz positions of all grid nodes, as a list of 3 mesh arrays."""
+        """Node positions as three (nx, ny, nz) mesh arrays."""
 
-        nc = self.node_count
-        ijk = np.meshgrid(*[np.arange(n) for n in nc], indexing="ij")
-        xyz = self.index2grid(np.column_stack([dim.flatten() for dim in ijk]))
-
-        return [xyz[:, dim].reshape(nc) for dim in range(3)]
+        shape = self.node_count
+        flat_ijk = np.indices(shape).reshape(3, -1).T
+        xyz = self.index2grid(flat_ijk)
+        return [xyz[:, axis].reshape(shape) for axis in range(3)]
 
     @property
     def precision(self):
-        """Appropriate number of decimal places per axis for outputs."""
+        """Decimal places per axis that resolve one node spacing."""
 
+        zero, one = self.index2coord([[0, 0, 0], [1, 1, 1]])
         return [
-            -int(np.format_float_scientific(axis).split("e")[1])
-            for axis in np.subtract(*self.index2coord([[0, 0, 0], [1, 1, 1]]))
+            -int(np.format_float_scientific(step).split("e")[1])
+            for step in zero - one
         ]
 
     @property
-    def unit_conversion_factor(self):
-        """Factor converting grid units to metres (1 for m, 1000 for km)."""
+    def _grid_axis_info(self):
+        return self.grid_proj.crs.axis_info[0]
 
-        return self.grid_proj.crs.axis_info[0].unit_conversion_factor
+    @property
+    def unit_conversion_factor(self):
+        """Grid units -> metres multiplier (1 for m, 1000 for km)."""
+
+        return self._grid_axis_info.unit_conversion_factor
 
     @property
     def unit_name(self):
-        """Shorthand unit name of the grid projection ("m" or "km")."""
+        """Short unit label of the grid projection."""
 
-        unit_name = self.grid_proj.crs.axis_info[0].unit_name
-
-        return "km" if unit_name == "kilometre" else "m"
+        return "km" if self._grid_axis_info.unit_name == "kilometre" else "m"
 
 
 class LUT(Grid3D):
     """
-    Traveltime lookup table: a Grid3D plus per-station-per-phase traveltime
-    tables and the utilities to serve them to the scan engine.
+    A Grid3D carrying per-station-per-phase traveltime tables
+    (``lut.traveltimes[station][phase]``, each (nx, ny, nz) seconds), plus
+    serving/interpolation utilities for the scan engine.
 
     """
 
     def __init__(self, fraction_tt=0.1, lut_file=None, **grid_spec):
         self.station_data = pd.DataFrame()
+        self.fraction_tt = fraction_tt
         if grid_spec:
             super().__init__(**grid_spec)
-            self.fraction_tt = fraction_tt
-            self.traveltimes = {}
-            self.phases = []
-            self.velocity_model = ""
+            self.traveltimes, self.phases, self.velocity_model = {}, [], ""
         else:
-            self.fraction_tt = fraction_tt
             self.phases = ["P", "S"]
             if lut_file is not None:
                 self.load(lut_file)
 
     def __str__(self):
-        ll, *_, ur = self.coord2grid(self.grid_corners, inverse=True)
+        corners = self.coord2grid(self.grid_corners, inverse=True)
+        lower, upper = corners[0], corners[-1]
+        unit = self.unit_name
 
-        out = (
+        def corner_line(label, c):
+            return (
+                f"\n\t{label} : {c[1]:10.5f}°N {c[0]:10.5f}°E "
+                f"{c[2]:10.3f} {unit}"
+            )
+
+        vmodel = str(self.velocity_model).replace("\n", "\n\t")
+        return (
             "quakemigrate_tpu traveltime lookup table\nGrid parameters"
-            f"\n\tLower-left corner  : {ll[1]:10.5f}°N "
-            f"{ll[0]:10.5f}°E {ll[2]:10.3f} {self.unit_name}"
-            f"\n\tUpper-right corner : {ur[1]:10.5f}°N "
-            f"{ur[0]:10.5f}°E {ur[2]:10.3f} {self.unit_name}"
-            f"\n\tNumber of nodes    : {self.node_count}"
-            f"\n\tNode spacing       : {self.node_spacing} {self.unit_name}"
-            "\n\n"
-        )
-        out += "\tVelocity model:\n\t{}".format(
-            str(self.velocity_model).replace("\n", "\n\t")
+            + corner_line("Lower-left corner ", lower)
+            + corner_line("Upper-right corner", upper)
+            + f"\n\tNumber of nodes    : {self.node_count}"
+            + f"\n\tNode spacing       : {self.node_spacing} {unit}"
+            + "\n\n"
+            + f"\tVelocity model:\n\t{vmodel}"
         )
 
-        return out
+    # -- serving ---------------------------------------------------------------
 
     def serve_traveltimes(self, sampling_rate, availability=None):
         """
-        Serve up the traveltime tables as integer sample offsets,
-        shape (nx, ny, nz, n_onsets), optionally filtered by an availability
-        dict keyed "station_phase".
+        Traveltimes as int32 sample offsets, (nx, ny, nz, n_onsets). With an
+        availability dict ("station_phase" -> 0/1) only available onsets are
+        stacked, in dict order.
 
         """
 
         if availability is None:
-            traveltimes = self._serve_traveltimes(self.phases)
+            stacked = self._stack_tables(self.phases)
         else:
-            traveltimes = []
-            for key, available in availability.items():
-                station, phase = key.split("_")
-                if available == 1:
-                    traveltimes.append(self[station][phase])
-            traveltimes = np.stack(traveltimes, axis=-1)
-        return np.rint(traveltimes * sampling_rate).astype(np.int32)
+            live = [
+                key.split("_") for key, up in availability.items() if up == 1
+            ]
+            stacked = np.stack(
+                [self[station][phase] for station, phase in live], axis=-1
+            )
+        return np.rint(stacked * sampling_rate).astype(np.int32)
 
-    def traveltime_to(self, phase, ijk, station=None):
-        """Interpolated traveltime(s) to a (fractional) grid index position."""
+    def _stack_tables(self, phases, stations=None):
+        """Stack (phase-major, then station) tables along a new last axis."""
 
-        grid = tuple([np.arange(nc) for nc in self.node_count])
-
-        if station is None:
-            traveltimes = self._serve_traveltimes([phase])
-        elif isinstance(station, str):
-            traveltimes = self._serve_traveltimes([phase], [station])
-        else:
-            traveltimes = self._serve_traveltimes([phase], station)
-
-        interpolator = RegularGridInterpolator(
-            grid, traveltimes, bounds_error=False, fill_value=None
+        if stations is None:
+            stations = self.station_data["Name"].values
+        return np.stack(
+            [self[station][phase] for phase in phases for station in stations],
+            axis=-1,
         )
 
-        return interpolator(ijk)[0]
+    def traveltime_to(self, phase, ijk, station=None):
+        """Traveltime(s) to a fractional grid-index position, interpolated."""
 
-    def _serve_traveltimes(self, phases, stations=None):
-        stations = self.station_data["Name"].values if stations is None else stations
+        if station is None:
+            tables = self._stack_tables([phase])
+        else:
+            names = [station] if isinstance(station, str) else station
+            tables = self._stack_tables([phase], names)
 
-        traveltimes = []
-        for phase in phases:
-            for station in stations:
-                traveltimes.append(self[station][phase])
-        return np.stack(traveltimes, axis=-1)
+        axes = tuple(np.arange(n) for n in self.node_count)
+        sampler = RegularGridInterpolator(
+            axes, tables, bounds_error=False, fill_value=None
+        )
+        return sampler(ijk)[0]
+
+    @property
+    def max_traveltime(self):
+        """Largest traveltime in any served table."""
+
+        return np.max(self._stack_tables(self.phases))
+
+    # -- persistence -------------------------------------------------------------
 
     def save(self, filename):
-        """Pickle the LUT state to file."""
+        """Pickle this LUT's state."""
 
-        pathlib.Path(filename).parent.mkdir(parents=True, exist_ok=True)
-
-        with open(filename, "wb") as f:
+        path = pathlib.Path(filename)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with path.open("wb") as f:
             pickle.dump(self.__dict__, f, 4)
 
     def load(self, filename):
-        """Restore LUT state from a pickle file."""
+        """Restore state from a pickled LUT."""
 
         with open(filename, "rb") as f:
             self.__dict__.update(pickle.load(f))
 
-    @property
-    def max_extent(self):
-        """Geographic extent of the union of stations and grid, padded 5%."""
-
-        stat_min, stat_max = self.station_extent
-        grid_min, grid_max = self.get_grid_extent(cells=True)
-
-        min_extent = [min(a, b) for a, b in zip(stat_min, grid_min)]
-        max_extent = [max(a, b) for a, b in zip(stat_max, grid_max)]
-        diff = abs(np.subtract(max_extent, min_extent))
-
-        min_extent = np.subtract(min_extent, 0.05 * diff)
-        max_extent = np.add(max_extent, 0.05 * diff)
-
-        return np.array([min_extent, max_extent])
-
-    @property
-    def max_traveltime(self):
-        """The maximum traveltime from any station across the grid."""
-
-        return np.max(self._serve_traveltimes(self.phases))
+    # -- network geometry -----------------------------------------------------------
 
     @property
     def station_extent(self):
-        """Geographic extent of the seismic network."""
+        """[[min lon, lat, elev], [max lon, lat, elev]] over the network."""
 
-        coordinates = self.station_data[["Longitude", "Latitude", "Elevation"]]
-
-        return [[f(dim) for dim in coordinates.values.T] for f in (min, max)]
+        positions = self.station_data[["Longitude", "Latitude", "Elevation"]].values
+        return [list(positions.min(axis=0)), list(positions.max(axis=0))]
 
     @property
     def stations_xyz(self):
-        """Station locations in grid space [X, Y, Z]."""
+        """Station positions in grid space."""
 
-        coordinates = self.station_data[["Longitude", "Latitude", "Elevation"]]
+        return self.coord2grid(
+            self.station_data[["Longitude", "Latitude", "Elevation"]].values
+        )
 
-        return self.coord2grid(coordinates.values)
+    @property
+    def max_extent(self):
+        """Union of station and (cell-padded) grid extents, padded 5%."""
+
+        corners = np.array([self.station_extent,
+                            self.get_grid_extent(cells=True)])
+        lower = corners[:, 0].min(axis=0)
+        upper = corners[:, 1].max(axis=0)
+        margin = 0.05 * np.abs(upper - lower)
+        return np.array([lower - margin, upper + margin])
+
+    # -- misc ---------------------------------------------------------------------
 
     def plot(self, fig, gs, slices=None, hypocentre=None, station_clr="k",
              station_list=None):
-        """Plot grid cross-sections with stations (see plot.lut_plot)."""
+        """Grid cross-section figure with stations (see plot.lut)."""
 
         from quakemigrate_tpu.plot.lut import lut_plot
 
         lut_plot(self, fig, gs, slices, hypocentre, station_clr, station_list)
 
     def __add__(self, other):
-        """Combine traveltime tables from a grid-compatible LUT."""
+        """Merge traveltime tables from a grid-compatible LUT."""
 
         if not isinstance(other, LUT):
             print("Addition not defined for non-LUT object.")
-            return self
-        if self == other:
+        elif self == other:
             self.traveltimes.update(other.traveltimes)
-            return self
-        print("Grid definitions do not match - cannot combine.")
+        else:
+            print("Grid definitions do not match - cannot combine.")
+            return None
+        return self
 
     def __eq__(self, other):
-        """LUTs are equal if their grid definitions are identical."""
+        """Grid-definition equality (corners, spacing, projections)."""
 
         if not isinstance(other, LUT):
             print("Equality of LUT with non-LUT object is undefined.")
             return False
-        eq_corners = (self.grid_corners == other.grid_corners).all()
-        eq_sizes = (self.node_spacing == other.node_spacing).all()
-        eq_projections = (
-            self.grid_proj == other.grid_proj and self.coord_proj == other.coord_proj
+        same_geometry = (
+            (self.grid_corners == other.grid_corners).all()
+            and (self.node_spacing == other.node_spacing).all()
         )
-
-        return bool(eq_corners and eq_sizes and eq_projections)
+        same_projections = (
+            self.grid_proj == other.grid_proj
+            and self.coord_proj == other.coord_proj
+        )
+        return bool(same_geometry and same_projections)
 
     def __getitem__(self, key):
-        """Direct access to a station's traveltime tables."""
+        """``lut[station]`` -> that station's phase-keyed traveltime tables."""
 
-        try:
-            return self.traveltimes[key]
-        except KeyError:
+        tables = self.traveltimes.get(key)
+        if tables is None:
             print(f"No traveltime lookup table available for '{key}'.")
+        return tables
