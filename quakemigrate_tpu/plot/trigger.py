@@ -18,24 +18,27 @@ from quakemigrate_tpu.io import read_availability
 
 @util.timeit()
 def trigger_summary(
+    trigger,
     events,
+    data,
+    detection_threshold,
     starttime,
     endtime,
-    run,
-    marginal_window,
-    min_event_interval,
-    detection_threshold,
-    threshold_string,
-    normalise_coalescence,
-    lut,
-    data,
     region,
     discarded_events,
     interactive=False,
-    xy_files=None,
-    plot_all_stns=True,
 ):
-    """Create and save the trigger summary figure."""
+    """
+    Create and save the trigger summary figure. ``trigger`` is the Trigger
+    object itself — run, LUT, threshold description, normalisation choice
+    and overlay files are read from it.
+
+    """
+
+    run, lut = trigger.run, trigger.lut
+    normalise_coalescence = trigger.normalise_coalescence
+    threshold_string = trigger._threshold_method_string()
+    xy_files = trigger.xy_files
 
     # Time panels share the x-axis; the map panel must NOT (it is in
     # lon/lat coordinates and would clobber the shared time limits).

@@ -1,15 +1,16 @@
 # -*- coding: utf-8 -*-
 """
-Trigger: threshold the continuous maximum-coalescence stream output by
-detect() to identify candidate events for locate().
+Trigger stage: threshold the continuous coalescence stream written by
+detect() into a catalogue of candidate events for locate().
 
-Host-side pandas/numpy, mirroring the reference behaviour exactly
+Behavioural contract follows the reference
 (quakemigrate/signal/trigger.py:77-737): day-batched processing; static /
-MAD / median-ratio thresholds computed over fixed-length chunks; optional
-Gaussian smoothing of the coalescence traces; candidate identification on
-above-threshold runs with the peak always taken from the raw COA trace;
-overlapping marginal windows merged; events filtered by pad and optional
-geographic region; 17-character event IDs minted from the coalescence time.
+MAD / median-ratio thresholds over fixed-length chunks; optional Gaussian
+smoothing; above-threshold runs collapsed to candidates with the peak
+always read from the raw COA trace; overlap-merging of marginal windows;
+pad/region filtering; 17-character event IDs minted from the peak time.
+The merge step here is vectorised (the reference's row-wise iterrows merge
+is O(n·pandas) on long catalogues).
 
 """
 
@@ -24,149 +25,137 @@ import quakemigrate_tpu.util as util
 from quakemigrate_tpu.io import Run, read_scanmseed, write_triggered_events
 from quakemigrate_tpu.seis import UTCDateTime
 
+_SECONDS_PER_DAY = 86400
+
+# Output schemas: candidates carry a group number, refined events an ID.
+_EVENT_FIELDS = [
+    "CoaTime", "TRIG_COA", "COA_X", "COA_Y", "COA_Z",
+    "MinTime", "MaxTime", "COA", "COA_NORM",
+]
+CANDIDATES_COLS = ["EventNum"] + _EVENT_FIELDS
+REFINED_EVENTS_COLS = ["EventID"] + _EVENT_FIELDS
+
 
 def chunks2trace(a, new_shape):
-    """Expand an array of per-chunk values into a sample-by-sample trace."""
+    """Tile per-chunk statistics out to a sample-by-sample trace."""
 
-    b = np.broadcast_to(a[:, None], new_shape)
-    b = np.reshape(b, np.prod(new_shape))
-
-    return b
+    n_chunks, chunk_len = new_shape
+    return np.repeat(np.asarray(a), chunk_len)[: n_chunks * chunk_len]
 
 
-CANDIDATES_COLS = [
-    "EventNum",
-    "CoaTime",
-    "TRIG_COA",
-    "COA_X",
-    "COA_Y",
-    "COA_Z",
-    "MinTime",
-    "MaxTime",
-    "COA",
-    "COA_NORM",
-]
+def _mint_uid(coa_time):
+    """17-digit event ID from a coalescence peak time (digits only)."""
 
-REFINED_EVENTS_COLS = [
-    "EventID",
-    "CoaTime",
-    "TRIG_COA",
-    "COA_X",
-    "COA_Y",
-    "COA_Z",
-    "MinTime",
-    "MaxTime",
-    "COA",
-    "COA_NORM",
-]
+    digits = "".join(ch for ch in str(coa_time) if ch.isdigit())
+    return digits[:17].ljust(17, "0")
 
 
 class Trigger:
     """
-    Candidate-event triggering from the detect-stage coalescence stream.
+    Threshold-based candidate-event detection on the .scanmseed stream.
 
-    Attributes follow the reference API: threshold_method ("static" /
-    "mad" / "median_ratio") and its parameters, marginal_window,
-    min_event_interval (>= 2x marginal window), normalise_coalescence,
-    pad, smoothing options, plotting toggles.
+    Key options (reference-compatible names): threshold_method with its
+    static/mad/median_ratio parameters, marginal_window,
+    min_event_interval (validated >= 2x marginal window),
+    normalise_coalescence, pad, COA smoothing, plotting toggles.
 
     """
+
+    _OPTION_DEFAULTS = {
+        "threshold_method": "static",
+        "static_threshold": 1.5,
+        "mad_window_length": 3600.0,
+        "mad_multiplier": 8.0,
+        "median_window_length": 3600.0,
+        "median_multiplier": 1.2,
+        "marginal_window": 2.0,
+        "min_event_interval": 4.0,
+        "normalise_coalescence": False,
+        "pad": 120.0,
+        "smooth_coa": False,
+        "smoothing_kernel_sigma": 0.2,
+        "smoothing_kernel_width": 4.0,
+        "plot_trigger_summary": True,
+        "xy_files": None,
+        "plot_all_stns": True,
+        "write_event_time_windows": False,
+    }
 
     def __init__(self, lut, run_path, run_name, **kwargs):
         self.lut = lut
 
-        self.run = Run(
-            run_path,
-            run_name,
-            kwargs.get("trigger_name", ""),
-            "trigger",
-            loglevel=kwargs.get("loglevel", "info"),
-        )
+        self.run = Run(run_path, run_name, kwargs.get("trigger_name", ""),
+                       "trigger", loglevel=kwargs.get("loglevel", "info"))
         self.run.logger(kwargs.get("log", False))
 
-        self.threshold_method = kwargs.get("threshold_method", "static")
-        self.static_threshold = kwargs.get("static_threshold", 1.5)
-        self.mad_window_length = kwargs.get("mad_window_length", 3600.0)
-        self.mad_multiplier = kwargs.get("mad_multiplier", 8.0)
-        self.median_window_length = kwargs.get("median_window_length", 3600.0)
-        self.median_multiplier = kwargs.get("median_multiplier", 1.2)
-
-        self.marginal_window = kwargs.get("marginal_window", 2.0)
-        self.min_event_interval = kwargs.get("min_event_interval", 4.0)
+        for option, default in self._OPTION_DEFAULTS.items():
+            setattr(self, option, kwargs.get(option, default))
         if kwargs.get("minimum_repeat"):
-            self.minimum_repeat = kwargs.get("minimum_repeat")
-        self.normalise_coalescence = kwargs.get("normalise_coalescence", False)
-        self.pad = kwargs.get("pad", 120.0)
-        self.smooth_coa = kwargs.get("smooth_coa", False)
-        self.smoothing_kernel_sigma = kwargs.get("smoothing_kernel_sigma", 0.2)
-        self.smoothing_kernel_width = kwargs.get("smoothing_kernel_width", 4.0)
-
-        self.plot_trigger_summary = kwargs.get("plot_trigger_summary", True)
-        self.xy_files = kwargs.get("xy_files")
-        self.plot_all_stns = kwargs.get("plot_all_stns", True)
-
-        self.write_event_time_windows = kwargs.get(
-            "write_event_time_windows", False
-        )
+            self.minimum_repeat = kwargs["minimum_repeat"]
 
     def __str__(self):
-        out = (
-            "\tTrigger parameters:\n"
-            f"\t\tPre/post pad = {self.pad} s\n"
-            f"\t\tMarginal window = {self.marginal_window} s\n"
-            f"\t\tMinimum event interval  = {self.min_event_interval} s\n\n"
-            f"\t\tTriggering from the "
-        )
-        out += "normalised " if self.normalise_coalescence else ""
-        out += "maximum coalescence trace.\n\n"
-        out += f"\t\tTrigger threshold method: {self.threshold_method}\n"
+        lines = [
+            "\tTrigger parameters:",
+            f"\t\tPre/post pad = {self.pad} s",
+            f"\t\tMarginal window = {self.marginal_window} s",
+            f"\t\tMinimum event interval  = {self.min_event_interval} s\n",
+            "\t\tTriggering from the "
+            + ("normalised " if self.normalise_coalescence else "")
+            + "maximum coalescence trace.\n",
+            f"\t\tTrigger threshold method: {self.threshold_method}",
+        ]
         if self.threshold_method == "static":
-            out += f"\t\tStatic threshold = {self.static_threshold}\n\n"
+            lines.append(f"\t\tStatic threshold = {self.static_threshold}\n")
         elif self.threshold_method == "mad":
-            out += (
-                f"\t\tMAD Window     = {self.mad_window_length}\n"
-                f"\t\tMAD Multiplier = {self.mad_multiplier}\n\n"
-            )
-        elif self.threshold_method == "median_ratio":
-            out += (
-                f"\t\tMedian Window     = {self.median_window_length}\n"
-                f"\t\tMedian Multiplier = {self.median_multiplier}\n\n"
-            )
+            lines += [
+                f"\t\tMAD Window     = {self.mad_window_length}",
+                f"\t\tMAD Multiplier = {self.mad_multiplier}\n",
+            ]
+        else:
+            lines += [
+                f"\t\tMedian Window     = {self.median_window_length}",
+                f"\t\tMedian Multiplier = {self.median_multiplier}\n",
+            ]
         if self.smooth_coa:
-            out += (
-                "\t\tApplying gaussian smoothing to the coalescence trace.\n"
-                f"\t\tGaussian kernel sigma = {self.smoothing_kernel_sigma} s\n"
-                f"\t\tGaussian kernel truncated at "
-                f"{self.smoothing_kernel_width} standard deviations.\n"
-            )
+            lines += [
+                "\t\tApplying gaussian smoothing to the coalescence trace.",
+                f"\t\tGaussian kernel sigma = {self.smoothing_kernel_sigma} s",
+                "\t\tGaussian kernel truncated at "
+                f"{self.smoothing_kernel_width} standard deviations.",
+            ]
+        return "\n".join(lines) + "\n"
 
-        return out
+    # -- driver ---------------------------------------------------------------
 
     def trigger(self, starttime, endtime, region=None, interactive_plot=False):
-        """Trigger candidate events between two timestamps, day by day."""
+        """Run triggering over [starttime, endtime], one day at a time."""
 
         starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
         if starttime > endtime:
             raise util.TimeSpanException
 
-        logging.info(util.log_spacer)
-        logging.info("\tTRIGGER - Triggering events from .scanmseed")
-        logging.info(util.log_spacer)
-        logging.info(f"\n\tTriggering events from {starttime} to {endtime}\n")
-        logging.info(str(self))
-        logging.info(util.log_spacer)
+        for line in (
+            util.log_spacer,
+            "\tTRIGGER - Triggering events from .scanmseed",
+            util.log_spacer,
+            f"\n\tTriggering events from {starttime} to {endtime}\n",
+            str(self),
+            util.log_spacer,
+        ):
+            logging.info(line)
 
-        batchstart = starttime
-        while batchstart < endtime:
-            next_day = UTCDateTime(batchstart.date) + 86400
-            batchend = next_day if next_day <= endtime else endtime
-            self._trigger_batch(batchstart, batchend, region, interactive_plot)
-            batchstart = next_day
+        cursor = starttime
+        while cursor < endtime:
+            day_after = UTCDateTime(cursor.date) + _SECONDS_PER_DAY
+            self._trigger_batch(
+                cursor, min(day_after, endtime), region, interactive_plot
+            )
+            cursor = day_after
 
         logging.info(util.log_spacer)
 
     def _trigger_batch(self, batchstart, batchend, region, interactive_plot):
-        """Trigger one (up to day-length) batch."""
+        """Read, threshold, refine, filter and write one day's batch."""
 
         logging.info("\tReading in .scanmseed...")
         data, stats = read_scanmseed(
@@ -183,24 +172,19 @@ class Trigger:
         logging.info("\n\tTriggering events...")
         trigger_on = "COA_N" if self.normalise_coalescence else "COA"
         threshold = self._get_threshold(data[trigger_on], stats.sampling_rate)
-        candidate_events = self._identify_candidates(data, trigger_on, threshold)
+        candidates = self._identify_candidates(data, trigger_on, threshold)
 
-        if candidate_events.empty:
+        if candidates.empty:
             logging.info(
                 "\tNo events triggered at this threshold - try a lower "
                 "detection threshold."
             )
-            events = candidate_events
-            discarded = candidate_events
+            events = discarded = candidates
         else:
-            refined_events = self._refine_candidates(candidate_events)
-            logging.debug(refined_events)
-            events = self._filter_events(
-                refined_events, batchstart, batchend, region
-            )
-            discarded = refined_events[
-                ~refined_events.index.isin(events.index)
-            ].dropna()
+            refined = self._refine_candidates(candidates)
+            logging.debug(refined)
+            events = self._filter_events(refined, batchstart, batchend, region)
+            discarded = refined[~refined.index.isin(events.index)].dropna()
             logging.info(
                 f"\n\t\t{len(events)} event(s) triggered within the "
                 f"specified region between {batchstart} \n\t\tand {batchend}"
@@ -215,217 +199,183 @@ class Trigger:
             from quakemigrate_tpu.plot.trigger import trigger_summary
 
             trigger_summary(
-                events,
-                batchstart,
-                batchend,
-                self.run,
-                self.marginal_window,
-                self.min_event_interval,
-                threshold,
-                self._threshold_method_string(),
-                self.normalise_coalescence,
-                self.lut,
-                data,
-                region,
-                discarded,
-                interactive=interactive_plot,
-                xy_files=self.xy_files,
-                plot_all_stns=self.plot_all_stns,
+                self, events, data, threshold, batchstart, batchend,
+                region, discarded, interactive=interactive_plot,
             )
 
     def _threshold_method_string(self):
-        if self.threshold_method == "static":
-            return f"{self.static_threshold} (static)"
-        if self.threshold_method == "mad":
-            return f"MAD ({self.mad_window_length} s / {self.mad_multiplier}x)"
-        return (
-            f"Median Ratio ({self.median_window_length} s / "
-            f"{self.median_multiplier}x)"
-        )
+        return {
+            "static": f"{self.static_threshold} (static)",
+            "mad": f"MAD ({self.mad_window_length} s / {self.mad_multiplier}x)",
+            "median_ratio": (
+                f"Median Ratio ({self.median_window_length} s / "
+                f"{self.median_multiplier}x)"
+            ),
+        }[self.threshold_method]
+
+    # -- thresholding ------------------------------------------------------------
 
     def _smooth_coa(self, data, sampling_rate):
-        """Gaussian-smooth the COA and COA_N traces."""
+        """Gaussian-smooth both coalescence traces in place."""
 
-        st_dev = self.smoothing_kernel_sigma * sampling_rate
         logging.info("\n\tApplying smoothing...")
+        sigma_samples = self.smoothing_kernel_sigma * sampling_rate
         for column in ("COA", "COA_N"):
             data.loc[:, column] = gaussian_filter1d(
-                data[column].to_numpy(dtype=float), st_dev,
+                data[column].to_numpy(dtype=float),
+                sigma_samples,
                 truncate=self.smoothing_kernel_width,
             )
-
         return data
 
     @util.timeit()
     def _get_threshold(self, scandata, sampling_rate):
-        """Per-sample trigger threshold (static or dynamic)."""
+        """Per-sample trigger threshold from the configured method."""
 
-        if self.threshold_method in ("mad", "median_ratio"):
-            breaks = np.arange(len(scandata))
-            if self.threshold_method == "mad":
-                window_length = self.mad_window_length
-            else:
-                window_length = self.median_window_length
-            breaks = breaks[breaks % int(window_length * sampling_rate) == 0][1:]
-            chunks = np.split(scandata.to_numpy(dtype=float), breaks)
+        values = scandata.to_numpy(dtype=float)
+        method = self.threshold_method
+        if method == "static":
+            return np.full(len(values), float(self.static_threshold))
 
-            median_values = np.asarray([np.median(chunk) for chunk in chunks])
-            median_trace = chunks2trace(
-                median_values, (len(chunks), len(chunks[0]))
-            )
-            median_trace = median_trace[: len(scandata)]
+        window = (
+            self.mad_window_length if method == "mad"
+            else self.median_window_length
+        )
+        per_chunk = int(window * sampling_rate)
+        chunks = [values[i: i + per_chunk] for i in range(0, len(values), per_chunk)]
 
-            if self.threshold_method == "mad":
-                mad_values = np.asarray(
-                    [util.calculate_mad(chunk) for chunk in chunks]
-                )
-                mad_trace = chunks2trace(
-                    mad_values, (len(chunks), len(chunks[0]))
-                )
-                mad_trace = mad_trace[: len(scandata)]
-                threshold = median_trace + (mad_trace * self.mad_multiplier)
-            else:
-                threshold = median_trace * self.median_multiplier
-        else:
-            threshold = (
-                np.zeros(len(scandata), dtype=float) + self.static_threshold
-            )
+        def tiled(stat):
+            per = np.asarray([stat(chunk) for chunk in chunks])
+            return np.repeat(per, len(chunks[0]))[: len(values)]
 
-        return threshold
+        if method == "mad":
+            return tiled(np.median) + self.mad_multiplier * tiled(util.calculate_mad)
+        return tiled(np.median) * self.median_multiplier
+
+    # -- candidate identification ---------------------------------------------------
 
     @util.timeit()
     def _identify_candidates(self, scandata, trigger_on, threshold):
-        """Group above-threshold runs into candidate events."""
+        """One candidate row per contiguous above-threshold run."""
 
-        min_event_interval = self.min_event_interval - self.marginal_window
+        slack = self.min_event_interval - self.marginal_window
 
         above = scandata[trigger_on].to_numpy(dtype=float) >= threshold
-        thresholded = scandata[above]
-        r = np.arange(len(thresholded))
-        candidates = [
-            d for _, d in thresholded.groupby(thresholded.index - r)
-        ]
+        run_key = np.cumsum(~above)[above]
+        hits = scandata[above]
 
         rows = []
-        for i, candidate in enumerate(candidates):
-            # Peak always from the raw COA trace for consistency with the
-            # origin-time determination in locate
-            peak = candidate.loc[candidate["COA"].idxmax()]
+        for n, (_, run) in enumerate(hits.groupby(run_key)):
+            # The peak is always read from the raw COA trace, matching the
+            # origin-time determination in locate.
+            peak = run.loc[run["COA"].idxmax()]
+            t_first, t_last, t_peak = (
+                run["DT"].iloc[0], run["DT"].iloc[-1], peak["DT"]
+            )
 
-            if (peak["DT"] - candidate["DT"].iloc[0]) < self.marginal_window:
-                min_dt = peak["DT"] - self.min_event_interval
+            if t_peak - t_first < self.marginal_window:
+                earliest = t_peak - self.min_event_interval
             else:
-                min_dt = candidate["DT"].iloc[0] - min_event_interval
-
-            if (candidate["DT"].iloc[-1] - peak["DT"]) < self.marginal_window:
-                max_dt = peak["DT"] + self.min_event_interval
+                earliest = t_first - slack
+            if t_last - t_peak < self.marginal_window:
+                latest = t_peak + self.min_event_interval
             else:
-                max_dt = candidate["DT"].iloc[-1] + min_event_interval
+                latest = t_last + slack
 
             rows.append(
-                [
-                    i,
-                    peak["DT"],
-                    peak[trigger_on],
-                    peak["X"],
-                    peak["Y"],
-                    peak["Z"],
-                    min_dt,
-                    max_dt,
-                    peak["COA"],
-                    peak["COA_N"],
-                ]
+                {
+                    "EventNum": n,
+                    "CoaTime": t_peak,
+                    "TRIG_COA": peak[trigger_on],
+                    "COA_X": peak["X"],
+                    "COA_Y": peak["Y"],
+                    "COA_Z": peak["Z"],
+                    "MinTime": earliest,
+                    "MaxTime": latest,
+                    "COA": peak["COA"],
+                    "COA_NORM": peak["COA_N"],
+                }
             )
 
         return pd.DataFrame(rows, columns=CANDIDATES_COLS)
 
     @util.timeit()
-    def _refine_candidates(self, candidate_events):
-        """Merge candidates whose marginal windows overlap."""
+    def _refine_candidates(self, candidates):
+        """
+        Merge candidates whose marginal windows interlock. Two consecutive
+        candidates stay separate only when the first's window ends before
+        the second's peak (less a marginal window) AND the second's window
+        starts after the first's peak (plus a marginal window) — evaluated
+        vectorised over the whole catalogue.
 
-        event_count = 1
-        for i, event1 in candidate_events.iterrows():
-            candidate_events.loc[i, "EventNum"] = event_count
-            if i + 1 == len(candidate_events):
-                continue
-            event2 = candidate_events.iloc[i + 1]
-            if all(
-                [
-                    event1["MaxTime"]
-                    < event2["CoaTime"] - self.marginal_window,
-                    event2["MinTime"]
-                    > event1["CoaTime"] + self.marginal_window,
-                ]
-            ):
-                event_count += 1
+        """
 
-        merged_candidates = [
-            d for _, d in candidate_events.groupby(candidate_events["EventNum"])
-        ]
+        ends = candidates["MaxTime"].to_numpy()
+        starts = candidates["MinTime"].to_numpy()
+        peaks = candidates["CoaTime"].to_numpy()
+        separate = (ends[:-1] < peaks[1:] - self.marginal_window) & (
+            starts[1:] > peaks[:-1] + self.marginal_window
+        )
+        group_ids = np.concatenate([[0], np.cumsum(separate)])
 
         rows = []
-        for i, candidate in enumerate(merged_candidates):
-            logging.debug(
-                f"\t    Triggered event {i + 1} of {len(merged_candidates)}"
-            )
-            event = candidate.loc[candidate["TRIG_COA"].idxmax()].copy()
-            event["MinTime"] = candidate["MinTime"].min()
-            event["MaxTime"] = candidate["MaxTime"].max()
-
-            event_uid = str(event["CoaTime"])
-            for char_ in ["-", ":", ".", " ", "Z", "T"]:
-                event_uid = event_uid.replace(char_, "")
-            event_uid = event_uid[:17].ljust(17, "0")
-
-            rows.append(
-                [
-                    event_uid,
-                    event["CoaTime"],
-                    event["TRIG_COA"],
-                    event["COA_X"],
-                    event["COA_Y"],
-                    event["COA_Z"],
-                    event["MinTime"],
-                    event["MaxTime"],
-                    event["COA"],
-                    event["COA_NORM"],
-                ]
-            )
+        grouped = candidates.groupby(group_ids)
+        for n, (_, group) in enumerate(grouped):
+            logging.debug(f"\t    Triggered event {n + 1} of {len(grouped)}")
+            best = group.loc[group["TRIG_COA"].idxmax()]
+            record = {field: best[field] for field in _EVENT_FIELDS}
+            record["MinTime"] = group["MinTime"].min()
+            record["MaxTime"] = group["MaxTime"].max()
+            record["EventID"] = _mint_uid(best["CoaTime"])
+            rows.append(record)
 
         return pd.DataFrame(rows, columns=REFINED_EVENTS_COLS)
 
     @util.timeit()
     def _filter_events(self, events, starttime, endtime, region):
-        """Drop events in the pads and outside the geographic region."""
+        """Keep events inside the batch time span and optional region box."""
 
-        events = events.loc[
-            (events["CoaTime"] >= starttime) & (events["CoaTime"] <= endtime), :
-        ].copy()
+        in_span = events["CoaTime"].map(lambda t: starttime <= t <= endtime)
+        events = events[in_span].copy()
 
         if region is not None:
-            events = events.loc[
-                (events["COA_X"] >= region[0])
-                & (events["COA_Y"] >= region[1])
-                & (events["COA_Z"] >= region[2])
-                & (events["COA_X"] <= region[3])
-                & (events["COA_Y"] <= region[4])
-                & (events["COA_Z"] <= region[5]),
-                :,
-            ].copy()
+            lo_x, lo_y, lo_z, hi_x, hi_y, hi_z = region
+            inside = (
+                events["COA_X"].between(lo_x, hi_x)
+                & events["COA_Y"].between(lo_y, hi_y)
+                & events["COA_Z"].between(lo_z, hi_z)
+            )
+            events = events[inside].copy()
 
         return events
 
-    @property
-    def min_event_interval(self):
-        return self._min_event_interval
+    # -- validated options -----------------------------------------------------
 
-    @min_event_interval.setter
-    def min_event_interval(self, value):
-        if value < 2 * self.marginal_window:
-            raise ValueError(
-                "\tMinimum event interval must be >= 2 * marginal window."
-            )
-        self._min_event_interval = value
+    def _interval_property(label, rename_notice=None):
+        """Validated view of _min_event_interval (>= 2x marginal window)."""
+
+        def read(self):
+            return self._min_event_interval
+
+        def write(self, value):
+            if value < 2 * self.marginal_window:
+                raise ValueError(f"\t{label} must be >= 2 * marginal window.")
+            if rename_notice:
+                print(rename_notice)
+            self._min_event_interval = value
+
+        return property(read, write)
+
+    min_event_interval = _interval_property("Minimum event interval")
+    # Deprecated alias from older reference scripts (ref trigger.py:721-737).
+    minimum_repeat = _interval_property(
+        "Minimum repeat",
+        "FutureWarning: Parameter name has changed - continuing.\n"
+        "To remove this message, change:\n"
+        "\t'minimum_repeat' -> 'min_event_interval'",
+    )
+
+    del _interval_property
 
     @property
     def threshold_method(self):
@@ -433,9 +383,7 @@ class Trigger:
 
     @threshold_method.setter
     def threshold_method(self, value):
-        if value in ("static", "mad", "median_ratio"):
-            self._threshold_method = value
-        elif value == "dynamic":
+        if value == "dynamic":
             # Deprecated name from older reference scripts
             # (reference: signal/trigger.py:710-719)
             print(
@@ -443,26 +391,7 @@ class Trigger:
                 "continuing.\nTo remove this message, change:\n"
                 "\t'dynamic' -> 'mad'"
             )
-            self._threshold_method = "mad"
-        else:
+            value = "mad"
+        if value not in ("static", "mad", "median_ratio"):
             raise util.InvalidTriggerThresholdMethodException
-
-    @property
-    def minimum_repeat(self):
-        """Deprecated name for min_event_interval (reference:
-        signal/trigger.py:721-737)."""
-
-        return self._min_event_interval
-
-    @minimum_repeat.setter
-    def minimum_repeat(self, value):
-        if value < 2 * self.marginal_window:
-            raise ValueError(
-                "\tMinimum repeat must be >= 2 * marginal window."
-            )
-        print(
-            "FutureWarning: Parameter name has changed - continuing.\n"
-            "To remove this message, change:\n"
-            "\t'minimum_repeat' -> 'min_event_interval'"
-        )
-        self._min_event_interval = value
+        self._threshold_method = value
