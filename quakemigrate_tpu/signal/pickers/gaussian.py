@@ -1,14 +1,15 @@
 # -*- coding: utf-8 -*-
 """
-GaussianPicker: phase picking by fitting a 1-D Gaussian to the onset
-function around the modelled arrival time.
+Gaussian phase picker: refine arrival times by fitting a 1-D Gaussian to the
+onset function near the modelled arrival.
 
-Follows the reference algorithm (signal/pickers/gaussian.py:114-560):
-onsets are recomputed over the event window; pick windows are the modelled
-arrival +/- (traveltime * fraction_tt + marginal_window), with overlapping
-P/S windows split at the midpoint; the pick threshold is derived from the
-onset noise outside the windows (MAD or percentile); a Gaussian is fitted
-to the peak that contains the window maximum; failures yield -1 sentinels.
+Algorithm parity with the reference (signal/pickers/gaussian.py:114-560):
+onsets are recomputed over a 4x marginal-window event span; each phase's
+pick window is the modelled arrival ± (traveltime·fraction_tt +
+marginal_window) with overlapping windows split at the arrival midpoint;
+the pick threshold comes from onset noise outside all windows (MAD x8 or a
+percentile); the Gaussian is fitted to the above-threshold excursion that
+contains the window maximum; every failure mode degrades to -1 sentinels.
 
 """
 
@@ -19,320 +20,289 @@ import pandas as pd
 from scipy.optimize import curve_fit
 
 import quakemigrate_tpu.util as util
+
 from .base import PhasePicker
+
+_FAILED_FIT = {"popt": 0, "xdata": 0, "xdata_dt": 0, "PickValue": -1}
+
+_PICK_COLUMNS = [
+    "Station", "Phase", "ModelledTime", "PickTime", "PickError", "SNR",
+    "Residual",
+]
 
 
 class GaussianPicker(PhasePicker):
-    """Gaussian-fit phase picker."""
+    """Phase picker based on Gaussian fits to the onset function."""
 
-    DEFAULT_GAUSSIAN_FIT = {"popt": 0, "xdata": 0, "xdata_dt": 0,
-                            "PickValue": -1}
+    # Kept for API compatibility with code that overrides the sentinel fit.
+    DEFAULT_GAUSSIAN_FIT = _FAILED_FIT
 
     def __init__(self, onset=None, **kwargs):
         super().__init__(**kwargs)
 
         self.onset = onset
 
+        threshold_params = {
+            "percentile": ("percentile_pick_threshold", 1.0),
+            "MAD": ("mad_pick_threshold", 8.0),
+        }
         self.threshold_method = kwargs.get("threshold_method", "MAD")
-        if self.threshold_method == "percentile":
-            self.percentile_pick_threshold = kwargs.get(
-                "percentile_pick_threshold", 1.0
-            )
-        elif self.threshold_method == "MAD":
-            self.mad_pick_threshold = kwargs.get("mad_pick_threshold", 8.0)
-        else:
+        if self.threshold_method not in threshold_params:
             raise util.InvalidPickThresholdMethodException
+        attr, default = threshold_params[self.threshold_method]
+        setattr(self, attr, kwargs.get(attr, default))
 
         self.plot_picks = kwargs.get("plot_picks", False)
         self.write_seed_ids = kwargs.get("write_seed_ids", False)
         self._fraction_tt = kwargs.get("fraction_tt")
 
     def __str__(self):
-        str_ = "\tPhase picking by fitting a 1-D Gaussian to onsets\n"
+        lines = ["\tPhase picking by fitting a 1-D Gaussian to onsets"]
         if self.threshold_method == "percentile":
-            str_ += (
-                f"\t\tPercentile threshold  = "
-                f"{self.percentile_pick_threshold}\n"
+            lines.append(
+                f"\t\tPercentile threshold  = {self.percentile_pick_threshold}"
             )
         elif self.threshold_method == "MAD":
-            str_ += f"\t\tMAD multiplier  = {self.mad_pick_threshold}\n"
+            lines.append(f"\t\tMAD multiplier  = {self.mad_pick_threshold}")
         if self._fraction_tt is not None:
-            str_ += (
+            lines.append(
                 f"\t\tSearch window   = {self._fraction_tt * 100}% of "
-                "traveltime\n"
+                "traveltime"
             )
+        return "\n".join(lines) + "\n"
 
-        return str_
+    # -- main entry -----------------------------------------------------------
 
     @util.timeit("info")
     def pick_phases(self, event, lut, run):
-        """Pick phase arrival times for a located event."""
+        """Pick P/S arrivals for one located event; returns (event, picks)."""
 
-        _, onset_data = self.onset.calculate_onsets(
-            event.data, timespan=4 * event.marginal_window
-        )
-
+        event_span = 4 * event.marginal_window
+        _, onset_data = self.onset.calculate_onsets(event.data,
+                                                    timespan=event_span)
         fraction_tt = (
             lut.fraction_tt if self._fraction_tt is None else self._fraction_tt
         )
+        hypo_ijk = lut.index2coord(event.hypocentre, inverse=True)[0]
 
-        e_ijk = lut.index2coord(event.hypocentre, inverse=True)[0]
-
-        p_idx = np.arange(sum(len(v) for v in onset_data.onsets.values()))
-        columns = [
-            "Station",
-            "Phase",
-            "ModelledTime",
-            "PickTime",
-            "PickError",
-            "SNR",
-            "Residual",
-        ]
-        if self.write_seed_ids:
-            columns = [columns[0], "SEED_ids", *columns[1:]]
-        pick_rows = [None] * len(p_idx)
-        gaussfits = {}
-        pick_windows = {}
-        idx = 0
-
-        for station, onsets in onset_data.onsets.items():
-            for phase, onset in onsets.items():
-                traveltime = float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
-                pick_windows.setdefault(station, {}).update(
-                    {
-                        phase: self._determine_window(
-                            event, onset_data, traveltime, fraction_tt
-                        )
-                    }
-                )
-                n_samples = len(onset)
-
-            self._distinguish_windows(
-                pick_windows[station], list(onsets.keys()), n_samples
+        def modelled_tt(phase, station):
+            return float(
+                np.ravel(lut.traveltime_to(phase, hypo_ijk, station))[0]
             )
 
-            for phase, onset in onsets.items():
-                pick_threshold = self._find_pick_threshold(
-                    onset, pick_windows[station], self.threshold_method
-                )
+        records = []
+        gaussfits, pick_windows = {}, {}
+        for station, station_onsets in onset_data.onsets.items():
+            phases = list(station_onsets)
+            traveltimes = {
+                phase: modelled_tt(phase, station) for phase in phases
+            }
 
+            windows = {
+                phase: self._pick_window(
+                    event, onset_data, traveltimes[phase], fraction_tt
+                )
+                for phase in phases
+            }
+            n_samples = len(station_onsets[phases[-1]])
+            self._resolve_window_overlaps(windows, phases, n_samples)
+            pick_windows[station] = windows
+
+            for phase, onset in station_onsets.items():
+                threshold = self._noise_threshold(onset, windows)
                 logging.debug(f"\t\tPicking {phase} at {station}...")
-                fit, *pick = self._fit_gaussian(
-                    onset,
-                    onset_data.sampling_rate,
-                    self.onset.gaussian_halfwidth(phase),
-                    onset_data.starttime,
-                    pick_threshold,
-                    pick_windows[station][phase],
+                fit, pick_time, pick_error, snr = self._fit_gaussian(
+                    onset, onset_data, self.onset.gaussian_halfwidth(phase),
+                    threshold, windows[phase],
                 )
+                gaussfits.setdefault(station, {})[phase] = fit
 
-                gaussfits.setdefault(station, {}).update({phase: fit})
+                modelled = event.otime + traveltimes[phase]
+                residual = -1 if pick_time == -1 else pick_time - modelled
 
-                traveltime = float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
-                model_time = event.otime + traveltime
-                if pick[0] == -1:
-                    residual = -1
-                else:
-                    residual = pick[0] - model_time
-
+                record = {
+                    "Station": station,
+                    "Phase": phase,
+                    "ModelledTime": modelled,
+                    "PickTime": pick_time,
+                    "PickError": pick_error,
+                    "SNR": snr,
+                    "Residual": residual,
+                }
                 if self.write_seed_ids:
-                    stream = onset_data.filtered_waveforms.select(
-                        station=station,
-                        channel=self.onset.channel_maps[phase],
+                    matching = onset_data.filtered_waveforms.select(
+                        station=station, channel=self.onset.channel_maps[phase]
                     )
-                    seed_ids = sorted(set(tr.id for tr in stream))
-                    pick_rows[idx] = [
-                        station, seed_ids, phase, model_time, *pick, residual,
-                    ]
-                else:
-                    pick_rows[idx] = [station, phase, model_time, *pick,
-                                      residual]
-                idx += 1
+                    record["SEED_ids"] = sorted({tr.id for tr in matching})
+                records.append(record)
 
-        picks = pd.DataFrame(pick_rows, columns=columns)
+        columns = list(_PICK_COLUMNS)
+        if self.write_seed_ids:
+            columns.insert(1, "SEED_ids")
+        picks = pd.DataFrame(records, columns=columns)
 
         event.add_picks(picks, gaussfits=gaussfits, pick_windows=pick_windows)
-
         self.write(run, event.uid, picks)
 
         if self.plot_picks:
             logging.info("\t\tPlotting picks...")
-            for station, onsets in onset_data.onsets.items():
-                traveltimes = [
-                    float(np.ravel(lut.traveltime_to(phase, e_ijk, station))[0])
-                    for phase in onsets.keys()
-                ]
-                self.plot(event, station, onset_data, picks, traveltimes, run)
+            for station, station_onsets in onset_data.onsets.items():
+                tts = [modelled_tt(p, station) for p in station_onsets]
+                self.plot(event, station, onset_data, picks, tts, run)
 
         return event, picks
 
-    def _determine_window(self, event, onset_data, tt, fraction_tt):
-        """[lower, modelled arrival, upper] indices of the pick window."""
+    # -- window construction -----------------------------------------------------
 
-        arrival_idx = util.time2sample(
-            event.otime + tt - onset_data.starttime, onset_data.sampling_rate
-        )
-        samples = util.time2sample(
-            tt * fraction_tt + event.marginal_window, onset_data.sampling_rate
-        )
+    def _pick_window(self, event, onset_data, tt, fraction_tt):
+        """[low, modelled-arrival, high] sample indices of the pick window."""
 
-        return [arrival_idx - samples, arrival_idx, arrival_idx + samples]
+        to_samples = lambda seconds: util.time2sample(  # noqa: E731
+            seconds, onset_data.sampling_rate
+        )
+        centre = to_samples(event.otime + tt - onset_data.starttime)
+        halfwidth = to_samples(tt * fraction_tt + event.marginal_window)
+        return [centre - halfwidth, centre, centre + halfwidth]
 
     @staticmethod
-    def _distinguish_windows(windows, phases, samples):
-        """Split overlapping pick windows at the arrival-time midpoint."""
+    def _resolve_window_overlaps(windows, phases, n_samples):
+        """Clamp windows to the data and split overlaps at arrival midpoints."""
 
-        first_idx = windows[phases[0]][0]
-        windows[phases[0]][0] = max(0, first_idx)
+        windows[phases[0]][0] = max(0, windows[phases[0]][0])
+        for earlier, later in util.pairwise(phases):
+            mid = int((windows[earlier][1] + windows[later][1]) / 2)
+            windows[earlier][2] = min(mid, windows[earlier][2])
+            windows[later][0] = max(mid, windows[later][0])
+        windows[phases[-1]][2] = min(n_samples, windows[phases[-1]][2])
 
-        for p1, p2 in util.pairwise(phases):
-            p1_window, p2_window = windows[p1], windows[p2]
-            mid_idx = int((p1_window[1] + p2_window[1]) / 2)
-            windows[p1][2] = min(mid_idx, p1_window[2])
-            windows[p2][0] = max(mid_idx, p2_window[0])
+    # -- thresholding ---------------------------------------------------------------
 
-        last_idx = windows[phases[-1]][2]
-        windows[phases[-1]][2] = min(samples, last_idx)
+    def _noise_threshold(self, onset, windows):
+        """Pick threshold from the onset samples outside every pick window."""
 
-    def _find_pick_threshold(self, onset, windows, method):
-        """Pick threshold from onset data outside the pick windows."""
+        keep = np.ones(len(onset), dtype=bool)
+        for low, _, high in windows.values():
+            keep[max(0, low): high] = False
+        noise = onset[keep]
+        noise = noise[noise > 1]
 
-        onset_noise = onset.copy()
-        for _, window in windows.items():
-            onset_noise[window[0]: window[2]] = -1
-        onset_noise = onset_noise[onset_noise > 1]
-
-        if len(onset_noise) == 0:
+        if noise.size == 0:
             return np.inf
+        if self.threshold_method == "percentile":
+            return np.percentile(noise, self.percentile_pick_threshold * 100)
+        return np.median(noise) + (
+            util.calculate_mad(noise) * self.mad_pick_threshold
+        )
 
-        if method == "percentile":
-            pick_threshold = np.percentile(
-                onset_noise, self.percentile_pick_threshold * 100
-            )
-        elif method == "MAD":
-            med = np.median(onset_noise)
-            mad = util.calculate_mad(onset_noise)
-            pick_threshold = med + (mad * self.mad_pick_threshold)
+    # -- fitting -----------------------------------------------------------------------
 
-        return pick_threshold
+    def _fit_gaussian(self, onset, onset_data, halfwidth, threshold, window):
+        """(fit dict, pick time, error, SNR) — or -1 sentinels throughout."""
 
-    def _fit_gaussian(
-        self, onset, sampling_rate, halfwidth, starttime, pick_threshold,
-        window,
-    ):
-        """Fit a 1-D Gaussian to the windowed onset; -1 sentinels on failure."""
-
-        onset_signal = onset[window[0]: window[2]]
-
+        sampling_rate = onset_data.sampling_rate
+        starttime = onset_data.starttime
+        low, _, high = window
         try:
-            peak_idxs = self._find_peak(onset_signal, pick_threshold)
-            padded_peak_idxs = [
-                window[0] + peak_idxs[0] - 1,
-                window[0] + peak_idxs[1] + 1,
-            ]
-            x_data = np.arange(*padded_peak_idxs) / sampling_rate
-            y_data = onset[padded_peak_idxs[0]: padded_peak_idxs[1]]
-        except util.NoOnsetPeak as e:
-            logging.debug(e.msg)
-            return self._pick_failure(pick_threshold)
+            first, last = self._bracket_peak(onset[low:high], threshold)
+        except util.NoOnsetPeak as err:
+            logging.debug(err.msg)
+            return self._sentinels(threshold)
 
-        p0 = [
+        lo_idx, hi_idx = low + first - 1, low + last + 1
+        x_data = np.arange(lo_idx, hi_idx) / sampling_rate
+        y_data = onset[lo_idx:hi_idx]
+
+        initial = [
             max(y_data),
-            (padded_peak_idxs[0] + np.argmax(y_data)) / sampling_rate,
+            (lo_idx + np.argmax(y_data)) / sampling_rate,
             halfwidth / sampling_rate,
         ]
         try:
-            popt, _ = curve_fit(util.gaussian_1d, x_data, y_data, p0)
-        except (ValueError, RuntimeError) as e:
-            logging.debug(f"\t\t    Failed curve_fit:\n{e}\n\t\t    Continuing...")
-            return self._pick_failure(pick_threshold)
-        except TypeError as e:
+            popt, _ = curve_fit(util.gaussian_1d, x_data, y_data, initial)
+        except (ValueError, RuntimeError) as err:
             logging.debug(
-                f"\t\t    Failed curve_fit - too few input data? {e}"
+                f"\t\t    Failed curve_fit:\n{err}\n\t\t    Continuing..."
             )
-            return self._pick_failure(pick_threshold)
+            return self._sentinels(threshold)
+        except TypeError as err:
+            logging.debug(f"\t\t    Failed curve_fit - too few input data? {err}")
+            return self._sentinels(threshold)
 
-        max_onset = popt[0]
-        mean = starttime + float(popt[1])
-        sigma = np.absolute(popt[2])
-
-        if not window[0] < popt[1] * sampling_rate < window[2]:
+        height, centre_s, width = popt
+        if not low < centre_s * sampling_rate < high:
             logging.debug("\t\t    Pick mean out of bounds - continuing.")
-            return self._pick_failure(pick_threshold)
+            return self._sentinels(threshold)
 
-        gaussian_fit = {
-            "popt": popt,
-            "xdata": x_data,
-            "xdata_dt": np.array([starttime + x for x in x_data]),
-            "PickValue": max_onset,
-            "PickThreshold": pick_threshold,
-        }
+        fit = dict(
+            popt=popt,
+            xdata=x_data,
+            xdata_dt=np.array([starttime + x for x in x_data]),
+            PickValue=height,
+            PickThreshold=threshold,
+        )
+        return fit, starttime + float(centre_s), np.absolute(width), height
 
-        return gaussian_fit, mean, sigma, max_onset
+    def _sentinels(self, threshold):
+        """The universal pick-failure return: -1 everywhere."""
 
-    def _pick_failure(self, pick_threshold):
-        gaussian_fit = self.DEFAULT_GAUSSIAN_FIT.copy()
-        gaussian_fit["PickThreshold"] = pick_threshold
-        return gaussian_fit, -1, -1, -1
+        fit = dict(self.DEFAULT_GAUSSIAN_FIT, PickThreshold=threshold)
+        return fit, -1, -1, -1
 
     @staticmethod
-    def _find_peak(windowed_onset, pick_threshold):
+    def _bracket_peak(values, threshold):
         """
-        Start/end indices of the above-threshold peak containing the window
-        maximum (the "true" peak); raises NoOnsetPeak if none.
+        (first, one-past-last) indices of the above-threshold excursion that
+        contains the maximum of ``values``; NoOnsetPeak if the onset never
+        exceeds the threshold or the excursion is a single sample.
 
         """
 
-        exceedence = np.where(windowed_onset > pick_threshold)[0]
-        if len(exceedence) == 0:
-            raise util.NoOnsetPeak(pick_threshold)
+        hot = np.flatnonzero(values > threshold)
+        if hot.size == 0:
+            raise util.NoOnsetPeak(threshold)
 
-        peaks = np.split(
-            exceedence, np.where(np.diff(exceedence) != 1)[0] + 1
+        excursions = np.split(hot, np.flatnonzero(np.diff(hot) != 1) + 1)
+        apex = np.argmax(values)
+        containing = next(
+            (run for run in excursions if run[0] <= apex <= run[-1]),
+            excursions[-1],
         )
+        if containing.size < 2:
+            raise util.NoOnsetPeak(threshold)
+        return containing[0], containing[-1] + 1
 
-        true_maximum = np.argmax(windowed_onset)
-        for peak in peaks:
-            if np.any(peak == true_maximum):
-                break
-
-        if len(peak) < 2:
-            raise util.NoOnsetPeak(pick_threshold)
-
-        return [peak[0], peak[-1] + 1]
+    # -- plotting --------------------------------------------------------------------
 
     @util.timeit()
     def plot(self, event, station, onset_data, picks_df, traveltimes, run):
-        """Per-station pick summary figure."""
+        """Write the per-station pick summary figure."""
 
         import matplotlib.pyplot as plt
 
         from quakemigrate_tpu.plot.phase_picks import pick_summary
 
-        fpath = run.path / f"locate/{run.subname}/pick_plots/{event.uid}"
-        fpath.mkdir(exist_ok=True, parents=True)
+        outdir = run.path / f"locate/{run.subname}/pick_plots/{event.uid}"
+        outdir.mkdir(exist_ok=True, parents=True)
 
-        onsets = onset_data.onsets[station]
-        channel_maps = onset_data.channel_maps
         waveforms = onset_data.filtered_waveforms.select(station=station)
         if not bool(waveforms):
             return
-        picks = picks_df[picks_df["Station"] == station].reset_index(drop=True)
-        windows = event.picks["pick_windows"][station]
-
         fig = pick_summary(
-            event, station, waveforms, picks, onsets, channel_maps,
-            traveltimes, windows,
+            event,
+            station,
+            waveforms,
+            picks_df[picks_df["Station"] == station].reset_index(drop=True),
+            onset_data.onsets[station],
+            onset_data.channel_maps,
+            traveltimes,
+            event.picks["pick_windows"][station],
         )
-
-        file = (fpath / f"{event.uid}_{station}").with_suffix(".pdf")
-        plt.savefig(file)
+        plt.savefig((outdir / f"{event.uid}_{station}").with_suffix(".pdf"))
         plt.close(fig)
 
-    @property
-    def fraction_tt(self):
-        return self._fraction_tt
+    # -- options ------------------------------------------------------------------------
 
-    @fraction_tt.setter
-    def fraction_tt(self, value):
-        self._fraction_tt = value
+    fraction_tt = property(
+        lambda self: self._fraction_tt,
+        lambda self, value: setattr(self, "_fraction_tt", value),
+    )
