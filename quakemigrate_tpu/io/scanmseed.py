@@ -1,11 +1,12 @@
 # -*- coding: utf-8 -*-
 """
-.scanmseed output: the continuous detect-stage coalescence stream.
+The .scanmseed continuous coalescence stream (detect-stage output).
 
-Channels COA, COA_N, X, Y, Z are scaled by {1e5, 1e5, 1e6, 1e6, 1e3*ucf},
-rounded to int32 and written as day-split STEIM2 miniSEED (STEIM1 fallback
-on 30-bit difference overflow) -- identical precision contract to the
-reference (quakemigrate/io/scanmseed.py:79-130).
+Precision contract (identical to the reference,
+quakemigrate/io/scanmseed.py:79-130): channels COA/COA_N/X/Y/Z are scaled by
+1e5 / 1e5 / 1e6 / 1e6 / 1e3·ucf respectively, rounded to int32, and written
+as day-split STEIM2 miniSEED (the codec falls back to STEIM1 on 30-bit
+difference overflow).
 
 """
 
@@ -17,140 +18,142 @@ import pandas as pd
 import quakemigrate_tpu.util as util
 from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime, read
 
+_DAY = 86400
+
+# Channel name -> int32 scale factor. Z's factor is multiplied by the grid's
+# unit conversion factor (so depths are stored in millimetres).
+_SCALES = {"COA": 1e5, "COA_N": 1e5, "X": 1e6, "Y": 1e6, "Z": 1e3}
+
+# COA values are clipped here to keep 1e5-scaled data inside int32.
+_COA_CEILING = 21474.0
+
 
 class ScanmSEED:
-    """Accumulates and writes the detect-stage coalescence stream."""
+    """Accumulates detect output and writes day-split .scanmseed files."""
 
     def __init__(self, run, continuous_write, sampling_rate):
         self.run = run
         self.continuous_write = continuous_write
         self.sampling_rate = sampling_rate
-
         self.written = False
         self.stream = Stream()
 
     def append(self, starttime, max_coa, max_coa_n, coord, ucf):
-        """Append one timestep of detect output to the stream."""
+        """Add one timestep of coalescence output to the stream."""
 
-        max_coa = np.asarray(max_coa, dtype=np.float64).copy()
-        max_coa_n = np.asarray(max_coa_n, dtype=np.float64).copy()
         coord = np.asarray(coord, dtype=np.float64)
-
-        # Clip to prevent int32 overflow at 1e5 scaling
-        max_coa[max_coa > 21474.0] = 21474.0
-        max_coa_n[max_coa_n > 21474.0] = 21474.0
-
-        meta = {
-            "network": "NW",
-            "sampling_rate": self.sampling_rate,
-            "starttime": starttime,
+        channels = {
+            "COA": np.minimum(np.asarray(max_coa, np.float64), _COA_CEILING),
+            "COA_N": np.minimum(np.asarray(max_coa_n, np.float64), _COA_CEILING),
+            "X": coord[:, 0],
+            "Y": coord[:, 1],
+            "Z": coord[:, 2],
         }
 
-        for station, values, factor in (
-            ("COA", max_coa, 1e5),
-            ("COA_N", max_coa_n, 1e5),
-            ("X", coord[:, 0], 1e6),
-            ("Y", coord[:, 1], 1e6),
-            ("Z", coord[:, 2], 1e3 * ucf),
-        ):
+        for name, values in channels.items():
+            scale = _SCALES[name] * (ucf if name == "Z" else 1.0)
             self.stream += Trace(
-                data=self._data2int(values, factor),
-                header={**meta, "station": station},
+                data=np.round(values * scale).astype(np.int32),
+                header={
+                    "network": "NW",
+                    "station": name,
+                    "sampling_rate": self.sampling_rate,
+                    "starttime": starttime,
+                },
             )
         self.stream.merge(method=-1)
-
         self.written = False
+
+        self._flush_on_day_boundary()
+        if self.continuous_write and not self.written:
+            self.write()
+
+    def _flush_on_day_boundary(self):
+        """Write out (and drop) any complete day the stream now contains."""
+
         stats = self.stream[0].stats
-        if stats.endtime == UTCDateTime(stats.starttime.date) + 86400 - stats.delta:
-            # Stream ends exactly at the end of a day: flush it
+        day_end = UTCDateTime(stats.starttime.date) + _DAY - stats.delta
+        if stats.endtime == day_end:
+            # The stream ends exactly at a day boundary: flush it whole.
             self.write()
             self.stream = Stream()
         elif stats.starttime.julday != stats.endtime.julday:
             logging.debug("Timestep doesn't fall at midnight!")
-            write_start = stats.starttime
-            write_end = UTCDateTime(stats.endtime.date) - stats.delta
-            self.write(write_start, write_end)
-            self.stream.trim(starttime=write_end + stats.delta)
+            split = UTCDateTime(stats.endtime.date) - stats.delta
+            self.write(stats.starttime, split)
+            self.stream.trim(starttime=split + stats.delta)
             self.written = False
 
-        if self.continuous_write and not self.written:
-            self.write()
-
     def empty(self, starttime, timestep, i, msg, ucf):
-        """Append a zero-filled timestep (no data / failed QC)."""
+        """Record a zero-filled timestep (no data, or failed QC)."""
 
         logging.info(msg)
-
-        starttime = starttime + timestep * i
         n = util.time2sample(timestep, self.sampling_rate)
-        max_coa = max_coa_n = np.zeros(n)
-        coord = np.zeros((n, 3))
-
-        self.append(starttime, max_coa, max_coa_n, coord, ucf)
+        zeros = np.zeros(n)
+        self.append(
+            starttime + timestep * i, zeros, zeros, np.zeros((n, 3)), ucf
+        )
 
     def write(self, write_start=None, write_end=None):
-        """Write the (sliced) coalescence stream to a .scanmseed file."""
+        """Write the stream (optionally a time slice of it) to disk."""
 
-        fpath = self.run.path / "detect" / "scanmseed"
-        fpath.mkdir(exist_ok=True, parents=True)
+        outdir = self.run.path / "detect" / "scanmseed"
+        outdir.mkdir(exist_ok=True, parents=True)
 
+        st = self.stream
         if write_start is not None and write_end is not None:
-            st = self.stream.slice(starttime=write_start, endtime=write_end)
-        else:
-            st = self.stream
+            st = st.slice(starttime=write_start, endtime=write_end)
 
-        starttime = st[0].stats.starttime
-        fstem = f"{starttime.year}_{starttime.julday:03d}"
-        file = (fpath / fstem).with_suffix(".scanmseed")
-
-        st.write(str(file), format="MSEED", encoding="STEIM2")
+        day = st[0].stats.starttime
+        target = outdir / f"{day.year}_{day.julday:03d}.scanmseed"
+        st.write(str(target), format="MSEED", encoding="STEIM2")
         self.written = True
-
-    @staticmethod
-    def _data2int(data, factor):
-        return np.round(np.asarray(data) * factor).astype(np.int32)
 
 
 @util.timeit()
 def read_scanmseed(run, starttime, endtime, pad, ucf):
     """
-    Read .scanmseed files between two timestamps (padded), returning a
-    DataFrame [DT, COA, COA_N, X, Y, Z] (unscaled) and the COA trace stats.
+    Load and unscale .scanmseed data covering [starttime - pad,
+    endtime + pad]; returns (DataFrame [DT, COA, COA_N, X, Y, Z], COA stats).
 
     """
 
-    fpath = run.path / "detect" / "scanmseed"
-
+    indir = run.path / "detect" / "scanmseed"
     readstart, readend = starttime - pad, endtime + pad
-    startday = UTCDateTime(readstart.date)
 
-    dy = 0
-    scanmseed = Stream()
-    while startday + (dy * 86400) <= readend:
-        now = readstart + (dy * 86400)
-        fstem = f"{now.year}_{now.julday:03d}"
-        file = (fpath / fstem).with_suffix(".scanmseed")
+    gathered = Stream()
+    day = UTCDateTime(readstart.date)
+    cursor = readstart
+    while day <= readend:
+        name = f"{cursor.year}_{cursor.julday:03d}"
         try:
-            scanmseed += read(
-                str(file), starttime=readstart, endtime=readend, format="MSEED"
+            gathered += read(
+                str(indir / f"{name}.scanmseed"),
+                starttime=readstart, endtime=readend, format="MSEED",
             )
         except FileNotFoundError:
-            logging.info(f"\n\t    No .scanmseed file found for day {fstem}!")
-        dy += 1
+            logging.info(f"\n\t    No .scanmseed file found for day {name}!")
+        day, cursor = day + _DAY, cursor + _DAY
 
-    if not bool(scanmseed):
+    if not bool(gathered):
         raise util.NoScanMseedDataException
+    gathered.merge(method=-1)
 
-    scanmseed.merge(method=-1)
-    stats = scanmseed.select(station="COA")[0].stats
+    coa_trace = gathered.select(station="COA")[0]
+    stats = coa_trace.stats
 
-    data = pd.DataFrame()
-    data["DT"] = scanmseed.select(station="COA")[0].times(type="utcdatetime")
-    data["COA"] = scanmseed.select(station="COA")[0].data / 1e5
-    data["COA_N"] = scanmseed.select(station="COA_N")[0].data / 1e5
-    data["X"] = scanmseed.select(station="X")[0].data / 1e6
-    data["Y"] = scanmseed.select(station="Y")[0].data / 1e6
-    data["Z"] = scanmseed.select(station="Z")[0].data / (1e3 * ucf)
+    table = {"DT": coa_trace.times(type="utcdatetime")}
+    for name, scale in _SCALES.items():
+        divisor = scale * (ucf if name == "Z" else 1.0)
+        table[name] = gathered.select(station=name)[0].data / divisor
+    data = pd.DataFrame(table)
+
+    _report_coverage(stats, starttime, endtime, readstart, readend)
+    return data, stats
+
+
+def _report_coverage(stats, starttime, endtime, readstart, readend):
+    """Log any shortfall between requested and available data spans."""
 
     if stats.starttime > starttime:
         logging.info(
@@ -166,5 +169,3 @@ def read_scanmseed(run, starttime, endtime, pad, ucf):
     elif stats.endtime < readend:
         logging.info("\t    Warning! No .scanmseed data found for post-pad!")
     logging.info(f"\t    ...from {stats.starttime} - {stats.endtime}.")
-
-    return data, stats
