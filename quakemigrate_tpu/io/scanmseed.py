@@ -32,11 +32,9 @@ class ScanmSEED:
     """Accumulates detect output and writes day-split .scanmseed files."""
 
     def __init__(self, run, continuous_write, sampling_rate):
-        self.run = run
+        self.run, self.sampling_rate = run, sampling_rate
         self.continuous_write = continuous_write
-        self.sampling_rate = sampling_rate
-        self.written = False
-        self.stream = Stream()
+        self.written, self.stream = False, Stream()
 
     def append(self, starttime, max_coa, max_coa_n, coord, ucf):
         """Add one timestep of coalescence output to the stream."""
@@ -50,16 +48,14 @@ class ScanmSEED:
             "Z": coord[:, 2],
         }
 
+        shared_header = dict(
+            network="NW", sampling_rate=self.sampling_rate, starttime=starttime
+        )
         for name, values in channels.items():
             scale = _SCALES[name] * (ucf if name == "Z" else 1.0)
             self.stream += Trace(
                 data=np.round(values * scale).astype(np.int32),
-                header={
-                    "network": "NW",
-                    "station": name,
-                    "sampling_rate": self.sampling_rate,
-                    "starttime": starttime,
-                },
+                header={**shared_header, "station": name},
             )
         self.stream.merge(method=-1)
         self.written = False
@@ -155,17 +151,25 @@ def read_scanmseed(run, starttime, endtime, pad, ucf):
 def _report_coverage(stats, starttime, endtime, readstart, readend):
     """Log any shortfall between requested and available data spans."""
 
-    if stats.starttime > starttime:
-        logging.info(
+    checks = (
+        (
+            stats.starttime > starttime,
             "\n\t    Warning! .scanmseed starttime is later than trigger() "
-            "starttime!"
-        )
-    elif stats.starttime > readstart:
-        logging.info("\t    Warning! No .scanmseed data found for pre-pad!")
-    if stats.endtime < endtime:
-        logging.info(
-            "\n\t    Warning! .scanmseed endtime is before trigger() endtime!"
-        )
-    elif stats.endtime < readend:
-        logging.info("\t    Warning! No .scanmseed data found for post-pad!")
+            "starttime!",
+            stats.starttime > readstart,
+            "\t    Warning! No .scanmseed data found for pre-pad!",
+        ),
+        (
+            stats.endtime < endtime,
+            "\n\t    Warning! .scanmseed endtime is before trigger() "
+            "endtime!",
+            stats.endtime < readend,
+            "\t    Warning! No .scanmseed data found for post-pad!",
+        ),
+    )
+    for span_short, span_msg, pad_short, pad_msg in checks:
+        if span_short:
+            logging.info(span_msg)
+        elif pad_short:
+            logging.info(pad_msg)
     logging.info(f"\t    ...from {stats.starttime} - {stats.endtime}.")
