@@ -1,7 +1,9 @@
 # -*- coding: utf-8 -*-
 """
-StationAvailability.csv I/O: per-timestep 0/1 availability of each
-station/phase onset, day-keyed (reference: io/availability.py:21-150).
+StationAvailability.csv I/O — per-timestep 0/1 flags for each
+station/phase onset, written per Julian day by detect and read back for
+the trigger summary (reference: io/availability.py:21-150). Old-format
+files (one column per station, implying all phases) are converted on read.
 
 """
 
@@ -13,80 +15,71 @@ import quakemigrate_tpu.util as util
 from quakemigrate_tpu.seis import UTCDateTime
 
 
+def _day_file(run, when):
+    stem = f"{when.year}_{when.julday:03d}_StationAvailability.csv"
+    return run.path / "detect" / "availability" / stem
+
+
 def read_availability(run, starttime, endtime):
-    """Read day-split station availability tables into one DataFrame."""
+    """Concatenate the day-split availability tables covering the span."""
 
-    fpath = run.path / "detect" / "availability"
-
-    availability = None
     logging.debug("\t    Reading in .StationAvailability...")
-    readstart = UTCDateTime(starttime.date)
-    while readstart <= endtime:
-        fstem = f"{readstart.year}_{readstart.julday:03d}"
-        file = (fpath / f"{fstem}_StationAvailability").with_suffix(".csv")
+
+    day_tables = []
+    day = UTCDateTime(starttime.date)
+    while day <= endtime:
         try:
-            chunk = _handle_old_structure(file)
-            if availability is None:
-                availability = chunk
-            else:
-                availability = pd.concat([availability, chunk])
+            day_tables.append(_read_one_day(_day_file(run, day)))
         except FileNotFoundError:
             logging.info(
                 "\tNo .StationAvailability file found for "
-                f"{readstart.year} - {readstart.julday:03d}"
+                f"{day.year} - {day.julday:03d}"
             )
-        readstart = readstart + 86400
+        day = day + 86400
 
-    if availability is None:
+    if not day_tables:
         raise util.NoStationAvailabilityDataException
+    return pd.concat(day_tables)
 
-    return availability
 
-
-def _handle_old_structure(file, permanent_conversion=False):
+def _read_one_day(path, permanent_conversion=False):
     """
-    Read an availability table, converting old-format files (one column
-    per station) to the current per-station/phase layout on the fly: an
-    old-style '1' meant all phases for that station were available
-    (reference: io/availability.py:73-120).
+    Read one availability csv. Old-format columns are plain station names;
+    a '1' there meant every phase of that station was available, so the
+    table is expanded to {station}_{phase} columns (ref availability.py:
+    73-120). Set ``permanent_conversion`` to rewrite the file in place.
 
     """
 
-    table = pd.read_csv(file, index_col=0)
+    table = pd.read_csv(path, index_col=0)
 
-    cols = [name.split("_") for name in table.columns]
-    if cols and len(cols[0]) == 2:
+    labels = [name.split("_") for name in table.columns]
+    if labels and len(labels[0]) == 2:
         return table
 
     logging.info(
         "\t\tWarning: an availability file is in the old format - "
         "converting..."
     )
-    converted = pd.DataFrame(index=table.index)
+    expanded = pd.DataFrame(index=table.index)
     for phase in "PS":
-        for col in cols:
-            converted[f"{col[0]}_{phase}"] = table[col[0]].values
+        for station, *_ in labels:
+            expanded[f"{station}_{phase}"] = table[station].values
 
     if permanent_conversion:
-        converted.to_csv(file)
+        expanded.to_csv(path)
+    return expanded
 
-    return converted
+
+# Old name kept for callers of the converter utility.
+_handle_old_structure = _read_one_day
 
 
 def write_availability(run, availability):
-    """Write per-timestep availability, split by Julian day."""
+    """Write the availability table, split by Julian day."""
 
-    fpath = run.path / "detect" / "availability"
-    fpath.mkdir(exist_ok=True, parents=True)
-
-    times = [UTCDateTime(idx) for idx in availability.index]
-    dates = sorted(set(t.date for t in times))
-
-    for date in dates:
-        in_day = [i for i, t in enumerate(times) if t.date == date]
-        to_write = availability.iloc[in_day]
-        date = UTCDateTime(date)
-
-        fstem = f"{date.year}_{date.julday:03d}_StationAvailability"
-        file = (fpath / fstem).with_suffix(".csv")
-        to_write.to_csv(file)
+    times = pd.Series([UTCDateTime(stamp) for stamp in availability.index])
+    for date, members in times.groupby(times.map(lambda t: t.date)).groups.items():
+        target = _day_file(run, UTCDateTime(date))
+        target.parent.mkdir(exist_ok=True, parents=True)
+        availability.iloc[list(members)].to_csv(target)
