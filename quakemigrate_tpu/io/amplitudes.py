@@ -1,45 +1,33 @@
 # -*- coding: utf-8 -*-
 """
-.amps file output: per-trace P/S amplitude measurements and the individual
-local magnitude estimates derived from them (reference schema:
-io/amplitudes.py:14-69).
+The .amps file: per-trace P/S amplitude observations plus individual local
+magnitude estimates, with the reference's per-column significant-figure
+formatting (io/amplitudes.py:14-69).
 
 """
 
+# Significant figures per column group in the written file.
+_COLUMN_FORMATS = {
+    ".5g": ("epi_dist", "z_dist", "P_amp", "P_avg_amp", "S_amp", "S_avg_amp",
+            "Noise_amp"),
+    ".2g": ("P_freq", "S_freq"),
+    ".3g": ("P_filter_gain", "S_filter_gain", "ML", "ML_Err"),
+}
+
 
 def write_amplitudes(run, amplitudes, event):
-    """Write amplitude measurements + per-trace magnitudes to .amps CSV."""
+    """Format and write one event's amplitude table to ``<uid>.amps``."""
 
-    fpath = run.path / "locate" / run.subname / "amplitudes"
-    fpath.mkdir(exist_ok=True, parents=True)
+    outdir = run.path / "locate" / run.subname / "amplitudes"
+    outdir.mkdir(exist_ok=True, parents=True)
 
-    amplitudes = amplitudes.copy()
-
-    for col in [
-        "epi_dist",
-        "z_dist",
-        "P_amp",
-        "P_avg_amp",
-        "S_amp",
-        "S_avg_amp",
-        "Noise_amp",
-    ]:
-        amplitudes[col] = amplitudes[col].map(
-            lambda x: f"{x:.5g}", na_action="ignore"
-        )
-    for col in ["P_freq", "S_freq"]:
-        amplitudes[col] = amplitudes[col].map(
-            lambda x: f"{x:.2g}", na_action="ignore"
-        )
-    for col in ["P_filter_gain", "S_filter_gain"]:
-        amplitudes[col] = amplitudes[col].map(
-            lambda x: f"{x:.3g}", na_action="ignore"
-        )
-    if "ML" in amplitudes.columns:
-        for col in ["ML", "ML_Err"]:
-            amplitudes[col] = amplitudes[col].map(
-                lambda x: f"{x:.3g}", na_action="ignore"
+    formatted = amplitudes.copy()
+    for spec, columns in _COLUMN_FORMATS.items():
+        for column in columns:
+            if column not in formatted.columns:
+                continue
+            formatted[column] = formatted[column].map(
+                lambda x, s=spec: format(x, s), na_action="ignore"
             )
 
-    file = (fpath / f"{event.uid}").with_suffix(".amps")
-    amplitudes.to_csv(file, index=True)
+    formatted.to_csv(outdir / f"{event.uid}.amps", index=True)

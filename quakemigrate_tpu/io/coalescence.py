@@ -20,11 +20,7 @@ def read_coalescence(fname):
 def write_coalescence(run, coalescence_map, event, marginalised=False):
     """Write a coalescence map (3-D marginalised or 4-D) to .npy."""
 
-    if marginalised:
-        fpath = run.path / "locate" / run.subname / "marginalised_coalescence_maps"
-    else:
-        fpath = run.path / "locate" / run.subname / "coalescence_maps"
-    fpath.mkdir(exist_ok=True, parents=True)
-
-    file = (fpath / f"{event.uid}").with_suffix(".npy")
-    np.save(file, np.asarray(coalescence_map))
+    kind = "marginalised_coalescence_maps" if marginalised else "coalescence_maps"
+    outdir = run.path / "locate" / run.subname / kind
+    outdir.mkdir(exist_ok=True, parents=True)
+    np.save(outdir / f"{event.uid}.npy", np.asarray(coalescence_map))

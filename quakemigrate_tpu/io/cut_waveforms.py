@@ -1,9 +1,9 @@
 # -*- coding: utf-8 -*-
 """
-Cut-waveform output: write the raw / response-removed ("real") /
-Wood-Anderson simulated waveforms for a located event (reference behaviour:
-io/cut_waveforms.py:44-213). Supported formats: MSEED (default), SAC,
-GSE2 (raw integer-count waveforms only, as in the reference), SEGY.
+Per-event cut-waveform output in raw / response-removed ("real") /
+Wood-Anderson flavours (reference behaviour: io/cut_waveforms.py:44-213).
+Formats: MSEED (default), SAC, GSE2 (integer-count data only, as in the
+reference), SEGY.
 
 """
 
@@ -11,6 +11,8 @@ import logging
 
 import quakemigrate_tpu.util as util
 from quakemigrate_tpu.seis import Stream
+
+_SUFFIXES = {"MSEED": ".m", "SAC": ".sac", "GSE2": ".gse2", "SEGY": ".segy"}
 
 
 @util.timeit("info")
@@ -23,81 +25,83 @@ def write_cut_waveforms(
     waveform_type="raw",
     units="displacement",
 ):
-    """Output cut waveform data for an event."""
+    """Cut, (optionally) response-correct, and write an event's waveforms."""
 
     logging.info(f"\tSaving {waveform_type} cut waveforms...")
 
-    fpath = run.path / "locate" / run.subname / f"{waveform_type}_cut_waveforms"
-    fpath.mkdir(exist_ok=True, parents=True)
-    fstem = f"{event.uid}"
+    outdir = run.path / "locate" / run.subname / f"{waveform_type}_cut_waveforms"
+    outdir.mkdir(exist_ok=True, parents=True)
 
-    st = event.data.raw_waveforms
-
-    if pre_cut:
-        for tr in st.traces:
-            tr.trim(starttime=event.otime - pre_cut)
-    if post_cut:
-        for tr in st.traces:
-            tr.trim(endtime=event.otime + post_cut)
-
-    for tr in list(st):
-        if not bool(tr):
-            st.remove(tr)
+    st = _cut(event.data.raw_waveforms, event.otime, pre_cut, post_cut)
 
     if waveform_type in ("real", "wa"):
-        cached = (
-            event.data.real_waveforms
-            if waveform_type == "real"
-            else event.data.wa_waveforms
-        )
-        if isinstance(cached, Stream) and not pre_cut and not post_cut:
-            st = cached
+        stash = {
+            "real": event.data.real_waveforms,
+            "wa": event.data.wa_waveforms,
+        }[waveform_type]
+        if isinstance(stash, Stream) and not pre_cut and not post_cut:
+            # locate already produced these during magnitude calculation.
+            st = stash
         else:
             try:
                 st = get_waveforms(st, event, waveform_type, units)
-            except AttributeError as e:
+            except AttributeError as err:
                 raise AttributeError(
                     "To output real or Wood-Anderson cut waveforms you must "
                     "supply an instrument response inventory."
-                ) from e
+                ) from err
 
-    if bool(st):
-        write_waveforms(st, fpath, fstem, file_format)
-    else:
+    if not bool(st):
         logging.info(
             f"\t\tNo {waveform_type} cut waveform data for event {event.uid}!"
         )
+        return
+    write_waveforms(st, outdir, f"{event.uid}", file_format)
+
+
+def _cut(st, otime, pre_cut, post_cut):
+    """Trim traces to otime - pre_cut .. otime + post_cut, dropping empties."""
+
+    if pre_cut:
+        for tr in st.traces:
+            tr.trim(starttime=otime - pre_cut)
+    if post_cut:
+        for tr in st.traces:
+            tr.trim(endtime=otime + post_cut)
+
+    kept = Stream()
+    for tr in st:
+        if bool(tr):
+            kept += tr
+    return kept
 
 
 @util.timeit("debug")
 def get_waveforms(st, event, waveform_type, units):
-    """Response-correct a stream to real or Wood-Anderson waveforms."""
+    """Deconvolve each usable trace to real or Wood-Anderson ground motion."""
 
-    st = st.copy()
-    st_out = Stream()
+    corrected = Stream()
+    want_velocity = units == "velocity"
+    correct = (
+        event.data.get_real_waveform
+        if waveform_type == "real"
+        else event.data.get_wa_waveform
+    )
 
-    velocity = units == "velocity"
+    for tr in st.copy():
+        if not bool(tr) or tr.data.max() == tr.data.min():
+            continue
+        try:
+            corrected.append(correct(tr, want_velocity))
+        except (util.ResponseNotFoundError, util.ResponseRemovalError) as err:
+            logging.warning(str(err))
 
-    for tr in st:
-        if bool(tr) and tr.data.max() != tr.data.min():
-            try:
-                if waveform_type == "real":
-                    tr = event.data.get_real_waveform(tr, velocity)
-                else:
-                    tr = event.data.get_wa_waveform(tr, velocity)
-                st_out.append(tr)
-            except (util.ResponseNotFoundError, util.ResponseRemovalError) as e:
-                logging.warning(str(e))
-
-    return st_out
+    return corrected
 
 
 @util.timeit("debug")
-def write_waveforms(st, fpath, fstem, file_format):
-    """Write a stream to file in the requested format."""
+def write_waveforms(st, outdir, stem, file_format):
+    """Write a stream in the requested format, with its usual suffix."""
 
-    suffix = {
-        "MSEED": ".m", "SAC": ".sac", "GSE2": ".gse2", "SEGY": ".segy",
-    }.get(file_format, ".waveforms")
-    file = (fpath / fstem).with_suffix(suffix)
-    st.write(str(file), format=file_format)
+    suffix = _SUFFIXES.get(file_format, ".waveforms")
+    st.write(str((outdir / stem).with_suffix(suffix)), format=file_format)
