@@ -21,6 +21,46 @@ import quakemigrate_tpu.util as util
 from quakemigrate_tpu.lut import LUT
 
 
+class Run:
+    """
+    Identifies one processing run on disk: top-level path, run name,
+    optional subname, and the active stage (detect/trigger/locate). Owns
+    the per-stage logging setup.
+
+    """
+
+    def __init__(self, path, name, subname="", stage=None, loglevel="info"):
+        if "." in f"{name}{subname}":
+            print(
+                "Warning: The character '.' is not allowed in run names/"
+                "subnames - replacing with '_'."
+            )
+            name, subname = (s.replace(".", "_") for s in (name, subname))
+
+        self.path = Path(path) / name
+        self._name = name
+        self.stage, self.subname, self.loglevel = stage, subname, loglevel
+
+    def __str__(self):
+        banner = f"{util.log_spacer}\n{util.log_spacer}\n"
+        return (
+            banner
+            + f"\tquakemigrate_tpu RUN - Path: {self.path} - Name: {self.name}\n"
+            + banner
+        )
+
+    def logger(self, log):
+        """Point the root logger at this run's stage log directory."""
+
+        stem = self.path / self.stage / self.subname / "logs" / self.name
+        util.logger(stem, log, loglevel=self.loglevel)
+        logging.info(self)
+
+    @property
+    def name(self):
+        return f"{self._name}_{self.subname}" if self.subname else self._name
+
+
 def read_lut(lut_file):
     """Reconstruct a LUT from its pickled state."""
 
@@ -99,43 +139,3 @@ def read_response_inv(response_file, sac_pz_format=False):
         return read_inventory(response_file)
     except Exception as err:
         raise TypeError(f"Response file not readable as StationXML: {err}")
-
-
-class Run:
-    """
-    Identifies one processing run on disk: top-level path, run name,
-    optional subname, and the active stage (detect/trigger/locate). Owns
-    the per-stage logging setup.
-
-    """
-
-    def __init__(self, path, name, subname="", stage=None, loglevel="info"):
-        if "." in f"{name}{subname}":
-            print(
-                "Warning: The character '.' is not allowed in run names/"
-                "subnames - replacing with '_'."
-            )
-            name, subname = (s.replace(".", "_") for s in (name, subname))
-
-        self.path = Path(path) / name
-        self._name = name
-        self.stage, self.subname, self.loglevel = stage, subname, loglevel
-
-    def __str__(self):
-        banner = f"{util.log_spacer}\n{util.log_spacer}\n"
-        return (
-            banner
-            + f"\tquakemigrate_tpu RUN - Path: {self.path} - Name: {self.name}\n"
-            + banner
-        )
-
-    def logger(self, log):
-        """Point the root logger at this run's stage log directory."""
-
-        stem = self.path / self.stage / self.subname / "logs" / self.name
-        util.logger(stem, log, loglevel=self.loglevel)
-        logging.info(self)
-
-    @property
-    def name(self):
-        return f"{self._name}_{self.subname}" if self.subname else self._name
