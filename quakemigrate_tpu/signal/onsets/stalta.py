@@ -34,24 +34,21 @@ def pre_process(stream, sampling_rate, resample, upfactor, filter_,
 
     logging.debug(stream.__str__(extended=True))
     logging.debug(f"Resample={resample}, Upfactor={upfactor}")
-    resampled_stream = util.resample(
-        stream, sampling_rate, resample, upfactor, starttime, endtime
-    )
 
     lowcut, highcut, order = filter_
-    if highcut >= 0.5 * sampling_rate:
-        raise util.NyquistException(highcut, 0.5 * sampling_rate, "")
+    nyquist = 0.5 * sampling_rate
+    if highcut >= nyquist:
+        raise util.NyquistException(highcut, nyquist, "")
 
-    filtered_waveforms = resampled_stream.copy()
-    filtered_waveforms.detrend("linear")
-    filtered_waveforms.detrend("constant")
-    filtered_waveforms.taper(type="cosine", max_percentage=0.05)
-    filtered_waveforms.filter(
-        "bandpass", freqmin=lowcut, freqmax=highcut, corners=order,
-        zerophase=True,
-    )
-
-    return filtered_waveforms
+    conditioned = util.resample(
+        stream, sampling_rate, resample, upfactor, starttime, endtime
+    ).copy()
+    for detrend_kind in ("linear", "constant"):
+        conditioned.detrend(detrend_kind)
+    conditioned.taper(type="cosine", max_percentage=0.05)
+    conditioned.filter("bandpass", freqmin=lowcut, freqmax=highcut,
+                       corners=order, zerophase=True)
+    return conditioned
 
 
 class STALTAOnset(Onset):
@@ -67,45 +64,45 @@ class STALTAOnset(Onset):
 
     """
 
+    _DEFAULTS = {
+        "position": "classic",
+        "signal_transform": "energy",
+        "min_onset_value": 0.4,
+        "phases": ["P", "S"],
+        "bandpass_filters": {"P": [2.0, 16.0, 2], "S": [2.0, 16.0, 2]},
+        "sta_lta_windows": {"P": [0.2, 1.0], "S": [0.2, 1.0]},
+        "channel_maps": {"P": "*Z", "S": "*[N,E,1,2]"},
+        "channel_counts": {"P": 1, "S": 2},
+        "all_channels": False,
+        "allow_gaps": False,
+        "full_timespan": True,
+    }
+
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
 
-        self.position = kwargs.get("position", "classic")
-        self.signal_transform = kwargs.get("signal_transform", "energy")
-        self.min_onset_value = kwargs.get("min_onset_value", 0.4)
+        for option, default in self._DEFAULTS.items():
+            setattr(self, option, kwargs.get(option, default))
         if self.min_onset_value < 0.01:
             raise ValueError("The `min_onset_value` must be greater than 0.01")
 
-        self.phases = kwargs.get("phases", ["P", "S"])
-        self.bandpass_filters = kwargs.get(
-            "bandpass_filters", {"P": [2.0, 16.0, 2], "S": [2.0, 16.0, 2]}
-        )
-        self.sta_lta_windows = kwargs.get(
-            "sta_lta_windows", {"P": [0.2, 1.0], "S": [0.2, 1.0]}
-        )
-        self.channel_maps = kwargs.get(
-            "channel_maps", {"P": "*Z", "S": "*[N,E,1,2]"}
-        )
-        self.channel_counts = kwargs.get("channel_counts", {"P": 1, "S": 2})
-
-        self.all_channels = kwargs.get("all_channels", False)
-        self.allow_gaps = kwargs.get("allow_gaps", False)
-        self.full_timespan = kwargs.get("full_timespan", True)
-
     def __str__(self):
-        out = (
-            f"\tOnset parameters - using the {self.position} STA/LTA onset"
-            f"\n\t\tOnset function sampling rate = {self.sampling_rate} Hz"
-            f"\n\t\tPhase(s) = {self.phases}\n"
-        )
-        for phase, filt in self.bandpass_filters.items():
-            out += f"\n\t\t{phase} bandpass filter  = {filt} (Hz, Hz, -)"
-        out += "\n"
-        for phase, windows in self.sta_lta_windows.items():
-            out += f"\n\t\t{phase} onset [STA, LTA] = {windows} (s, s)"
-        out += "\n"
-
-        return out
+        parts = [
+            f"\tOnset parameters - using the {self.position} STA/LTA onset",
+            f"\n\t\tOnset function sampling rate = {self.sampling_rate} Hz",
+            f"\n\t\tPhase(s) = {self.phases}\n",
+        ]
+        parts += [
+            f"\n\t\t{phase} bandpass filter  = {filt} (Hz, Hz, -)"
+            for phase, filt in self.bandpass_filters.items()
+        ]
+        parts.append("\n")
+        parts += [
+            f"\n\t\t{phase} onset [STA, LTA] = {windows} (s, s)"
+            for phase, windows in self.sta_lta_windows.items()
+        ]
+        parts.append("\n")
+        return "".join(parts)
 
     def _gather_phase_waveforms(self, data, phase):
         """
@@ -115,64 +112,61 @@ class STALTAOnset(Onset):
 
         """
 
-        phase_waveforms = data.waveforms.select(
-            channel=self.channel_maps[phase]
+        stw, ltw = (
+            util.time2sample(w, self.sampling_rate) + 1
+            for w in self.sta_lta_windows[phase]
         )
 
-        stw, ltw = self.sta_lta_windows[phase]
-        stw = util.time2sample(stw, self.sampling_rate) + 1
-        ltw = util.time2sample(ltw, self.sampling_rate) + 1
-
-        filtered_phase_waveforms = pre_process(
-            phase_waveforms,
-            self.sampling_rate,
-            data.resample,
-            data.upfactor,
-            self.bandpass_filters[phase],
-            data.starttime,
-            data.endtime,
+        conditioned = pre_process(
+            data.waveforms.select(channel=self.channel_maps[phase]),
+            self.sampling_rate, data.resample, data.upfactor,
+            self.bandpass_filters[phase], data.starttime, data.endtime,
         )
 
-        availability = {}
-        kept = {}
+        criteria = dict(
+            all_channels=self.all_channels,
+            n_channels=self.channel_counts[phase],
+            allow_gaps=self.allow_gaps,
+            full_timespan=self.full_timespan,
+            check_sampling_rate=True,
+            sampling_rate=self.sampling_rate,
+        )
+
+        availability, kept = {}, {}
         for station in data.stations:
-            waveforms = filtered_phase_waveforms.select(station=station)
-
-            available, av_dict = data.check_availability(
-                waveforms,
-                all_channels=self.all_channels,
-                n_channels=self.channel_counts[phase],
-                allow_gaps=self.allow_gaps,
-                full_timespan=self.full_timespan,
-                check_sampling_rate=True,
-                sampling_rate=self.sampling_rate,
+            waveforms = conditioned.select(station=station)
+            available, per_channel = data.check_availability(
+                waveforms, **criteria
             )
             availability[f"{station}_{phase}"] = available
-
-            if available == 0:
+            if not available:
                 logging.info(f"\t\tNo {phase} onset for {station}.")
                 continue
 
-            for key, chan_available in av_dict.items():
-                if chan_available == 0:
-                    for tr in list(waveforms.select(id=key)):
+            # Drop individual channels that failed QC, then (when gaps are
+            # tolerated) fill them so the device batch has fixed shape.
+            for tr_id, ok in per_channel.items():
+                if not ok:
+                    for tr in list(waveforms.select(id=tr_id)):
                         waveforms.remove(tr)
-
             if self.allow_gaps or not self.full_timespan:
-                tiny = np.sqrt(np.finfo(float).tiny)
-                waveforms.taper(type="cosine", max_percentage=0.05)
-                waveforms.merge(method=1, fill_value=tiny)
-                waveforms.trim(
-                    starttime=data.starttime - 0.00001,
-                    endtime=data.endtime + 0.00001,
-                    pad=True,
-                    fill_value=tiny,
-                    nearest_sample=False,
-                )
+                self._fill_gaps(waveforms, data)
 
             kept[station] = waveforms
 
         return kept, availability, stw, ltw
+
+    @staticmethod
+    def _fill_gaps(waveforms, data):
+        """Taper, merge and pad gappy channels with a tiny fill value."""
+
+        tiny = np.sqrt(np.finfo(float).tiny)
+        waveforms.taper(type="cosine", max_percentage=0.05)
+        waveforms.merge(method=1, fill_value=tiny)
+        waveforms.trim(
+            starttime=data.starttime - 0.00001, endtime=data.endtime + 0.00001,
+            pad=True, fill_value=tiny, nearest_sample=False,
+        )
 
     def calculate_onsets(self, data, timespan=None):
         """
@@ -222,22 +216,20 @@ class STALTAOnset(Onset):
 
         logging.debug(filtered_waveforms.__str__(extended=True))
 
-        if sum(availability.values()) == 0:
+        if not any(availability.values()):
             raise util.DataAvailabilityException
 
-        onsets = np.stack(onsets, axis=0)
         onset_data = OnsetData(
-            onsets_dict,
-            self.phases,
-            self.channel_maps,
-            filtered_waveforms,
-            availability,
-            data.starttime,
-            data.endtime,
-            self.sampling_rate,
+            onsets=onsets_dict,
+            phases=self.phases,
+            channel_maps=self.channel_maps,
+            filtered_waveforms=filtered_waveforms,
+            availability=availability,
+            starttime=data.starttime,
+            endtime=data.endtime,
+            sampling_rate=self.sampling_rate,
         )
-
-        return onsets, onset_data
+        return np.stack(onsets, axis=0), onset_data
 
     def _onsets_for_phase(self, traces, stw, ltw, timespan):
         """
@@ -353,14 +345,16 @@ class STALTAOnset(Onset):
 
         return self.sta_lta_windows[phase][0] * self.sampling_rate / 2
 
+    def _longest(self, which):
+        """Longest STA (which=0) or LTA (which=1) window over all phases."""
+
+        return max(win[which] for win in self.sta_lta_windows.values())
+
     @property
     def pre_pad(self):
         """max LTA + 3 * max STA, over all phases."""
 
-        windows = self.sta_lta_windows
-        return max(win[1] for win in windows.values()) + 3 * max(
-            win[0] for win in windows.values()
-        )
+        return self._longest(1) + 3 * self._longest(0)
 
     @pre_pad.setter
     def pre_pad(self, value):
@@ -374,41 +368,26 @@ class STALTAOnset(Onset):
     def post_pad(self, ttmax):
         """ceil(max traveltime + 2 * max LTA)."""
 
-        lta_max = max(win[1] for win in self.sta_lta_windows.values())
-        self._post_pad = np.ceil(ttmax + 2 * lta_max)
+        self._post_pad = np.ceil(ttmax + 2 * self._longest(1))
 
 
-class CentredSTALTAOnset(STALTAOnset):
-    """
-    Deprecated alias retained so old reference scripts keep running
-    (reference: signal/onsets/stalta.py:742-783).
-
-    """
+def _deprecated_position_class(old_name, position):
+    """Deprecated reference aliases (ref signal/onsets/stalta.py:742-783)."""
 
     def __init__(self, **kwargs):
-        super().__init__(**kwargs)
+        STALTAOnset.__init__(self, **kwargs)
         print(
             "FutureWarning: This class has been deprecated - continuing.\n"
-            "To remove this message:\n"
-            "\tCentredSTALTAOnset -> STALTAOnset\n"
-            "\tAnd add keyword argument 'position=centred'\n"
+            f"To remove this message:\n\t{old_name} -> STALTAOnset\n"
+            f"\tAnd add keyword argument 'position={position}'\n"
         )
-        self.position = "centred"
+        self.position = position
+
+    return type(old_name, (STALTAOnset,), {
+        "__init__": __init__,
+        "__doc__": f"Deprecated alias for STALTAOnset(position='{position}').",
+    })
 
 
-class ClassicSTALTAOnset(STALTAOnset):
-    """
-    Deprecated alias retained so old reference scripts keep running
-    (reference: signal/onsets/stalta.py:742-783).
-
-    """
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        print(
-            "FutureWarning: This class has been deprecated - continuing.\n"
-            "To remove this message:\n"
-            "\tClassicSTALTAOnset -> STALTAOnset\n"
-            "\tAnd add keyword argument 'position=classic'\n"
-        )
-        self.position = "classic"
+CentredSTALTAOnset = _deprecated_position_class("CentredSTALTAOnset", "centred")
+ClassicSTALTAOnset = _deprecated_position_class("ClassicSTALTAOnset", "classic")
