@@ -1,7 +1,7 @@
 # -*- coding: utf-8 -*-
 """
-NonLinLoc phase (OBS) file export, including the weighting term
-(reference: export/to_nlloc.py:26-108).
+NonLinLoc phase (OBS) file export — one GAU-weighted observation line per
+usable pick (format contract: reference export/to_nlloc.py:26-108).
 
 """
 
@@ -10,9 +10,38 @@ import warnings
 from quakemigrate_tpu.seis import UTCDateTime
 
 
+def _observation_line(pick, autopick):
+    """One NLLoc OBS line for a pick, or None for failed (-1) picks."""
+
+    stamp = pick["PickTime"] if autopick else pick["ModelledTime"]
+    if str(stamp) == "-1":
+        return None
+    when = UTCDateTime(str(stamp))
+
+    station = (str(pick["Station"]) or "?").ljust(6)
+    phase = (str(pick["Phase"]) or "?").ljust(6)
+
+    if autopick:
+        try:
+            uncertainty = float(pick["PickError"])
+        except (KeyError, ValueError):
+            uncertainty = -1
+    else:
+        uncertainty = -1
+
+    q = "?"
+    seconds = when.second + when.microsecond * 1e-6
+    weights = " ".join(f"{w:9.2e}" for w in (uncertainty, -1, -1, -1, 1))
+    return (
+        f"{station} {q.ljust(4)} {q.ljust(4)} {q} {phase} {q} "
+        f"{when.strftime('%Y%m%d')} {when.strftime('%H%M')} "
+        f"{seconds:7.4f} GAU {weights}"
+    )
+
+
 def nlloc_obs(event, filename, autopick=True):
     """
-    Write a NonLinLoc Phase file for one
+    Write the NonLinLoc Phase file for one
     :class:`~quakemigrate_tpu.export.catalog.EventRecord`.
 
     Parameters
@@ -26,52 +55,19 @@ def nlloc_obs(event, filename, autopick=True):
 
     """
 
-    info = []
-
-    fmt = (
-        "{:s} {:s} {:s} {:s} {:s} {:s} {:s} {:s} "
-        "{:7.4f} GAU {:9.2e} {:9.2e} {:9.2e} {:9.2e} {:9.2e}"
-    )
-
-    picks = event.picks if event.picks is not None else []
+    lines = []
     if event.picks is not None:
-        for _, pick in event.picks.iterrows():
-            time_str = str(pick["PickTime"] if autopick else pick["ModelledTime"])
-            if time_str == "-1":
-                continue
-            time = UTCDateTime(time_str)
-            station = str(pick["Station"]) or "?"
-            phase_type = str(pick["Phase"]) or "?"
-            try:
-                time_error = float(pick["PickError"])
-            except (KeyError, ValueError):
-                time_error = -1
-            if not autopick:
-                time_error = -1
+        lines = [
+            line
+            for _, pick in event.picks.iterrows()
+            if (line := _observation_line(pick, autopick)) is not None
+        ]
 
-            info.append(
-                fmt.format(
-                    station.ljust(6),
-                    "?".ljust(4),
-                    "?".ljust(4),
-                    "?".ljust(1),
-                    phase_type.ljust(6),
-                    "?".ljust(1),
-                    time.strftime("%Y%m%d"),
-                    time.strftime("%H%M"),
-                    time.second + time.microsecond * 1e-6,
-                    time_error,
-                    -1,
-                    -1,
-                    -1,
-                    1,
-                )
-            )
-
-    if info:
-        info = "\n".join(sorted(info) + [""])
-    else:
+    if not lines:
         warnings.warn("No pick information, writing empty NLLOC OBS file.")
+        body = ""
+    else:
+        body = "\n".join(sorted(lines) + [""])
+
     with open(filename, "w") as fh:
-        for line in info:
-            fh.write(line)
+        fh.write(body)
