@@ -77,6 +77,35 @@ class QuakeScan:
 
     """
 
+    _OPTION_DEFAULTS = {
+        # scan geometry
+        "timestep": 120.0,
+        "marginal_window": 2.0,
+        "threads": 1,  # accepted for API parity; no effect on TPU
+        # device execution
+        "precision": "single",
+        "mesh": None,
+        "tile": DEFAULT_TILE,
+        "detect_batch": 1,
+        "locate_map_memory_limit": 4e9,
+        "fused_detect": True,
+        # plotting
+        "plot_event_summary": True,
+        "plot_event_video": False,
+        "plot_all_stns": True,
+        "xy_files": None,
+        # file writing
+        "continuous_scanmseed_write": False,
+        "write_cut_waveforms": False,
+        "write_real_waveforms": False,
+        "real_waveform_units": "displacement",
+        "write_wa_waveforms": False,
+        "wa_waveform_units": "displacement",
+        "cut_waveform_format": "MSEED",
+        "write_marginal_coalescence": False,
+        "write_coalescence": False,
+    }
+
     def __init__(self, archive, lut, onset, run_path, run_name, **kwargs):
         self.archive = archive
         self.lut = lut
@@ -105,66 +134,29 @@ class QuakeScan:
         else:
             raise util.PickerTypeError
 
-        self.timestep = kwargs.get("timestep", 120.0)
-        self.marginal_window = kwargs.get("marginal_window", 2.0)
-
-        self.threads = kwargs.get("threads", 1)  # accepted for API parity
-        self.scan_rate = self.onset.sampling_rate
-
         mags = kwargs.get("mags")
         if mags is not None and not isinstance(mags, LocalMag):
             raise util.MagsTypeError
         self.mags = mags
 
-        # --- Device execution parameters ---
-        self.precision = kwargs.get("precision", "single")
-        self.mesh = kwargs.get("mesh")
-        self.tile = kwargs.get("tile", DEFAULT_TILE)
-        # Number of detect windows migrated per device call (vmapped batch;
-        # amortises dispatch overhead). Ignored when a mesh is set.
-        self.detect_batch = max(1, int(kwargs.get("detect_batch", 1)))
-        # Above this map4d size (bytes), locate switches to the two-pass
-        # map-free path: fused reduce for the origin time, then an on-device
-        # marginalisation over the trimmed window (O(N) memory).
-        self.locate_map_memory_limit = kwargs.get(
-            "locate_map_memory_limit", 4e9
-        )
-        # Fully-fused detect (transform -> STA/LTA -> combine -> migrate ->
-        # reduce in ONE device call per window); available for STALTAOnset
-        # on a single device.
-        self.fused_detect = kwargs.get("fused_detect", True)
+        self.scan_rate = self.onset.sampling_rate
 
-        # Plotting toggles
-        self.plot_event_summary = kwargs.get("plot_event_summary", True)
-        self.plot_event_video = kwargs.get("plot_event_video", False)
-        self.plot_all_stns = kwargs.get("plot_all_stns", True)
-        self.xy_files = kwargs.get("xy_files")
+        # Scan, device-execution, plotting and file-writing options.
+        # detect_batch: windows migrated per device call (vmapped; ignored
+        #   with a mesh). locate_map_memory_limit: above this map4d size
+        #   (bytes) locate switches to the two-pass map-free path.
+        # fused_detect: whole detect window as ONE device program
+        #   (STALTA/kurtosis onsets, single device).
+        for option, default in self._OPTION_DEFAULTS.items():
+            setattr(self, option, kwargs.get(option, default))
+        self.detect_batch = max(1, int(self.detect_batch))
 
-        # File writing toggles
-        self.continuous_scanmseed_write = kwargs.get(
-            "continuous_scanmseed_write", False
-        )
-        self.write_cut_waveforms = kwargs.get("write_cut_waveforms", False)
-        self.write_real_waveforms = kwargs.get("write_real_waveforms", False)
-        self.real_waveform_units = kwargs.get(
-            "real_waveform_units", "displacement"
-        )
-        self.write_wa_waveforms = kwargs.get("write_wa_waveforms", False)
-        self.wa_waveform_units = kwargs.get("wa_waveform_units", "displacement")
-        self.cut_waveform_format = kwargs.get("cut_waveform_format", "MSEED")
-        self.write_marginal_coalescence = kwargs.get(
-            "write_marginal_coalescence", False
-        )
-        self.write_coalescence = kwargs.get("write_coalescence", False)
-
-        self.pre_cut = None
-        self.post_cut = None
+        self.pre_cut = self.post_cut = None
 
         # Deprecated parameter names from older reference scripts
         # (reference: signal/scan.py:1099-1145)
-        self.time_step = kwargs.get("time_step")
-        self.n_cores = kwargs.get("n_cores")
-        self.sampling_rate = kwargs.get("sampling_rate")
+        for legacy in ("time_step", "n_cores", "sampling_rate"):
+            setattr(self, legacy, kwargs.get(legacy))
 
         # Lazily-built device state (per run)
         self._device_tt = None
@@ -292,24 +284,20 @@ class QuakeScan:
                 f"Detect will instead compute up to {calc_endtime}\n"
             )
 
-        logging.info(util.log_spacer)
-        logging.info("\tDETECT - Continuous coalescence scan")
-        logging.info(util.log_spacer)
-        logging.info(f"\n\tScanning from {starttime} to {calc_endtime}\n")
-        logging.info(self)
-        logging.info(str(self.onset))
+        details = [f"\n\tScanning from {starttime} to {calc_endtime}\n",
+                   self, str(self.onset)]
         if self._fused_active:
-            where = "sharded over the device mesh" if self.mesh is not None \
-                else "on one device"
-            logging.info(
+            where = ("sharded over the device mesh" if self.mesh is not None
+                     else "on one device")
+            details.append(
                 f"\tDevice program: fully-fused detect window ({where})\n"
             )
         elif self.fused_detect:
-            logging.info(
+            details.append(
                 "\tDevice program: standard migrate (the fused window "
                 "covers the STALTA and kurtosis onsets)\n"
             )
-        logging.info(util.log_spacer)
+        self._announce("\tDETECT - Continuous coalescence scan", details)
 
         self._continuous_compute(starttime, n_steps)
 
@@ -334,20 +322,17 @@ class QuakeScan:
         if (starttime is None) ^ (endtime is None):
             raise RuntimeError("Must supply a starttime AND an endtime.")
 
-        logging.info(util.log_spacer)
-        logging.info("\tLOCATE - Determining event location and uncertainty")
-        logging.info(util.log_spacer)
         if trigger_file is not None:
-            logging.info(f"\n\tLocating events in {trigger_file}")
+            span = f"\n\tLocating events in {trigger_file}"
         else:
-            logging.info(f"\n\tLocating events from {starttime} to {endtime}\n")
-        logging.info(self)
-        logging.info(str(self.onset))
-        logging.info(str(self.picker))
+            span = f"\n\tLocating events from {starttime} to {endtime}\n"
+        details = [span, self, str(self.onset), str(self.picker)]
         if self.mags is not None:
-            logging.info(self.archive.__str__(response_only=True))
-            logging.info(str(self.mags))
-        logging.info(util.log_spacer)
+            details += [self.archive.__str__(response_only=True),
+                        str(self.mags)]
+        self._announce(
+            "\tLOCATE - Determining event location and uncertainty", details
+        )
 
         if trigger_file is not None:
             self._locate_events(trigger_file=trigger_file)
@@ -355,6 +340,14 @@ class QuakeScan:
             self._locate_events(starttime=starttime, endtime=endtime)
 
         logging.info(util.log_spacer)
+
+    @staticmethod
+    def _announce(title, details):
+        """Stage banner: spacer / title / spacer / details / spacer."""
+
+        for line in (util.log_spacer, title, util.log_spacer, *details,
+                     util.log_spacer):
+            logging.info(line)
 
     # ------------------------------------------------------------------
     # detect internals
@@ -495,105 +488,97 @@ class QuakeScan:
     # ------------------------------------------------------------------
 
     def _locate_events(self, **kwargs):
-        triggered_events = read_triggered_events(self.run, **kwargs)
-        n_events = len(triggered_events.index)
+        candidates = read_triggered_events(self.run, **kwargs)
+        total = len(candidates.index)
 
         self.pre_pad, self.post_pad = self.onset.pad(4 * self.marginal_window)
 
-        for i, triggered_event in triggered_events.iterrows():
-            event = Event(self.marginal_window, triggered_event)
-            w_beg = event.trigger_time - 2 * self.marginal_window - self.pre_pad
-            w_end = event.trigger_time + 2 * self.marginal_window + self.post_pad
-            logging.info(util.log_spacer)
-            logging.info(f"\tEVENT - {i + 1} of {n_events} - {event.uid}")
-            logging.info(util.log_spacer)
+        for i, row in candidates.iterrows():
+            event = Event(self.marginal_window, row)
+            self._announce(f"\tEVENT - {i + 1} of {total} - {event.uid}", [])
+            if self._locate_one(event):
+                logging.info(util.log_spacer)
 
-            try:
-                logging.info("\tReading waveform data...")
-                event.add_waveform_data(
-                    self._read_event_waveform_data(w_beg, w_end)
-                )
-                logging.info("\tComputing 4-D coalescence function...")
-                event.add_compute_output(*self._compute(event.data, event))
-            except (
-                util.ArchiveEmptyException,
-                util.DataGapException,
-                util.DataAvailabilityException,
-            ) as e:
-                logging.info(e.msg)
-                continue
+    def _locate_one(self, event):
+        """Full locate chain for one candidate; False if it was dropped."""
 
-            if self.write_coalescence:
-                if event.map4d is not None:
-                    logging.info("\tSaving full coalescence map...")
-                    write_coalescence(self.run, event.map4d, event)
-                else:
-                    logging.info(
-                        "\tmap4d not retained (two-pass locate); raise "
-                        "locate_map_memory_limit to write the full map."
-                    )
+        half_span = 2 * self.marginal_window
+        w_beg = event.trigger_time - half_span - self.pre_pad
+        w_end = event.trigger_time + half_span + self.post_pad
 
-            if event.in_marginal_window():
-                event.trim2window()
+        try:
+            logging.info("\tReading waveform data...")
+            event.add_waveform_data(self._read_event_waveform_data(w_beg, w_end))
+            logging.info("\tComputing 4-D coalescence function...")
+            event.add_compute_output(*self._compute(event.data, event))
+        except (
+            util.ArchiveEmptyException,
+            util.DataGapException,
+            util.DataAvailabilityException,
+        ) as e:
+            logging.info(e.msg)
+            return False
+
+        if self.write_coalescence:
+            if event.map4d is not None:
+                logging.info("\tSaving full coalescence map...")
+                write_coalescence(self.run, event.map4d, event)
             else:
-                del event
-                continue
-
-            logging.info("\tDetermining event location and uncertainty...")
-            marginalised_coa_map = self._calculate_location(event)
-
-            if self.write_marginal_coalescence:
-                logging.info("\tSaving marginalised coalescence map...")
-                write_coalescence(
-                    self.run, marginalised_coa_map, event, marginalised=True
+                logging.info(
+                    "\tmap4d not retained (two-pass locate); raise "
+                    "locate_map_memory_limit to write the full map."
                 )
 
-            logging.info("\tMaking phase picks...")
-            event, _ = self.picker.pick_phases(event, self.lut, self.run)
+        if not event.in_marginal_window():
+            return False
+        event.trim2window()
 
-            if self.mags is not None:
-                logging.info("\tCalculating magnitude...")
-                event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
+        logging.info("\tDetermining event location and uncertainty...")
+        coa_map = self._calculate_location(event)
 
-            event.write(self.run, self.lut)
+        if self.write_marginal_coalescence:
+            logging.info("\tSaving marginalised coalescence map...")
+            write_coalescence(self.run, coa_map, event, marginalised=True)
 
-            if self.plot_event_summary:
-                from quakemigrate_tpu.plot.event import event_summary
+        logging.info("\tMaking phase picks...")
+        event, _ = self.picker.pick_phases(event, self.lut, self.run)
 
-                event_summary(
-                    self.run,
-                    event,
-                    marginalised_coa_map,
-                    self.lut,
-                    xy_files=self.xy_files,
-                    plot_all_stns=self.plot_all_stns,
-                )
+        if self.mags is not None:
+            logging.info("\tCalculating magnitude...")
+            event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
 
-            if self.plot_event_video:
-                from quakemigrate_tpu.plot.video import event_video
+        event.write(self.run, self.lut)
+        self._write_event_figures(event, coa_map)
+        self._write_event_waveforms(event)
+        return True
 
-                event_video(self.run, event, self.lut)
+    def _write_event_figures(self, event, coa_map):
+        if self.plot_event_summary:
+            from quakemigrate_tpu.plot.event import event_summary
 
-            if self.write_cut_waveforms:
+            event_summary(
+                self.run, event, coa_map, self.lut,
+                xy_files=self.xy_files, plot_all_stns=self.plot_all_stns,
+            )
+        if self.plot_event_video:
+            from quakemigrate_tpu.plot.video import event_video
+
+            event_video(self.run, event, self.lut)
+
+    def _write_event_waveforms(self, event):
+        flavours = (
+            (self.write_cut_waveforms, {}),
+            (self.write_real_waveforms,
+             dict(waveform_type="real", units=self.real_waveform_units)),
+            (self.write_wa_waveforms,
+             dict(waveform_type="wa", units=self.wa_waveform_units)),
+        )
+        for enabled, extras in flavours:
+            if enabled:
                 write_cut_waveforms(
                     self.run, event, self.cut_waveform_format,
-                    pre_cut=self.pre_cut, post_cut=self.post_cut,
+                    pre_cut=self.pre_cut, post_cut=self.post_cut, **extras,
                 )
-            if self.write_real_waveforms:
-                write_cut_waveforms(
-                    self.run, event, self.cut_waveform_format,
-                    pre_cut=self.pre_cut, post_cut=self.post_cut,
-                    waveform_type="real", units=self.real_waveform_units,
-                )
-            if self.write_wa_waveforms:
-                write_cut_waveforms(
-                    self.run, event, self.cut_waveform_format,
-                    pre_cut=self.pre_cut, post_cut=self.post_cut,
-                    waveform_type="wa", units=self.wa_waveform_units,
-                )
-
-            del event, marginalised_coa_map
-            logging.info(util.log_spacer)
 
     # ------------------------------------------------------------------
     # The compute core
@@ -934,177 +919,150 @@ class QuakeScan:
 
         return coa_map
 
+    @staticmethod
+    def _peak_window(shape, centre, width):
+        """(lo, hi) corners of a width^3 box around ``centre``, grid-clipped."""
+
+        half = (width - 1) // 2
+        shape, centre = np.asarray(shape), np.asarray(centre)
+        lo = np.clip(centre - half, 0, shape)
+        hi = np.clip(centre + half + 1, 0, shape)
+        return lo, hi
+
     @util.timeit()
     def _splineloc(self, coa_map, win=5, upscale=10):
         """
-        Fit a cubic RBF to a win^3 window around the gridded peak and
-        interpolate x``upscale`` for a sub-node location estimate.
+        Sub-node location: cubic RBF fit over a win^3 box at the gridded
+        peak, evaluated on an ``upscale``-times-finer lattice.
 
         """
 
-        nx, ny, nz = coa_map.shape
-        n = np.array([nx, ny, nz])
+        peak = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
+        lo, hi = self._peak_window(coa_map.shape, peak, win)
+        spans = hi - lo
 
-        mx, my, mz = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
-        i = np.array([mx, my, mz])
-
-        w2 = (win - 1) // 2
-        x1, y1, z1 = np.clip(i - w2, 0 * n, n)
-        x2, y2, z2 = np.clip(i + w2 + 1, 0 * n, n)
-
-        if (x2 - x1) == (y2 - y1) == (z2 - z1):
-            trimmed = coa_map[x1:x2, y1:y2, z1:z2]
-
-            axes = [np.arange(dim) for dim in trimmed.shape]
-            grids = np.meshgrid(*axes)
-            interpolant = Rbf(
-                grids[0].flatten(),
-                grids[1].flatten(),
-                grids[2].flatten(),
-                trimmed.flatten(),
-                function="cubic",
-            )
-
-            fine_axes = [
-                np.linspace(0, dim - 1, (dim - 1) * upscale + 1)
-                for dim in trimmed.shape
-            ]
-            fine_grids = np.meshgrid(*fine_axes)
-            interpolated = interpolant(
-                fine_grids[0].flatten(),
-                fine_grids[1].flatten(),
-                fine_grids[2].flatten(),
-            ).reshape(fine_grids[0].shape)
-
-            mxi, myi, mzi = np.unravel_index(
-                np.nanargmax(interpolated), interpolated.shape
-            )
-            mxi = mxi / upscale + x1
-            myi = myi / upscale + y1
-            mzi = mzi / upscale + z1
-            logging.debug(f"\t\tGridded loc: {mx}   {my}   {mz}")
-            logging.debug(f"\t\tSpline  loc: {mxi} {myi} {mzi}")
-
-            if (abs(mx - mxi) > 1) or (abs(my - myi) > 1) or (abs(mz - mzi) > 1):
-                logging.debug(
-                    "\tSpline warning: spline location outside grid cell "
-                    "with maximum coalescence value"
-                )
-
-            location = self.lut.index2coord([[mxi, myi, mzi]])[0]
-
-            if (abs(mx - mxi) > w2) or (abs(my - myi) > w2) or (
-                abs(mz - mzi) > w2
-            ):
-                logging.info(
-                    "\t !!!! Spline error: location outside interpolation "
-                    "window !!!!"
-                )
-                location = self.lut.index2coord([[mx, my, mz]])[0]
-        else:
+        if not (spans[0] == spans[1] == spans[2]):
             logging.info(
                 "\t !!!! Spline error: interpolation window crosses edge of "
                 "grid !!!!"
             )
-            location = self.lut.index2coord([[mx, my, mz]])[0]
+            return self.lut.index2coord([list(peak)])[0]
 
-        return location
+        box = coa_map[tuple(slice(a, b) for a, b in zip(lo, hi))]
+
+        # Fit at the coarse lattice points; the cubic RBF kernel is isotropic
+        # so axis ordering of the point cloud is immaterial.
+        coarse = np.indices(box.shape).reshape(3, -1)
+        surface = Rbf(*coarse, box.ravel(), function="cubic")
+
+        fine_axes = [
+            np.linspace(0, dim - 1, (dim - 1) * upscale + 1)
+            for dim in box.shape
+        ]
+        fine = np.meshgrid(*fine_axes, indexing="ij")
+        sampled = surface(*[g.ravel() for g in fine]).reshape(fine[0].shape)
+
+        refined = (
+            np.asarray(np.unravel_index(np.nanargmax(sampled), sampled.shape))
+            / upscale
+            + lo
+        )
+        logging.debug("\t\tGridded loc: {}   {}   {}".format(*peak))
+        logging.debug("\t\tSpline  loc: {} {} {}".format(*refined))
+
+        drift = np.abs(np.asarray(peak) - refined)
+        if (drift > 1).any():
+            logging.debug(
+                "\tSpline warning: spline location outside grid cell "
+                "with maximum coalescence value"
+            )
+        if (drift > (win - 1) // 2).any():
+            logging.info(
+                "\t !!!! Spline error: location outside interpolation "
+                "window !!!!"
+            )
+            return self.lut.index2coord([list(peak)])[0]
+
+        return self.lut.index2coord([list(refined)])[0]
 
     @util.timeit()
     def _gaufit3d(self, coa_map, thresh=0.0, win=7):
         """
-        Fit a 3-D Gaussian (quadratic form in log space) to a window around
-        the peak of the (smoothed) map; returns location + 1-sigma errors.
+        3-D Gaussian fit (a quadratic form in log space) over a win^3 box at
+        the peak of the smoothed map; returns (location, 1-sigma errors).
 
         """
 
-        shape = coa_map.shape
-        ijk = np.unravel_index(np.nanargmax(coa_map), shape)
+        peak = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
+        in_fit = (coa_map > thresh) & self._mask3d(coa_map.shape, peak, win)
+        nodes = np.where(in_fit)
 
-        flag = np.logical_and(coa_map > thresh, self._mask3d(shape, ijk, win))
-        ix, iy, iz = np.where(flag)
+        values = (coa_map - np.nanmean(coa_map)).astype(np.float64)[nodes]
+        neg_log = -np.log(np.clip(values, 1e-300, np.inf))
 
-        coa_map = coa_map - np.nanmean(coa_map)
-
-        ls = [np.arange(n) for n in shape]
-        x, y, z = [L[idx] - i for L, idx, i in zip(ls, np.where(flag), ijk)]
-
-        X = np.c_[
-            x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, np.ones(len(ix))
-        ].T
-        Y = -np.log(
-            np.clip(coa_map.astype(np.float64)[ix, iy, iz], 1e-300, np.inf)
+        # Design matrix rows: x², y², z², xy, xz, yz, x, y, z, 1 — offsets
+        # are measured from the peak node.
+        x, y, z = (idx - c for idx, c in zip(nodes, peak))
+        design = np.stack(
+            [x * x, y * y, z * z, x * y, x * z, y * z, x, y, z,
+             np.ones(x.size)]
         )
+        P = np.matmul(neg_log, np.linalg.pinv(design))
+        quad, cross, linear = P[:3], P[3:6], P[6:9]
 
-        X_inv = np.linalg.pinv(X)
-        P = np.matmul(Y, X_inv)
-        G = -np.array(
-            [2 * P[0], P[3], P[4], P[3], 2 * P[1], P[5], P[4], P[5], 2 * P[2]]
-        ).reshape((3, 3))
-        H = np.array([P[6], P[7], P[8]])
-        loc = np.matmul(np.linalg.inv(G), H)
+        def symmetric(diagonal, off_scale):
+            m = np.diag(diagonal).astype(float)
+            m[0, 1] = m[1, 0] = cross[0] * off_scale
+            m[0, 2] = m[2, 0] = cross[1] * off_scale
+            m[1, 2] = m[2, 1] = cross[2] * off_scale
+            return m
 
-        M = np.array(
-            [
-                P[0], P[3] / 2, P[4] / 2,
-                P[3] / 2, P[1], P[5] / 2,
-                P[4] / 2, P[5] / 2, P[2],
-            ]
-        ).reshape(3, 3)
-        egv, vec = np.linalg.eig(M)
-        sgm = np.sqrt(0.5 / np.clip(np.abs(egv), 1e-10, np.inf)) / 2
+        curvature = -symmetric(2 * quad, 1.0)
+        offset = np.matmul(np.linalg.inv(curvature), linear)
 
-        location = self.lut.index2coord([list(loc + ijk)])[0]
-        uncertainty = sgm * self.lut.node_spacing
+        eigenvalues, _ = np.linalg.eig(symmetric(quad, 0.5))
+        sigmas = np.sqrt(0.5 / np.clip(np.abs(eigenvalues), 1e-10, np.inf)) / 2
 
-        return location, uncertainty
+        location = self.lut.index2coord([list(offset + peak)])[0]
+        return location, sigmas * self.lut.node_spacing
 
     @util.timeit()
     def _covfit3d(self, coa_map, thresh=0.90, win=None):
         """
-        Location and 1-sigma uncertainty from the covariance of the map
-        values above a percentile threshold (optionally windowed).
+        Coalescence-weighted mean position and covariance of the map values
+        above ``thresh`` (optionally restricted to a win^3 box at the peak).
 
         """
 
-        shape = coa_map.shape
-        ijk = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
-
+        keep = coa_map > thresh
         if win:
-            flag = np.logical_and(coa_map > thresh, self._mask3d(shape, ijk, win))
-        else:
-            flag = np.where(coa_map > thresh, True, False)
+            peak = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
+            keep &= self._mask3d(coa_map.shape, peak, win)
 
-        sw = coa_map.flatten()
-        sw[~flag.flatten()] = np.nan
-        ssw = np.nansum(sw)
+        weights = np.where(keep.ravel(), coa_map.ravel(), np.nan)
+        total = np.nansum(weights)
 
-        nc = self.lut.node_count
-        ns = self.lut.node_spacing
-        grid = np.meshgrid(*[np.arange(n) for n in nc], indexing="ij")
-        xs, ys, zs = [g.flatten() * size for g, size in zip(grid, ns)]
-
-        xe, ye, ze = [np.nansum(sw * s) / ssw for s in [xs, ys, zs]]
-
-        cov_matrix = np.zeros((3, 3))
-        cov_matrix[0, 0] = np.nansum(sw * (xs - xe) ** 2) / ssw
-        cov_matrix[1, 1] = np.nansum(sw * (ys - ye) ** 2) / ssw
-        cov_matrix[2, 2] = np.nansum(sw * (zs - ze) ** 2) / ssw
-        cov_matrix[0, 1] = cov_matrix[1, 0] = (
-            np.nansum(sw * (xs - xe) * (ys - ye)) / ssw
+        lattice = np.meshgrid(
+            *[np.arange(n) for n in self.lut.node_count], indexing="ij"
         )
-        cov_matrix[0, 2] = cov_matrix[2, 0] = (
-            np.nansum(sw * (xs - xe) * (zs - ze)) / ssw
-        )
-        cov_matrix[1, 2] = cov_matrix[2, 1] = (
-            np.nansum(sw * (ys - ye) * (zs - ze)) / ssw
-        )
+        positions = [
+            g.ravel() * spacing
+            for g, spacing in zip(lattice, self.lut.node_spacing)
+        ]
 
-        location_xyz = self.lut.ll_corner + np.array([xe, ye, ze])
+        mean = [np.nansum(weights * axis) / total for axis in positions]
+        deviations = [axis - m for axis, m in zip(positions, mean)]
+
+        covariance = np.empty((3, 3))
+        for r in range(3):
+            for c in range(r, 3):
+                covariance[r, c] = covariance[c, r] = (
+                    np.nansum(weights * deviations[r] * deviations[c]) / total
+                )
+
+        location_xyz = self.lut.ll_corner + np.array(mean)
         location = self.lut.coord2grid(location_xyz, inverse=True)[0]
-        uncertainty = np.diag(np.sqrt(abs(cov_matrix)))
-
-        return location, uncertainty
+        return location, np.diag(np.sqrt(abs(covariance)))
 
     @util.timeit()
     def _gaufilt3d(self, map3d, sgm=0.8, shp=None):
@@ -1125,67 +1083,53 @@ class QuakeScan:
 
         return smoothed
 
-    @staticmethod
-    def _mask3d(n, i, window):
+    @classmethod
+    def _mask3d(cls, n, i, window):
         """Boolean mask of a window^3 box around node i in an n-shaped grid."""
 
-        n = np.array(n)
-        i = np.array(i)
-
-        w2 = (window - 1) // 2
-        x1, y1, z1 = np.clip(i - w2, 0 * n, n)
-        x2, y2, z2 = np.clip(i + w2 + 1, 0 * n, n)
-
-        mask = np.zeros(n, dtype=bool)
-        mask[x1:x2, y1:y2, z1:z2] = True
-
+        lo, hi = cls._peak_window(n, i, window)
+        mask = np.zeros(np.asarray(n), dtype=bool)
+        mask[tuple(slice(a, b) for a, b in zip(lo, hi))] = True
         return mask
 
     # --- deprecated parameter names from older reference scripts ---
     # (reference: signal/scan.py:1099-1145; setters accept-and-warn so old
     # user scripts keep running unchanged)
 
-    @property
-    def sampling_rate(self):
-        return self.scan_rate
+    def _legacy_name(new_attr, notice, assign=True):
+        """Accept-and-warn views of renamed parameters (ref scan.py:1099-1145)."""
 
-    @sampling_rate.setter
-    def sampling_rate(self, value):
-        if value is None:
-            return
-        print(
-            "Warning: Parameter name has changed - continuing. Currently\n"
-            "the scan sampling rate must be the same as the onset sampling\n"
-            f"rate, which you have set to {self.scan_rate} Hz."
-        )
+        def read(self):
+            return getattr(self, new_attr)
 
-    @property
-    def time_step(self):
-        return self.timestep
+        def write(self, value):
+            if value is None:
+                return
+            print(notice.replace("<RATE>", str(getattr(self, "scan_rate", ""))))
+            if assign:
+                setattr(self, new_attr, value)
 
-    @time_step.setter
-    def time_step(self, value):
-        if value is None:
-            return
-        print(
-            "FutureWarning: Parameter name has changed - continuing.\n"
-            "To remove this message, change:\n"
-            "\t'time_step' -> 'timestep'"
-        )
-        self.timestep = value
+        return property(read, write)
 
-    @property
-    def n_cores(self):
-        return self.threads
+    sampling_rate = _legacy_name(
+        "scan_rate",
+        "Warning: Parameter name has changed - continuing. Currently\n"
+        "the scan sampling rate must be the same as the onset sampling\n"
+        "rate, which you have set to <RATE> Hz.",
+        assign=False,
+    )
+    time_step = _legacy_name(
+        "timestep",
+        "FutureWarning: Parameter name has changed - continuing.\n"
+        "To remove this message, change:\n"
+        "\t'time_step' -> 'timestep'",
+    )
+    n_cores = _legacy_name(
+        "threads",
+        "FutureWarning: Parameter name has changed - continuing.\n"
+        "To remove this message, change:\n"
+        "\t'n_cores' -> 'threads'\n"
+        "(On TPU, host thread count does not affect the migration.)",
+    )
 
-    @n_cores.setter
-    def n_cores(self, value):
-        if value is None:
-            return
-        print(
-            "FutureWarning: Parameter name has changed - continuing.\n"
-            "To remove this message, change:\n"
-            "\t'n_cores' -> 'threads'\n"
-            "(On TPU, host thread count does not affect the migration.)"
-        )
-        self.threads = value
+    del _legacy_name
