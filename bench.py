@@ -1,12 +1,24 @@
 # -*- coding: utf-8 -*-
 """
-Benchmark: coalescence-stack throughput (grid-node x samples x onsets per
-second) of the fused detect kernel on an Icequake_Iceland-shaped workload
-(2.6e5 grid nodes, 24 onsets, 625 scan samples per 2.5 s timestep at
-250 Hz -- see BASELINE.md), versus the reference single-core C kernel
-compiled from /root/reference at run time.
+Benchmark + correctness gate for the fused detect kernel.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workload: Icequake_Iceland detect geometry (2.6e5 grid nodes, 24 onsets,
+625 scan samples per 2.5 s timestep at 250 Hz — see BASELINE.md) with a
+realistic homogeneous-moveout traveltime field.
+
+Protocol (single source of truth; docs/performance.md quotes this output):
+1. Parity gate — the device kernel (float32) must match the reference C
+   kernels (float64, compiled from the reference checkout at run time) on
+   the same inputs: max relative coalescence error < 5e-4 and argmax node
+   within 1 grid node on every sample. Recorded as "parity_ok".
+2. Device timing — best of 5 runs on distinct onset blocks; execution is
+   forced by fetching the outputs (block_until_ready does not reliably
+   block under this environment's remote-TPU relay).
+3. C baseline — the SAME workload through the reference migrate +
+   find_max_coa, OMP pinned to one thread, one warm-up pass, best of 2
+   timed passes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 """
 
@@ -16,6 +28,8 @@ import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 # Icequake_Iceland detect geometry (BASELINE.md)
 NX, NY, NZ = 71, 64, 57
@@ -27,8 +41,9 @@ FSMP = 475  # ~1.9 s pre-pad
 LSMP = 575  # ~2.3 s post-pad
 T_SAMPLES = NSAMPLES + FSMP + LSMP
 
-# Reference C single-core throughput measured on this host (node*onset*samples/s
-# for migrate+find_max_coa); used if the reference checkout is unavailable.
+WORK = NX * NY * NZ * N_ONSETS * NSAMPLES  # node*onset*samples per timestep
+
+# Used only if the reference checkout is unavailable at bench time.
 FALLBACK_BASELINE = None
 
 
@@ -52,80 +67,123 @@ def make_workload(seed=0):
     return onsets, tt4d
 
 
-def bench_tpu(onsets, tt4d, iters=5):
-    import jax
-
-    from quakemigrate_tpu.ops.migrate import migrate_detect
-
-    tt_flat = np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS))
-    dtype = np.float32
-    mask = np.ones(N_ONSETS, dtype=dtype)
-
-    tt_dev = jax.device_put(tt_flat)
-    mask_dev = jax.device_put(mask)
-    # Distinct onset blocks per iteration so no layer can cache the result
-    rng = np.random.default_rng(3)
-    blocks = [
-        jax.device_put(
-            rng.gamma(2.0, 1.5, size=onsets.shape).astype(dtype)
-        )
-        for _ in range(iters)
-    ]
-
-    def run(block):
-        out = migrate_detect(
-            block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
-        )
-        # NOTE: fetch to host to force execution -- block_until_ready() does
-        # not reliably block under the remote-TPU relay in this environment.
-        return float(np.asarray(out[0]).sum())
-
-    run(blocks[0])  # warm up (compile)
-
-    times = []
-    for block in blocks:
-        t0 = time.perf_counter()
-        run(block)
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-
-    work = tt_flat.shape[0] * N_ONSETS * NSAMPLES
-    return work / elapsed, elapsed
-
-
-def bench_reference_c(onsets, tt4d, max_seconds=120.0):
-    """Single-core reference C kernels (migrate + find_max_coa)."""
-
+def _oracle():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     try:
-        from oracle import load_oracle, oracle_find_max_coa, oracle_migrate
+        import oracle
+
+        return oracle if oracle.load_oracle() is not None else None
     except ImportError:
         return None
 
-    if load_oracle() is None:
-        return None
 
-    t0 = time.perf_counter()
-    map4d = oracle_migrate(onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1)
-    _ = oracle_find_max_coa(map4d, threads=1)
-    elapsed = time.perf_counter() - t0
+def run_device(onsets_block, tt_dev, mask_dev):
+    """One fused migrate+reduce call; fetches all outputs to the host."""
 
-    work = np.prod(tt4d.shape[:3]) * N_ONSETS * NSAMPLES
-    return work / elapsed
+    from quakemigrate_tpu.ops.migrate import migrate_detect
+
+    out = migrate_detect(
+        onsets_block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
+    )
+    return [np.asarray(o) for o in out]
+
+
+def parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle):
+    """
+    Device f32 vs reference C f64 on identical inputs. Returns a dict with
+    max relative coalescence error, worst argmax node distance, and the
+    overall pass flag.
+
+    """
+
+    import jax
+
+    max_coa, _, max_idx = run_device(
+        jax.device_put(onsets.astype(np.float32)), tt_dev, mask_dev
+    )
+
+    map4d = oracle.oracle_migrate(onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1)
+    ref_coa, _, ref_idx = oracle.oracle_find_max_coa(map4d, threads=1)
+
+    rel_err = float(np.max(np.abs(max_coa - ref_coa) / ref_coa))
+    ours_ijk = np.column_stack(np.unravel_index(max_idx, (NX, NY, NZ)))
+    ref_ijk = np.column_stack(np.unravel_index(ref_idx, (NX, NY, NZ)))
+    node_dist = np.abs(ours_ijk - ref_ijk).max(axis=1)
+    worst_node = int(node_dist.max())
+
+    return {
+        "parity_ok": bool(rel_err < 5e-4 and worst_node <= 1),
+        "parity_max_rel_err": round(rel_err, 8),
+        "parity_worst_argmax_node_dist": worst_node,
+    }
+
+
+def bench_device(onsets, tt_dev, mask_dev, iters=5):
+    import jax
+
+    # Distinct onset blocks per iteration so no layer can cache the result
+    rng = np.random.default_rng(3)
+    blocks = [
+        jax.device_put(rng.gamma(2.0, 1.5, size=onsets.shape).astype(np.float32))
+        for _ in range(iters)
+    ]
+
+    from quakemigrate_tpu.ops.migrate import migrate_detect
+
+    def timed_run(block):
+        out = migrate_detect(
+            block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
+        )
+        # One host fetch forces execution while paying a single relay
+        # round-trip (each separate fetch costs ~26 ms here).
+        return float(np.asarray(out[0]).sum())
+
+    timed_run(blocks[0])  # warm up (compile)
+    times = []
+    for block in blocks:
+        t0 = time.perf_counter()
+        timed_run(block)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    return WORK / elapsed, elapsed
+
+
+def bench_reference_c(onsets, tt4d, oracle, timed_passes=2):
+    """Single-core reference C (migrate + find_max_coa): warm-up + best-of-N."""
+
+    def one_pass():
+        t0 = time.perf_counter()
+        map4d = oracle.oracle_migrate(
+            onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1
+        )
+        oracle.oracle_find_max_coa(map4d, threads=1)
+        return time.perf_counter() - t0
+
+    one_pass()  # warm-up (page-in, allocator)
+    elapsed = min(one_pass() for _ in range(timed_passes))
+    return WORK / elapsed, elapsed
 
 
 def main():
+    import jax
+
     onsets, tt4d = make_workload()
+    tt_dev = jax.device_put(np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS)))
+    mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
 
-    throughput, elapsed = bench_tpu(onsets, tt4d)
-
-    baseline = None
+    oracle = None
     if os.environ.get("QM_BENCH_SKIP_BASELINE") != "1":
-        baseline = bench_reference_c(onsets, tt4d)
-    if baseline is None:
-        baseline = FALLBACK_BASELINE
+        oracle = _oracle()
 
-    vs_baseline = throughput / baseline if baseline else None
+    report = {}
+    baseline = FALLBACK_BASELINE
+    if oracle is not None:
+        report.update(parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle))
+        baseline, c_elapsed = bench_reference_c(onsets, tt4d, oracle)
+        report["c_single_core_gsps"] = round(baseline / 1e9, 4)
+        report["c_seconds_per_timestep"] = round(c_elapsed, 2)
+
+    throughput, elapsed = bench_device(onsets, tt_dev, mask_dev)
 
     print(
         json.dumps(
@@ -134,7 +192,11 @@ def main():
                 "Icequake_Iceland detect geometry, fused migrate+reduce",
                 "value": round(throughput / 1e9, 3),
                 "unit": "Gsamples/s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline": (
+                    round(throughput / baseline, 2) if baseline else None
+                ),
+                "seconds_per_timestep": round(elapsed, 4),
+                **report,
             }
         )
     )
