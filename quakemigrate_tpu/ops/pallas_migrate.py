@@ -264,3 +264,206 @@ class PallasDetect:
             self.fsmp, self.nsamples, p.tile, p.bits, p.n_nodes,
             interpret=self.interpret,
         )
+
+
+# ---------------------------------------------------------------------------
+# MXU variant: one-hot matmul instead of the VPU shift network.
+#
+# For each node tile, the per-node residual shift selection is expressed as
+# a matrix product: S_onehot[n, o*R + r] = (fine[n, o] == r), and
+# A[o*R + r, t] = onsets_log[o, fsmp + base[o] + r + t] (a per-tile slice of
+# the global Hankel shift table, DMA'd HBM -> VMEM). Then
+#
+#     coalescence_tile = S_onehot @ A            (MXU, f32 accumulation)
+#
+# The table is stored as a bf16 hi/lo pair (a = hi + lo with
+# lo = bf16(a - f32(hi))), so two bf16 matmuls recover ~f32 precision at
+# full MXU rate. The selection itself is exact (one-hot entries are 0/1).
+# ---------------------------------------------------------------------------
+
+
+def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
+                       hi_ref, lo_ref, max_ref, arg_ref, sum_ref,
+                       a_slots, onehot, sems, *, r_span, n_onsets, tile,
+                       n_tiles):
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
+    # Table-slice DMAs (rows base..base+R of each onset's Hankel block) are
+    # double-buffered across tiles: tile i computes from slot i%2 while tile
+    # i+1's slices stream into the other slot. Bases are pre-aligned to the
+    # 8-row sublane tiling (the remainder is folded into the fine residuals).
+    def slice_dmas(tile_idx, into_slot):
+        for o in range(n_onsets):
+            row0 = pl.multiple_of(base_ref[tile_idx, o], 16)
+            for half, table in enumerate((hi_ref, lo_ref)):
+                yield pltpu.make_async_copy(
+                    table.at[o, pl.ds(row0, r_span), :],
+                    a_slots.at[into_slot, half, pl.ds(o * r_span, r_span), :],
+                    sems.at[into_slot, half, o],
+                )
+
+    @pl.when(i == 0)
+    def _():
+        for dma in slice_dmas(0, 0):
+            dma.start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for dma in slice_dmas(i + 1, 1 - slot):
+            dma.start()
+
+    # Build the (transposed) one-hot selector while the DMAs are in flight:
+    # onehot[o*R + r, n] = (fine[o, n] == r). The K axis sits on sublanes so
+    # R only needs 8-alignment, not full lanes.
+    residues = jax.lax.broadcasted_iota(jnp.int32, (r_span, tile), 0)
+    for o in range(n_onsets):
+        onehot[o * r_span:(o + 1) * r_span, :] = (
+            fine_ref[0, o:o + 1, :] == residues
+        ).astype(jnp.bfloat16)
+
+    for dma in slice_dmas(i, slot):
+        dma.wait()
+
+    # coa[n, t] = sum_k onehot[k, n] * A[k, t] -- contract the K (sublane)
+    # axis of both operands on the MXU, f32 accumulation.
+    contract_k = (((0,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        onehot[...], a_slots[slot, 0],
+        dimension_numbers=contract_k, preferred_element_type=jnp.float32,
+    )
+    acc = acc + jax.lax.dot_general(
+        onehot[...], a_slots[slot, 1],
+        dimension_numbers=contract_k, preferred_element_type=jnp.float32,
+    )
+
+    coa = jnp.exp(acc * inv_avail_ref[0]) * valid_ref[0]
+    max_ref[0] = jnp.max(coa, axis=0, keepdims=True)
+    arg_ref[0] = jnp.argmax(coa, axis=0, keepdims=True).astype(jnp.int32)
+    sum_ref[0] = jnp.sum(coa, axis=0, keepdims=True)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "r_span", "n_nodes_real",
+                     "interpret"),
+)
+def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
+                            perm, fsmp, nsamples, tile, r_span, n_nodes_real,
+                            interpret=False):
+    from .migrate import _build_shift_table
+
+    onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
+    n_tiles, n_onsets = base.shape
+
+    s_pad = _round_up(nsamples, LANE)
+
+    # Global Hankel table [O, D, S], padded so every base..base+R slice and
+    # the lane-aligned sample axis are in range.
+    table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
+    d_pad = _round_up(d_max + 1 + r_span, 16)
+    table = jnp.pad(
+        table,
+        ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples)),
+    )
+    # reduce_precision guarantees the bf16 rounding actually happens -- a
+    # plain astype round-trip is elided under --xla_allow_excess_precision,
+    # which silently zeroes the lo half.
+    hi_exact = jax.lax.reduce_precision(table, exponent_bits=8, mantissa_bits=7)
+    hi = hi_exact.astype(jnp.bfloat16)
+    lo = (table - hi_exact).astype(jnp.bfloat16)
+
+    kernel = partial(
+        _mxu_detect_kernel, r_span=r_span, n_onsets=n_onsets, tile=tile,
+        n_tiles=n_tiles,
+    )
+
+    tmax, targ, tsum = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(base.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_onsets, tile), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, n_onsets * r_span, s_pad), jnp.bfloat16),
+            pltpu.VMEM((n_onsets * r_span, tile), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2, n_onsets)),
+        ],
+        interpret=interpret,
+    )(
+        base,
+        jnp.asarray(1.0 / available, jnp.float32).reshape(1),
+        fine_t,
+        valid,
+        hi,
+        lo,
+    )
+
+    tmax = tmax[:, 0, :nsamples]
+    targ = targ[:, 0, :nsamples]
+    tsum = tsum[:, 0, :nsamples]
+
+    best_tile = jnp.argmax(tmax, axis=0)
+    max_coa = jnp.take_along_axis(tmax, best_tile[None, :], axis=0)[0]
+    local = jnp.take_along_axis(targ, best_tile[None, :], axis=0)[0]
+    perm_idx = best_tile.astype(jnp.int32) * tile + local
+    max_idx = jnp.take(perm, perm_idx)
+    coa_sum = jnp.sum(tsum, axis=0)
+
+    return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
+
+
+class PallasDetectMXU:
+    """
+    MXU-formulated fused detect: one-hot selection matmul over per-tile
+    Hankel-table slices. Same call contract as :class:`PallasDetect`.
+
+    """
+
+    def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=512,
+                 brick_shape=(8, 8, 8), interpret=False):
+        plan = PallasDetectPlan(
+            traveltimes, node_count, tile=tile, brick_shape=brick_shape
+        )
+        # Align each tile's base shift down to the 8-row sublane tiling so
+        # the table-slice DMA offsets are provably aligned; the remainder
+        # (0..7) moves into the fine residuals.
+        remainder = plan.base % 16
+        base8 = plan.base - remainder
+        fine8 = plan.fine[..., 0] + remainder[:, :, None]  # (n_tiles, O, tile)
+        # Residual span: bf16 memrefs tile as (16, 128), so bases and spans
+        # align to 16 sublanes; the one-hot selector is built transposed,
+        # with K on the sublane axis.
+        self.r_span = max(16, _round_up(int(fine8.max()) + 1, 16))
+        # (n_tiles, O, tile) selector input for the kernel.
+        self.fine_t = jax.device_put(np.ascontiguousarray(fine8))
+        plan.base = base8
+        plan.device_put()
+        self.plan = plan
+        self.fsmp = fsmp
+        self.nsamples = nsamples
+        self.interpret = interpret
+
+    def __call__(self, onsets, mask, available):
+        p = self.plan
+        return _pallas_mxu_detect_core(
+            onsets, mask, available, self.fine_t, p.base, p.valid, p.perm,
+            self.fsmp, self.nsamples, p.tile, self.r_span, p.n_nodes,
+            interpret=self.interpret,
+        )
