@@ -77,18 +77,26 @@ def _oracle():
         return None
 
 
-def run_device(onsets_block, tt_dev, mask_dev):
-    """One fused migrate+reduce call; fetches all outputs to the host."""
+def _kernels(tt_flat, tt_dev, mask_dev):
+    """name -> callable(block) returning (max_coa, max_norm, max_idx)."""
 
     from quakemigrate_tpu.ops.migrate import migrate_detect
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
 
-    out = migrate_detect(
-        onsets_block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
-    )
-    return [np.asarray(o) for o in out]
+    def xla(block):
+        return migrate_detect(
+            block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
+        )
+
+    mxu_kernel = PallasDetectMXU(tt_flat, (NX, NY, NZ), FSMP, NSAMPLES)
+
+    def mxu(block):
+        return mxu_kernel(block, mask_dev, float(N_ONSETS))
+
+    return {"xla_shift_table": xla, "pallas_mxu": mxu}
 
 
-def parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle):
+def parity_gate(kernel_fn, onsets, ref_coa, ref_idx):
     """
     Device f32 vs reference C f64 on identical inputs. Returns a dict with
     max relative coalescence error, worst argmax node distance, and the
@@ -98,18 +106,13 @@ def parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle):
 
     import jax
 
-    max_coa, _, max_idx = run_device(
-        jax.device_put(onsets.astype(np.float32)), tt_dev, mask_dev
-    )
-
-    map4d = oracle.oracle_migrate(onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1)
-    ref_coa, _, ref_idx = oracle.oracle_find_max_coa(map4d, threads=1)
+    out = kernel_fn(jax.device_put(onsets.astype(np.float32)))
+    max_coa, _, max_idx = (np.asarray(o) for o in out)
 
     rel_err = float(np.max(np.abs(max_coa - ref_coa) / ref_coa))
     ours_ijk = np.column_stack(np.unravel_index(max_idx, (NX, NY, NZ)))
     ref_ijk = np.column_stack(np.unravel_index(ref_idx, (NX, NY, NZ)))
-    node_dist = np.abs(ours_ijk - ref_ijk).max(axis=1)
-    worst_node = int(node_dist.max())
+    worst_node = int(np.abs(ours_ijk - ref_ijk).max(axis=1).max())
 
     return {
         "parity_ok": bool(rel_err < 5e-4 and worst_node <= 1),
@@ -118,7 +121,7 @@ def parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle):
     }
 
 
-def bench_device(onsets, tt_dev, mask_dev, iters=5):
+def bench_device(kernel_fn, onsets, iters=5):
     import jax
 
     # Distinct onset blocks per iteration so no layer can cache the result
@@ -128,15 +131,10 @@ def bench_device(onsets, tt_dev, mask_dev, iters=5):
         for _ in range(iters)
     ]
 
-    from quakemigrate_tpu.ops.migrate import migrate_detect
-
     def timed_run(block):
-        out = migrate_detect(
-            block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
-        )
         # One host fetch forces execution while paying a single relay
         # round-trip (each separate fetch costs ~26 ms here).
-        return float(np.asarray(out[0]).sum())
+        return float(np.asarray(kernel_fn(block)[0]).sum())
 
     timed_run(blocks[0])  # warm up (compile)
     times = []
@@ -168,8 +166,10 @@ def main():
     import jax
 
     onsets, tt4d = make_workload()
-    tt_dev = jax.device_put(np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS)))
+    tt_flat = np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS))
+    tt_dev = jax.device_put(tt_flat)
     mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
+    kernels = _kernels(tt_flat, tt_dev, mask_dev)
 
     oracle = None
     if os.environ.get("QM_BENCH_SKIP_BASELINE") != "1":
@@ -177,25 +177,53 @@ def main():
 
     report = {}
     baseline = FALLBACK_BASELINE
+    ref_coa = ref_idx = None
     if oracle is not None:
-        report.update(parity_gate(onsets, tt4d, tt_dev, mask_dev, oracle))
+        map4d = oracle.oracle_migrate(
+            onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1
+        )
+        ref_coa, _, ref_idx = oracle.oracle_find_max_coa(map4d, threads=1)
+        del map4d
         baseline, c_elapsed = bench_reference_c(onsets, tt4d, oracle)
         report["c_single_core_gsps"] = round(baseline / 1e9, 4)
         report["c_seconds_per_timestep"] = round(c_elapsed, 2)
 
-    throughput, elapsed = bench_device(onsets, tt_dev, mask_dev)
+    # Every kernel is parity-gated and timed; the headline number is the
+    # fastest kernel that passes its gate.
+    best = None
+    all_ok = True
+    for name, fn in kernels.items():
+        if ref_coa is not None:
+            gate = parity_gate(fn, onsets, ref_coa, ref_idx)
+            report[f"{name}_parity_ok"] = gate["parity_ok"]
+            report[f"{name}_max_rel_err"] = gate["parity_max_rel_err"]
+            report[f"{name}_argmax_node_dist"] = (
+                gate["parity_worst_argmax_node_dist"]
+            )
+            all_ok = all_ok and gate["parity_ok"]
+            if not gate["parity_ok"]:
+                continue
+        throughput, elapsed = bench_device(fn, onsets)
+        report[f"{name}_gsps"] = round(throughput / 1e9, 3)
+        report[f"{name}_seconds"] = round(elapsed, 4)
+        if best is None or throughput > best[1]:
+            best = (name, throughput, elapsed)
 
+    name, throughput, elapsed = best
     print(
         json.dumps(
             {
                 "metric": "coalescence throughput (node*onset*samples/s), "
-                "Icequake_Iceland detect geometry, fused migrate+reduce",
+                "Icequake_Iceland detect geometry, fused migrate+reduce, "
+                f"best kernel ({name})",
                 "value": round(throughput / 1e9, 3),
                 "unit": "Gsamples/s",
                 "vs_baseline": (
                     round(throughput / baseline, 2) if baseline else None
                 ),
                 "seconds_per_timestep": round(elapsed, 4),
+                "parity_ok": all_ok if oracle is not None else None,
+                "best_kernel": name,
                 **report,
             }
         )

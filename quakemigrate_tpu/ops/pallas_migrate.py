@@ -287,7 +287,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
                        a_slots, onehot, sems, *, r_span, n_onsets, tile,
                        n_tiles):
     i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
+    slot = jax.lax.rem(i, jnp.int32(2))
 
     # Table-slice DMAs (rows base..base+R of each onset's Hankel block) are
     # double-buffered across tiles: tile i computes from slot i%2 while tile
@@ -343,14 +343,16 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     sum_ref[0] = jnp.sum(coa, axis=0, keepdims=True)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("fsmp", "nsamples", "tile", "r_span", "n_nodes_real",
-                     "interpret"),
-)
-def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
-                            perm, fsmp, nsamples, tile, r_span, n_nodes_real,
-                            interpret=False):
+def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
+                      fsmp, nsamples, tile, r_span, n_nodes_real,
+                      interpret=False):
+    """
+    Traceable MXU fused migrate + reduce with the same contract as
+    ops.migrate.detect_reduce: returns (max_coa, max_idx, coa_sum). The
+    plan arrays (fine_t/base/valid/perm) come from a PallasDetectMXU.
+
+    """
+
     from .migrate import _build_shift_table
 
     onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
@@ -426,6 +428,21 @@ def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
     max_idx = jnp.take(perm, perm_idx)
     coa_sum = jnp.sum(tsum, axis=0)
 
+    return max_coa, max_idx, coa_sum
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fsmp", "nsamples", "tile", "r_span", "n_nodes_real",
+                     "interpret"),
+)
+def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
+                            perm, fsmp, nsamples, tile, r_span, n_nodes_real,
+                            interpret=False):
+    max_coa, max_idx, coa_sum = mxu_detect_reduce(
+        onsets, mask, available, fine_t, base, valid, perm,
+        fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
+    )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
 
@@ -436,8 +453,8 @@ class PallasDetectMXU:
 
     """
 
-    def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=512,
-                 brick_shape=(8, 8, 8), interpret=False):
+    def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=256,
+                 brick_shape=(8, 8, 4), interpret=False):
         plan = PallasDetectPlan(
             traveltimes, node_count, tile=tile, brick_shape=brick_shape
         )

@@ -268,3 +268,64 @@ def detect_window_fused(
         n_real, tile,
     )
     return max_coa, max_coa * n_real / coa_sum, max_idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "position", "transform", "min_onset_value", "fsmp", "nsamples",
+        "tile", "r_span", "n_nodes_real",
+    ),
+)
+def detect_window_fused_mxu(
+    channels, chan_mask, slot_mask, nsta, nlta,
+    fine_t, base, valid, perm,
+    position, transform, min_onset_value, fsmp, nsamples,
+    tile, r_span, n_nodes_real,
+):
+    """
+    Fully-fused detect window with the Pallas MXU migration kernel
+    (ops.pallas_migrate.mxu_detect_reduce) in place of the XLA shift-table
+    reduce. Same contract as detect_window_fused.
+
+    """
+
+    from .pallas_migrate import mxu_detect_reduce
+
+    combined, available = fused_onsets(
+        channels, chan_mask, slot_mask, nsta, nlta,
+        position, transform, min_onset_value,
+    )
+    max_coa, max_idx, coa_sum = mxu_detect_reduce(
+        combined, slot_mask, available, fine_t, base, valid, perm,
+        fsmp, nsamples, tile, r_span, n_nodes_real,
+    )
+    return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
+        "tile", "r_span", "n_nodes_real",
+    ),
+)
+def detect_window_fused_kurtosis_mxu(
+    channels, chan_mask, slot_mask, nkurt,
+    fine_t, base, valid, perm,
+    nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
+    tile, r_span, n_nodes_real,
+):
+    """Kurtosis twin of detect_window_fused_mxu."""
+
+    from .pallas_migrate import mxu_detect_reduce
+
+    combined, available = fused_kurtosis_onsets(
+        channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
+        min_onset_value,
+    )
+    max_coa, max_idx, coa_sum = mxu_detect_reduce(
+        combined, slot_mask, available, fine_t, base, valid, perm,
+        fsmp, nsamples, tile, r_span, n_nodes_real,
+    )
+    return max_coa, max_coa * n_nodes_real / coa_sum, max_idx

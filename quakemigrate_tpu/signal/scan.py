@@ -86,6 +86,10 @@ class QuakeScan:
         "precision": "single",
         "mesh": None,
         "tile": DEFAULT_TILE,
+        # Migration kernel: "auto" picks the Pallas MXU one-hot matmul on
+        # real TPU hardware (measured ~1.7x the XLA path) and the XLA
+        # shift-table row gather elsewhere; "xla"/"mxu" force one.
+        "kernel": "auto",
         "detect_batch": 1,
         "locate_map_memory_limit": 4e9,
         "fused_detect": True,
@@ -163,6 +167,8 @@ class QuakeScan:
         self._slot_index = None
         self._sharded_detect = None
         self._sharded_detect_fused = None
+        self._mxu = None
+        self._tt_host = None
 
     def __str__(self):
         out = (
@@ -224,6 +230,15 @@ class QuakeScan:
             axis=-1,
         )  # [n_nodes, n_slots]
 
+        if self._mxu_active or self.kernel == "mxu":
+            if self.mesh is not None:
+                logging.info(
+                    "\tkernel='mxu' is single-device; the mesh path keeps "
+                    "the XLA shift-table kernel."
+                )
+            else:
+                self._tt_host = tt
+
         if self.mesh is not None:
             from quakemigrate_tpu.parallel import pad_nodes_for_mesh
 
@@ -232,6 +247,29 @@ class QuakeScan:
 
         self._device_tt = jax.device_put(tt)
         self._n_nodes = int(np.prod(self.lut.node_count))
+
+    @property
+    def _mxu_active(self):
+        if self.mesh is not None:
+            return False
+        if self.kernel == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.kernel == "mxu"
+
+    def _mxu_kernel(self, fsmp, nsamples):
+        """Build (once per scan geometry) the Pallas MXU migration plan."""
+
+        if self._mxu is None or (self._mxu.fsmp, self._mxu.nsamples) != (
+            fsmp, nsamples
+        ):
+            from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+            self._mxu = PallasDetectMXU(
+                self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
+            )
+        return self._mxu
 
     def _device_inputs(self, onsets, onset_data):
         """
@@ -707,25 +745,55 @@ class QuakeScan:
                         nsmooth, taper_pad, min_onset = (
                             self.onset.fused_static_args(self.timestep)
                         )
-                        out = detect_window_fused_kurtosis(
-                            channels, chan_mask, slot_mask, nkurt,
-                            self._device_tt, nsmooth, taper_pad, min_onset,
-                            fsmp, nsamples,
-                            n_nodes_real=self._n_nodes, tile=self.tile,
-                        )
+                        if self._mxu_active:
+                            from quakemigrate_tpu.ops.scan_window import (
+                                detect_window_fused_kurtosis_mxu,
+                            )
+
+                            k = self._mxu_kernel(fsmp, nsamples)
+                            out = detect_window_fused_kurtosis_mxu(
+                                channels, chan_mask, slot_mask, nkurt,
+                                k.fine_t, k.plan.base, k.plan.valid,
+                                k.plan.perm, nsmooth, taper_pad, min_onset,
+                                fsmp, nsamples, k.plan.tile, k.r_span,
+                                self._n_nodes,
+                            )
+                        else:
+                            out = detect_window_fused_kurtosis(
+                                channels, chan_mask, slot_mask, nkurt,
+                                self._device_tt, nsmooth, taper_pad,
+                                min_onset, fsmp, nsamples,
+                                n_nodes_real=self._n_nodes, tile=self.tile,
+                            )
                     else:
                         channels, chan_mask, slot_mask, nsta, nlta = (
                             prepared[i]["fused"]
                         )
-                        out = detect_window_fused(
-                            channels, chan_mask, slot_mask, nsta, nlta,
-                            self._device_tt,
-                            self.onset.position,
-                            self.onset.signal_transform,
-                            float(self.onset.min_onset_value),
-                            fsmp, nsamples,
-                            n_nodes_real=self._n_nodes, tile=self.tile,
-                        )
+                        if self._mxu_active:
+                            from quakemigrate_tpu.ops.scan_window import (
+                                detect_window_fused_mxu,
+                            )
+
+                            k = self._mxu_kernel(fsmp, nsamples)
+                            out = detect_window_fused_mxu(
+                                channels, chan_mask, slot_mask, nsta, nlta,
+                                k.fine_t, k.plan.base, k.plan.valid,
+                                k.plan.perm, self.onset.position,
+                                self.onset.signal_transform,
+                                float(self.onset.min_onset_value),
+                                fsmp, nsamples, k.plan.tile, k.r_span,
+                                self._n_nodes,
+                            )
+                        else:
+                            out = detect_window_fused(
+                                channels, chan_mask, slot_mask, nsta, nlta,
+                                self._device_tt,
+                                self.onset.position,
+                                self.onset.signal_transform,
+                                float(self.onset.min_onset_value),
+                                fsmp, nsamples,
+                                n_nodes_real=self._n_nodes, tile=self.tile,
+                            )
                     results[i] = pack_detect_window(*out)
             return results
 
@@ -841,6 +909,9 @@ class QuakeScan:
             )
 
     def _run_detect_kernel(self, onset_block, mask, available, fsmp, nsamples):
+        if self._mxu_active:
+            return self._mxu_kernel(fsmp, nsamples)(onset_block, mask,
+                                                    available)
         if self.mesh is None:
             return migrate_detect(
                 onset_block, self._device_tt, mask, available, fsmp,

@@ -51,3 +51,70 @@ def test_pallas_detect_matches_xla(seed):
     vals_at_ref = ref[0]
     map_equal = out[2] == ref[2]
     assert map_equal.mean() > 0.95  # ties may differ in brick order
+
+
+def test_mxu_fused_window_matches_xla(small_workload=None):
+    """
+    The Pallas MXU fused detect window (one-hot matmul migration) matches
+    the XLA shift-table fused window on the same inputs (interpret mode --
+    real-hardware validation runs in bench.py's parity gate).
+
+    """
+
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+    from quakemigrate_tpu.ops.scan_window import (
+        detect_window_fused,
+        detect_window_fused_mxu,
+    )
+
+    rng = np.random.default_rng(42)
+    nx, ny, nz, n_slots, c_max = 8, 6, 5, 8, 3
+    fsmp, nsamples = 30, 40
+    t_len = nsamples + fsmp + 41
+
+    channels = rng.normal(size=(n_slots, c_max, t_len)).astype(np.float32)
+    chan_mask = np.ones((n_slots, c_max), dtype=np.float32)
+    chan_mask[1, 2] = 0.0
+    slot_mask = np.ones(n_slots, dtype=np.float32)
+    slot_mask[5] = 0.0
+    nsta = np.full(n_slots, 3, dtype=np.int32)
+    nlta = np.full(n_slots, 9, dtype=np.int32)
+
+    x, y, z = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    tts = [
+        np.rint(
+            np.sqrt((x - rng.uniform(0, nx)) ** 2 + (y - rng.uniform(0, ny)) ** 2
+                    + z**2) * 2
+        ).astype(np.int32)
+        for _ in range(n_slots)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, n_slots), 0, 40)
+
+    n_nodes = nx * ny * nz
+    ref = detect_window_fused(
+        channels, chan_mask, slot_mask, nsta, nlta, tt,
+        "classic", "energy", 0.4, fsmp, nsamples,
+        n_nodes_real=n_nodes, tile=64,
+    )
+    ref = [np.asarray(r) for r in ref]
+
+    plan = PallasDetectMXU(
+        tt, (nx, ny, nz), fsmp, nsamples, tile=64, brick_shape=(4, 4, 4),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = detect_window_fused_mxu(
+            channels, chan_mask, slot_mask, nsta, nlta,
+            plan.fine_t, plan.plan.base, plan.plan.valid, plan.plan.perm,
+            "classic", "energy", 0.4, fsmp, nsamples,
+            plan.plan.tile, plan.r_span, n_nodes,
+        )
+    got = [np.asarray(g) for g in got]
+
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-5)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-5)
+    assert (got[2] == ref[2]).mean() > 0.99
