@@ -296,3 +296,54 @@ def test_fused_kurtosis_mesh_matches_single(setup):
     a = st_s.select(station="COA_N")[0].data.astype(np.int64)
     b = st_m.select(station="COA_N")[0].data.astype(np.int64)
     assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_combine_matches_single_device_large_random():
+    """
+    The cross-shard max/argmax(psum-tie-break)/sum combine must reproduce
+    the single-device result exactly on a large randomised grid — every
+    sample's max value, winning node index and normalisation.
+
+    """
+
+    from quakemigrate_tpu.ops.migrate import migrate_detect
+    from quakemigrate_tpu.parallel import (
+        make_mesh,
+        make_sharded_detect,
+        pad_nodes_for_mesh,
+    )
+
+    rng = np.random.default_rng(1234)
+    n_nodes, n_onsets = 196_608, 16
+    fsmp, lsmp, nsamples = 100, 150, 200
+    t_len = nsamples + fsmp + lsmp
+
+    onsets = rng.gamma(2.0, 1.5, size=(n_onsets, t_len)).astype(np.float32)
+    # Fully random traveltimes: adversarial for locality, and guarantees
+    # argmax ties/structure are exercised across shard boundaries.
+    tt = rng.integers(0, lsmp, size=(n_nodes, n_onsets), dtype=np.int32)
+    mask = np.ones(n_onsets, dtype=np.float32)
+
+    single = [
+        np.asarray(a)
+        for a in migrate_detect(
+            onsets, tt, mask, float(n_onsets), fsmp, nsamples, tile=4096
+        )
+    ]
+
+    mesh = make_mesh()
+    n_shards = mesh.shape["grid"]
+    tt_padded, _ = pad_nodes_for_mesh(tt, n_shards, tile=4096)
+    sharded_fn = make_sharded_detect(mesh, fsmp, nsamples, n_nodes, tile=4096)
+    sharded = [
+        np.asarray(a)
+        for a in sharded_fn(onsets, tt_padded, mask, float(n_onsets))
+    ]
+
+    np.testing.assert_allclose(sharded[0], single[0], rtol=1e-6)
+    np.testing.assert_allclose(sharded[1], single[1], rtol=1e-6)
+    # Winning node: identical flat index everywhere (first-wins tie-break)
+    mismatches = np.flatnonzero(sharded[2] != single[2])
+    assert mismatches.size == 0, (
+        f"{mismatches.size} argmax mismatches, first {mismatches[:5]}"
+    )
