@@ -177,6 +177,11 @@ def _pallas_detect_core(onsets, mask, available, fine, base, valid, perm,
                         interpret=False):
     onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
     n_tiles, n_onsets = base.shape
+    # Row pairs [base[i], base[i+1]] per tile, so the kernel's SMEM block
+    # carries this tile's slice offsets AND the next tile's (for the
+    # double-buffered prefetch) without holding the whole table in SMEM.
+    padded = jnp.pad(base, ((0, 1), (0, 0)))
+    base_pairs = jnp.stack([padded[:-1], padded[1:]], axis=1)
 
     s_pad = _round_up(nsamples, LANE)
     r_pow2 = 1 << bits
@@ -293,9 +298,11 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     # double-buffered across tiles: tile i computes from slot i%2 while tile
     # i+1's slices stream into the other slot. Bases are pre-aligned to the
     # 8-row sublane tiling (the remainder is folded into the fine residuals).
-    def slice_dmas(tile_idx, into_slot):
+    # base_ref is a (1, 2, O) SMEM block holding rows [i, i+1] of the base
+    # table (SMEM cannot hold the whole table on large grids).
+    def slice_dmas(local_row, into_slot):
         for o in range(n_onsets):
-            row0 = pl.multiple_of(base_ref[tile_idx, o], 16)
+            row0 = pl.multiple_of(base_ref[0, local_row, o], 16)
             for half, table in enumerate((hi_ref, lo_ref)):
                 yield pltpu.make_async_copy(
                     table.at[o, pl.ds(row0, r_span), :],
@@ -310,7 +317,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        for dma in slice_dmas(i + 1, 1 - slot):
+        for dma in slice_dmas(1, 1 - slot):
             dma.start()
 
     # Build the (transposed) one-hot selector while the DMAs are in flight:
@@ -322,7 +329,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
             fine_ref[0, o:o + 1, :] == residues
         ).astype(jnp.bfloat16)
 
-    for dma in slice_dmas(i, slot):
+    for dma in slice_dmas(0, slot):
         dma.wait()
 
     # coa[n, t] = sum_k onehot[k, n] * A[k, t] -- contract the K (sublane)
@@ -357,6 +364,11 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 
     onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
     n_tiles, n_onsets = base.shape
+    # Row pairs [base[i], base[i+1]] per tile, so the kernel's SMEM block
+    # carries this tile's slice offsets AND the next tile's (for the
+    # double-buffered prefetch) without holding the whole table in SMEM.
+    padded = jnp.pad(base, ((0, 1), (0, 0)))
+    base_pairs = jnp.stack([padded[:-1], padded[1:]], axis=1)
 
     s_pad = _round_up(nsamples, LANE)
 
@@ -384,7 +396,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(base.shape, lambda i: (0, 0),
+            pl.BlockSpec((1, 2, n_onsets), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_onsets, tile), lambda i: (i, 0, 0)),
@@ -409,7 +421,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         ],
         interpret=interpret,
     )(
-        base,
+        base_pairs,
         jnp.asarray(1.0 / available, jnp.float32).reshape(1),
         fine_t,
         valid,
