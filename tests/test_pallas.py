@@ -118,3 +118,60 @@ def test_mxu_fused_window_matches_xla(small_workload=None):
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5)
     np.testing.assert_allclose(got[1], ref[1], rtol=2e-5)
     assert (got[2] == ref[2]).mean() > 0.99
+
+
+def test_mxu_fused_kurtosis_window_matches_xla():
+    """Kurtosis twin of the MXU fused-window parity check."""
+
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+    from quakemigrate_tpu.ops.scan_window import (
+        detect_window_fused_kurtosis,
+        detect_window_fused_kurtosis_mxu,
+    )
+
+    rng = np.random.default_rng(7)
+    nx, ny, nz, n_slots, c_max = 8, 6, 5, 6, 3
+    fsmp, nsamples = 30, 40
+    t_len = nsamples + fsmp + 41
+
+    channels = rng.normal(size=(n_slots, c_max, t_len)).astype(np.float32)
+    chan_mask = np.ones((n_slots, c_max), dtype=np.float32)
+    slot_mask = np.ones(n_slots, dtype=np.float32)
+    nkurt = np.full(n_slots, 10, dtype=np.int32)
+    nsmooth, taper_pad, min_onset = 5, 4, 0.4
+
+    x, y, z = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    tts = [
+        np.rint(np.hypot(x - rng.uniform(0, nx), y - rng.uniform(0, ny)) * 2
+                + z).astype(np.int32)
+        for _ in range(n_slots)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, n_slots), 0, 40)
+    n_nodes = nx * ny * nz
+
+    ref = detect_window_fused_kurtosis(
+        channels, chan_mask, slot_mask, nkurt, tt,
+        nsmooth, taper_pad, min_onset, fsmp, nsamples,
+        n_nodes_real=n_nodes, tile=64,
+    )
+    ref = [np.asarray(r) for r in ref]
+
+    plan = PallasDetectMXU(
+        tt, (nx, ny, nz), fsmp, nsamples, tile=64, brick_shape=(4, 4, 4),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = detect_window_fused_kurtosis_mxu(
+            channels, chan_mask, slot_mask, nkurt,
+            plan.fine_t, plan.plan.base, plan.plan.valid, plan.plan.perm,
+            nsmooth, taper_pad, min_onset, fsmp, nsamples,
+            plan.plan.tile, plan.r_span, n_nodes,
+        )
+    got = [np.asarray(g) for g in got]
+
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-5)
+    assert (got[2] == ref[2]).mean() > 0.99
