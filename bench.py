@@ -162,6 +162,56 @@ def bench_reference_c(onsets, tt4d, oracle, timed_passes=2):
     return WORK / elapsed, elapsed
 
 
+def bench_regional(nx=142, ny=128, nz=114):
+    """MXU-kernel throughput on a 2.1M-node regional grid (device only)."""
+
+    import jax
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+    rng = np.random.default_rng(11)
+    onsets = rng.gamma(2.0, 1.5, size=(N_ONSETS, T_SAMPLES))
+    x, y, z = np.meshgrid(
+        np.arange(nx) * 0.0125, np.arange(ny) * 0.0125,
+        np.arange(nz) * 0.0125, indexing="ij",
+    )
+    tts = []
+    for i in range(N_ONSETS):
+        v = 3.63 if i < N_ONSETS // 2 else 1.833
+        d = np.sqrt(
+            (x - rng.uniform(0, nx * 0.0125)) ** 2
+            + (y - rng.uniform(0, ny * 0.0125)) ** 2 + z**2
+        )
+        tts.append(np.rint(d / v * RATE).astype(np.int32))
+    tt = np.clip(np.stack(tts, -1).reshape(-1, N_ONSETS), 0, LSMP)
+    mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
+
+    kernel = PallasDetectMXU(tt, (nx, ny, nz), FSMP, NSAMPLES)
+    blocks = [
+        jax.device_put(
+            rng.gamma(2.0, 1.5, size=onsets.shape).astype(np.float32)
+        )
+        for _ in range(3)
+    ]
+
+    def run(block):
+        return float(np.asarray(kernel(block, mask_dev, float(N_ONSETS))[0]).sum())
+
+    run(blocks[0])
+    times = []
+    for block in blocks:
+        t0 = time.perf_counter()
+        run(block)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    work = tt.shape[0] * N_ONSETS * NSAMPLES
+    return {
+        "regional_nodes": tt.shape[0],
+        "regional_gsps": round(work / elapsed / 1e9, 1),
+        "regional_seconds_per_timestep": round(elapsed, 4),
+    }
+
+
 def main():
     import jax
 
@@ -208,6 +258,16 @@ def main():
         report[f"{name}_seconds"] = round(elapsed, 4)
         if best is None or throughput > best[1]:
             best = (name, throughput, elapsed)
+
+    # Regional-scale sample (device only; the C baseline would take ~100 s
+    # and scales linearly anyway): 2.1M-node grid with the same scan
+    # geometry, best kernel. Shows the throughput once fixed dispatch
+    # overheads amortise.
+    if os.environ.get("QM_BENCH_SKIP_REGIONAL") != "1":
+        try:
+            report.update(bench_regional())
+        except Exception as err:  # tunnel hiccups should not kill the bench
+            report["regional_error"] = f"{type(err).__name__}: {err}"[:200]
 
     name, throughput, elapsed = best
     print(
