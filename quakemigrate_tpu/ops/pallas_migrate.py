@@ -489,6 +489,29 @@ class PallasDetectMXU:
         self.nsamples = nsamples
         self.interpret = interpret
 
+    def estimated_vmem_bytes(self):
+        """
+        Approximate VMEM footprint of the kernel: table-slice slots
+        (double-buffered bf16 hi/lo), the one-hot selector, the f32
+        accumulator, and the pipelined input/output blocks.
+
+        """
+
+        p = self.plan
+        s_pad = _round_up(self.nsamples, LANE)
+        k_dim = p.n_onsets * self.r_span
+        slices = 2 * 2 * k_dim * s_pad * 2
+        onehot = k_dim * p.tile * 2
+        accumulator = p.tile * s_pad * 4
+        blocks = 2 * (p.n_onsets * p.tile * 4 + p.tile * LANE * 4
+                      + 3 * s_pad * 4)
+        return slices + onehot + accumulator + blocks
+
+    def fits_vmem(self, budget=14 * 2**20):
+        """Whether the kernel's scratch fits the ~16 MB VMEM (with slack)."""
+
+        return self.estimated_vmem_bytes() <= budget
+
     def __call__(self, onsets, mask, available):
         p = self.plan
         return _pallas_mxu_detect_core(

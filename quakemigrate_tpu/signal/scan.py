@@ -259,17 +259,35 @@ class QuakeScan:
         return self.kernel == "mxu"
 
     def _mxu_kernel(self, fsmp, nsamples):
-        """Build (once per scan geometry) the Pallas MXU migration plan."""
+        """
+        Build (once per scan geometry) the Pallas MXU migration plan, or
+        return None when its VMEM footprint would not fit this geometry
+        (long windows / wide residual spans) -- callers then fall back to
+        the XLA shift-table kernel.
 
-        if self._mxu is None or (self._mxu.fsmp, self._mxu.nsamples) != (
-            fsmp, nsamples
-        ):
+        """
+
+        stale = self._mxu is None or (
+            self._mxu is not False
+            and (self._mxu.fsmp, self._mxu.nsamples) != (fsmp, nsamples)
+        )
+        if stale:
             from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
 
-            self._mxu = PallasDetectMXU(
+            kernel = PallasDetectMXU(
                 self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
             )
-        return self._mxu
+            if kernel.fits_vmem():
+                self._mxu = kernel
+            else:
+                logging.info(
+                    "\tMXU kernel scratch "
+                    f"({kernel.estimated_vmem_bytes() / 2**20:.0f} MiB) "
+                    "exceeds VMEM for this scan geometry; using the XLA "
+                    "shift-table kernel."
+                )
+                self._mxu = False
+        return self._mxu or None
 
     def _device_inputs(self, onsets, onset_data):
         """
@@ -533,7 +551,9 @@ class QuakeScan:
 
         for i, row in candidates.iterrows():
             event = Event(self.marginal_window, row)
-            self._announce(f"\tEVENT - {i + 1} of {total} - {event.uid}", [])
+            logging.info(util.log_spacer)
+            logging.info(f"\tEVENT - {i + 1} of {total} - {event.uid}")
+            logging.info(util.log_spacer)
             if self._locate_one(event):
                 logging.info(util.log_spacer)
 
@@ -745,12 +765,13 @@ class QuakeScan:
                         nsmooth, taper_pad, min_onset = (
                             self.onset.fused_static_args(self.timestep)
                         )
-                        if self._mxu_active:
+                        k = (self._mxu_kernel(fsmp, nsamples)
+                             if self._mxu_active else None)
+                        if k is not None:
                             from quakemigrate_tpu.ops.scan_window import (
                                 detect_window_fused_kurtosis_mxu,
                             )
 
-                            k = self._mxu_kernel(fsmp, nsamples)
                             out = detect_window_fused_kurtosis_mxu(
                                 channels, chan_mask, slot_mask, nkurt,
                                 k.fine_t, k.plan.base, k.plan.valid,
@@ -769,12 +790,13 @@ class QuakeScan:
                         channels, chan_mask, slot_mask, nsta, nlta = (
                             prepared[i]["fused"]
                         )
-                        if self._mxu_active:
+                        k = (self._mxu_kernel(fsmp, nsamples)
+                             if self._mxu_active else None)
+                        if k is not None:
                             from quakemigrate_tpu.ops.scan_window import (
                                 detect_window_fused_mxu,
                             )
 
-                            k = self._mxu_kernel(fsmp, nsamples)
                             out = detect_window_fused_mxu(
                                 channels, chan_mask, slot_mask, nsta, nlta,
                                 k.fine_t, k.plan.base, k.plan.valid,
@@ -910,8 +932,9 @@ class QuakeScan:
 
     def _run_detect_kernel(self, onset_block, mask, available, fsmp, nsamples):
         if self._mxu_active:
-            return self._mxu_kernel(fsmp, nsamples)(onset_block, mask,
-                                                    available)
+            kernel = self._mxu_kernel(fsmp, nsamples)
+            if kernel is not None:
+                return kernel(onset_block, mask, available)
         if self.mesh is None:
             return migrate_detect(
                 onset_block, self._device_tt, mask, available, fsmp,

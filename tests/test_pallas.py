@@ -175,3 +175,39 @@ def test_mxu_fused_kurtosis_window_matches_xla():
 
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5)
     assert (got[2] == ref[2]).mean() > 0.99
+
+
+def test_mxu_vmem_budget_estimate():
+    """
+    The auto-kernel fallback triggers on geometries whose MXU scratch
+    would exceed VMEM (e.g. long scan windows), and accepts the benchmark
+    geometry that is known to compile on hardware.
+
+    """
+
+    import numpy as np
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+    # Smooth moveout field (real LUTs are spatially smooth, so per-brick
+    # residual spans stay small).
+    x, y, z = np.meshgrid(*[np.arange(8)] * 3, indexing="ij")
+    tts = [
+        np.rint(np.sqrt((x - i) ** 2 + y**2 + z**2) * 12).astype(np.int32)
+        for i in range(8)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, 8), 0, 500)
+
+    ok = PallasDetectMXU(tt, (8, 8, 8), 100, 625)
+    assert ok.fits_vmem(), ok.estimated_vmem_bytes()
+
+    # A very long window (e.g. the synthetic example's ~15 s timestep)
+    # inflates the per-tile scratch past the 16 MB VMEM.
+    too_long = PallasDetectMXU(tt, (8, 8, 8), 100, 20_000)
+    assert not too_long.fits_vmem()
+
+    # Adversarial fully-random traveltimes blow the residual span too.
+    random_tt = np.random.default_rng(0).integers(
+        0, 500, size=(8 * 8 * 8, 8), dtype=np.int32
+    )
+    assert not PallasDetectMXU(random_tt, (8, 8, 8), 100, 625).fits_vmem()
