@@ -269,6 +269,24 @@ def main():
         except Exception as err:  # tunnel hiccups should not kill the bench
             report["regional_error"] = f"{type(err).__name__}: {err}"[:200]
 
+    if best is None:
+        # Every kernel failed its parity gate: still emit the JSON line --
+        # the per-kernel gate diagnostics are the debugging payload.
+        print(
+            json.dumps(
+                {
+                    "metric": "coalescence throughput -- NO KERNEL PASSED "
+                    "THE PARITY GATE",
+                    "value": 0.0,
+                    "unit": "Gsamples/s",
+                    "vs_baseline": None,
+                    "parity_ok": False,
+                    **report,
+                }
+            )
+        )
+        return
+
     name, throughput, elapsed = best
     print(
         json.dumps(

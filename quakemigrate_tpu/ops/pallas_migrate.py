@@ -124,8 +124,9 @@ class PallasDetectPlan:
         self.valid = live.reshape(n_tiles, tile, 1).astype(np.float32)
         self.perm = np.where(live, perm, 0).astype(np.int32)
 
-    def device_put(self):
-        self.fine = jax.device_put(self.fine)
+    def device_put(self, with_fine=True):
+        if with_fine:
+            self.fine = jax.device_put(self.fine)
         self.base = jax.device_put(self.base)
         self.valid = jax.device_put(self.valid)
         self.perm = jax.device_put(self.perm)
@@ -177,11 +178,6 @@ def _pallas_detect_core(onsets, mask, available, fine, base, valid, perm,
                         interpret=False):
     onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
     n_tiles, n_onsets = base.shape
-    # Row pairs [base[i], base[i+1]] per tile, so the kernel's SMEM block
-    # carries this tile's slice offsets AND the next tile's (for the
-    # double-buffered prefetch) without holding the whole table in SMEM.
-    padded = jnp.pad(base, ((0, 1), (0, 0)))
-    base_pairs = jnp.stack([padded[:-1], padded[1:]], axis=1)
 
     s_pad = _round_up(nsamples, LANE)
     r_pow2 = 1 << bits
@@ -480,10 +476,11 @@ class PallasDetectMXU:
         # align to 16 sublanes; the one-hot selector is built transposed,
         # with K on the sublane axis.
         self.r_span = max(16, _round_up(int(fine8.max()) + 1, 16))
-        # (n_tiles, O, tile) selector input for the kernel.
+        # (n_tiles, O, tile) selector input for the kernel. plan.fine is
+        # superseded by fine_t here -- don't waste HBM uploading it.
         self.fine_t = jax.device_put(np.ascontiguousarray(fine8))
         plan.base = base8
-        plan.device_put()
+        plan.device_put(with_fine=False)
         self.plan = plan
         self.fsmp = fsmp
         self.nsamples = nsamples

@@ -80,7 +80,10 @@ class Magnitude:
         if not self.A0:
             raise TypeError("A0 attenuation correction not specified in params!")
         for key, default in self._DEFAULTS.items():
-            setattr(self, key, params.get(key, default))
+            # copy mutable defaults so instances never share them
+            value = params.get(key, dict(default) if isinstance(default, dict)
+                               else default)
+            setattr(self, key, value)
 
     def __str__(self):
         lines = [

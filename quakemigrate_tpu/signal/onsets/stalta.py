@@ -14,6 +14,7 @@ pick thresholds and scan geometry that output parity depends on.
 
 """
 
+import copy
 import logging
 
 import numpy as np
@@ -81,8 +82,10 @@ class STALTAOnset(Onset):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
 
+        # deepcopy: several defaults are dicts/lists, and instances must not
+        # share (or mutate) the class-level table.
         for option, default in self._DEFAULTS.items():
-            setattr(self, option, kwargs.get(option, default))
+            setattr(self, option, kwargs.get(option, copy.deepcopy(default)))
         if self.min_onset_value < 0.01:
             raise ValueError("The `min_onset_value` must be greater than 0.01")
 

@@ -168,6 +168,7 @@ class QuakeScan:
         self._sharded_detect = None
         self._sharded_detect_fused = None
         self._mxu = None
+        self._mxu_geometry = None
         self._tt_host = None
 
     def __str__(self):
@@ -267,11 +268,12 @@ class QuakeScan:
 
         """
 
-        stale = self._mxu is None or (
-            self._mxu is not False
-            and (self._mxu.fsmp, self._mxu.nsamples) != (fsmp, nsamples)
+        cached_geometry = (
+            None if self._mxu is None
+            else self._mxu_geometry if self._mxu is False
+            else (self._mxu.fsmp, self._mxu.nsamples)
         )
-        if stale:
+        if cached_geometry != (fsmp, nsamples):
             from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
 
             kernel = PallasDetectMXU(
@@ -287,6 +289,7 @@ class QuakeScan:
                     "shift-table kernel."
                 )
                 self._mxu = False
+            self._mxu_geometry = (fsmp, nsamples)
         return self._mxu or None
 
     def _device_inputs(self, onsets, onset_data):

@@ -284,3 +284,22 @@ def test_old_format_availability(tmp_path):
         UTCDateTime("2021-02-18T12:05:00"),
     )
     assert sorted(table2.columns) == sorted(table.columns)
+
+
+def test_option_defaults_not_shared_between_instances():
+    """Mutable defaults (dicts in the class-level tables) must be copied
+    per instance — mutating one object cannot leak into the next."""
+
+    from quakemigrate_tpu.signal.local_mag.magnitude import Magnitude
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+
+    first = STALTAOnset(sampling_rate=100)
+    first.sta_lta_windows["P"] = [9.9, 99.9]
+    first.bandpass_filters["S"][0] = -1
+    second = STALTAOnset(sampling_rate=100)
+    assert second.sta_lta_windows["P"] == [0.2, 1.0]
+    assert second.bandpass_filters["S"][0] == 2.0
+
+    m1 = Magnitude({"A0": "keir2006"})
+    m1.station_corrections["NET.STA..HHZ"] = 0.5
+    assert Magnitude({"A0": "keir2006"}).station_corrections == {}
