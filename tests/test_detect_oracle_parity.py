@@ -81,11 +81,17 @@ def _build_world(root):
         archive_format="YEAR/JD/STATION",
     )
 
-    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    return archive, lut
+
+
+def _make_onset(position, transform):
+    onset = STALTAOnset(
+        position=position, sampling_rate=SPS, signal_transform=transform
+    )
     onset.phases = ["P", "S"]
     onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
     onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
-    return archive, lut, onset
+    return onset
 
 
 def _reference_detect(run_path, archive, lut, onset):
@@ -131,15 +137,22 @@ def _reference_detect(run_path, archive, lut, onset):
     return run.path / "detect" / "scanmseed" / "2021_049.scanmseed"
 
 
-@pytest.fixture(scope="module")
-def scanmseed_pair(tmp_path_factory):
+# (position, signal_transform) configurations: the Icequake style and the
+# VT style (centred windows on squared envelopes).
+_CONFIGS = [("classic", "energy"), ("centred", "env_squared")]
+
+
+@pytest.fixture(scope="module", params=_CONFIGS, ids=lambda c: "_".join(c))
+def scanmseed_pair(tmp_path_factory, request):
     if load_oracle() is None:
         pytest.skip("reference C oracle unavailable")
-    root = tmp_path_factory.mktemp("oracle_detect")
-    archive, lut, onset = _build_world(root)
+    position, transform = request.param
+    root = tmp_path_factory.mktemp(f"oracle_detect_{position}")
+    archive, lut = _build_world(root)
 
     scan = QuakeScan(
-        archive, lut, onset=onset, run_path=str(root / "runs"),
+        archive, lut, onset=_make_onset(position, transform),
+        run_path=str(root / "runs"),
         run_name="tpu_side", timestep=TIMESTEP, precision="double",
         plot_event_summary=False,
     )
@@ -149,7 +162,9 @@ def scanmseed_pair(tmp_path_factory):
         / "2021_049.scanmseed"
     )
 
-    theirs = _reference_detect(str(root / "runs"), archive, lut, onset)
+    theirs = _reference_detect(
+        str(root / "runs"), archive, lut, _make_onset(position, transform)
+    )
     return ours, theirs
 
 
