@@ -135,3 +135,66 @@ def test_lut_deprecated_cell_names():
     np.testing.assert_array_equal(grid.cell_size, grid.node_spacing)
     grid.cell_size = [1.0, 1.0, 1.0]
     np.testing.assert_array_equal(grid.node_spacing, [1.0, 1.0, 1.0])
+
+
+def test_refine_candidates_matches_reference_loop():
+    """
+    The vectorised overlap-merge must group candidates exactly like the
+    reference's row-by-row algorithm (ref signal/trigger.py:569-638) on
+    randomised catalogues, including chained merges.
+
+    """
+
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    rng = np.random.default_rng(99)
+    trig = Trigger("not_a_lut", "t", "t", marginal_window=2.0,
+                   min_event_interval=4.0, plot_trigger_summary=False)
+
+    for case in range(20):
+        n = int(rng.integers(1, 40))
+        t0 = UTCDateTime("2020-01-01T00:00:00")
+        peaks = np.sort(rng.uniform(0, 600, n))
+        rows = []
+        for k, p in enumerate(peaks):
+            lead = rng.uniform(0.5, 8.0)
+            lag = rng.uniform(0.5, 8.0)
+            rows.append({
+                "EventNum": k,
+                "CoaTime": t0 + p,
+                "TRIG_COA": rng.uniform(1, 10),
+                "COA_X": 0.0, "COA_Y": 0.0, "COA_Z": 0.0,
+                "MinTime": t0 + p - lead,
+                "MaxTime": t0 + p + lag,
+                "COA": rng.uniform(1, 10),
+                "COA_NORM": rng.uniform(1, 10),
+            })
+        candidates = pd.DataFrame(
+            rows,
+            columns=["EventNum", "CoaTime", "TRIG_COA", "COA_X", "COA_Y",
+                     "COA_Z", "MinTime", "MaxTime", "COA", "COA_NORM"],
+        )
+
+        # Reference algorithm: walk consecutive rows, split only when BOTH
+        # separation conditions hold.
+        mw = trig.marginal_window
+        group = np.zeros(n, dtype=int)
+        for i in range(n - 1):
+            a, b = candidates.iloc[i], candidates.iloc[i + 1]
+            separate = (a["MaxTime"] < b["CoaTime"] - mw) and (
+                b["MinTime"] > a["CoaTime"] + mw
+            )
+            group[i + 1] = group[i] + (1 if separate else 0)
+
+        expected = []
+        for _, g in candidates.groupby(group):
+            best = g.loc[g["TRIG_COA"].idxmax()]
+            expected.append(
+                (best["CoaTime"], g["MinTime"].min(), g["MaxTime"].max())
+            )
+
+        refined = trig._refine_candidates(candidates.copy())
+        assert len(refined) == len(expected), f"case {case}"
+        for row, (coa_t, lo, hi) in zip(refined.itertuples(), expected):
+            assert row.CoaTime == coa_t, f"case {case}"
+            assert row.MinTime == lo and row.MaxTime == hi, f"case {case}"
