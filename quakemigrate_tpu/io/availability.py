@@ -76,10 +76,20 @@ _handle_old_structure = _read_one_day
 
 
 def write_availability(run, availability):
-    """Write the availability table, split by Julian day."""
+    """
+    Write the availability table, split by Julian day. Days that already
+    have a table on disk (e.g. a resumed detect run) are merged, with the
+    new rows winning on duplicate timestamps.
+
+    """
 
     times = pd.Series([UTCDateTime(stamp) for stamp in availability.index])
     for date, members in times.groupby(times.map(lambda t: t.date)).groups.items():
         target = _day_file(run, UTCDateTime(date))
         target.parent.mkdir(exist_ok=True, parents=True)
-        availability.iloc[list(members)].to_csv(target)
+        day_rows = availability.iloc[list(members)]
+        if target.is_file():
+            prior = pd.read_csv(target, index_col=0)
+            keep = prior[~prior.index.isin(day_rows.index)]
+            day_rows = pd.concat([keep, day_rows]).sort_index()
+        day_rows.to_csv(target)

@@ -317,10 +317,16 @@ class QuakeScan:
     # Public API
     # ------------------------------------------------------------------
 
-    def detect(self, starttime, endtime):
+    def detect(self, starttime, endtime, resume=False):
         """
         Continuous coalescence scan between two timestamps, writing the
         .scanmseed stream and station availability tables.
+
+        With ``resume=True``, any whole timesteps already present in the
+        run's .scanmseed output are skipped: the scan fast-forwards to the
+        first missing timestep (on the original timestep grid) and appends
+        to the partially written day. Availability tables merge with
+        existing rows, so a crashed multi-day scan restarts where it died.
 
         """
 
@@ -332,6 +338,19 @@ class QuakeScan:
             raise util.TimeSpanException
         if endtime.time == time(0, 0):
             endtime = endtime - 1 / self.scan_rate
+
+        seed_stream = None
+        if resume:
+            starttime, seed_stream = self._detect_resume_state(
+                starttime, endtime
+            )
+            if starttime is None:
+                logging.info(
+                    "\tNothing to resume: the requested span is already "
+                    "fully scanned."
+                )
+                return
+            logging.info(f"\tResuming detect from {starttime}.")
 
         n_steps = int(np.ceil((endtime - starttime) / self.timestep))
 
@@ -358,9 +377,52 @@ class QuakeScan:
             )
         self._announce("\tDETECT - Continuous coalescence scan", details)
 
-        self._continuous_compute(starttime, n_steps)
+        self._continuous_compute(starttime, n_steps, seed_stream)
 
         logging.info(util.log_spacer)
+
+    def _detect_resume_state(self, starttime, endtime):
+        """
+        (new_starttime, seed_stream) for a resumed detect: fast-forward past
+        whole timesteps already on disk, and preload the partially written
+        day's stream so appends don't clobber it. (None, None) when the
+        whole span is already scanned.
+
+        """
+
+        from quakemigrate_tpu.seis import Stream, read
+
+        outdir = self.run.path / "detect" / "scanmseed"
+        existing = None
+        day = UTCDateTime(starttime.date)
+        while day <= endtime:
+            candidate = outdir / f"{day.year}_{day.julday:03d}.scanmseed"
+            if candidate.is_file():
+                existing = candidate
+            day = day + 86400
+        if existing is None:
+            return starttime, None
+
+        on_disk = read(str(existing))
+        scanned_to = on_disk.select(station="COA")[0].stats.endtime
+        delta = 1.0 / self.scan_rate
+
+        done_steps = int(
+            np.floor((scanned_to + delta - starttime) / self.timestep + 1e-9)
+        )
+        if done_steps <= 0:
+            return starttime, None
+        new_start = starttime + done_steps * self.timestep
+        if new_start > endtime:
+            return None, None
+
+        # Only seed when we will append into the same (partial) day.
+        seed = None
+        if UTCDateTime(new_start.date).julday == on_disk[0].stats.starttime.julday:
+            seed = Stream()
+            for tr in on_disk:
+                seed += tr
+        return new_start, seed
 
     def locate(self, starttime=None, endtime=None, trigger_file=None):
         """
@@ -412,12 +474,16 @@ class QuakeScan:
     # detect internals
     # ------------------------------------------------------------------
 
-    def _continuous_compute(self, starttime, n_steps):
+    def _continuous_compute(self, starttime, n_steps, seed_stream=None):
         from concurrent.futures import ThreadPoolExecutor
 
         coalescence = ScanmSEED(
             self.run, self.continuous_scanmseed_write, self.scan_rate
         )
+        if seed_stream is not None:
+            # Resumed mid-day: carry the already-written part of the day so
+            # the day-file write includes it.
+            coalescence.stream = seed_stream
 
         self.pre_pad, self.post_pad = self.onset.pad(self.timestep)
         availability_cols = [
