@@ -613,29 +613,46 @@ class QuakeScan:
     # ------------------------------------------------------------------
 
     def _locate_events(self, **kwargs):
+        from concurrent.futures import ThreadPoolExecutor
+
         candidates = read_triggered_events(self.run, **kwargs)
         total = len(candidates.index)
 
         self.pre_pad, self.post_pad = self.onset.pad(4 * self.marginal_window)
 
-        for i, row in candidates.iterrows():
-            event = Event(self.marginal_window, row)
+        # Archive reads for the next event overlap the current event's
+        # compute/picking/plotting (events are independent; the reader
+        # thread only touches the read-only Archive).
+        reader = ThreadPoolExecutor(max_workers=1)
+        events = [Event(self.marginal_window, row)
+                  for _, row in candidates.iterrows()]
+        pending = {}
+
+        def submit_read(j):
+            if 0 <= j < len(events) and j not in pending:
+                half_span = 2 * self.marginal_window
+                w_beg = events[j].trigger_time - half_span - self.pre_pad
+                w_end = events[j].trigger_time + half_span + self.post_pad
+                pending[j] = reader.submit(
+                    self._read_event_waveform_data, w_beg, w_end
+                )
+
+        submit_read(0)
+        for i, event in enumerate(events):
+            submit_read(i + 1)
             logging.info(util.log_spacer)
             logging.info(f"\tEVENT - {i + 1} of {total} - {event.uid}")
             logging.info(util.log_spacer)
-            if self._locate_one(event):
+            if self._locate_one(event, pending.pop(i)):
                 logging.info(util.log_spacer)
+        reader.shutdown(wait=False)
 
-    def _locate_one(self, event):
+    def _locate_one(self, event, waveform_read):
         """Full locate chain for one candidate; False if it was dropped."""
-
-        half_span = 2 * self.marginal_window
-        w_beg = event.trigger_time - half_span - self.pre_pad
-        w_end = event.trigger_time + half_span + self.post_pad
 
         try:
             logging.info("\tReading waveform data...")
-            event.add_waveform_data(self._read_event_waveform_data(w_beg, w_end))
+            event.add_waveform_data(waveform_read.result())
             logging.info("\tComputing 4-D coalescence function...")
             event.add_compute_output(*self._compute(event.data, event))
         except (
