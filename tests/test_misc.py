@@ -303,3 +303,48 @@ def test_option_defaults_not_shared_between_instances():
     m1 = Magnitude({"A0": "keir2006"})
     m1.station_corrections["NET.STA..HHZ"] = 0.5
     assert Magnitude({"A0": "keir2006"}).station_corrections == {}
+
+
+def test_event_write_metre_grid_integer_depths(tmp_path):
+    """
+    Metre-unit grids round depth columns to whole metres and cast them to
+    int (ref event.py:477-505's unit_correction branch) — exercised here
+    since the benchmark grids are all km-unit.
+
+    """
+
+    from types import SimpleNamespace
+
+    from quakemigrate_tpu.io.event import Event
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    run = SimpleNamespace(path=tmp_path, subname="")
+    lut = SimpleNamespace(precision=[-2, -2, -2], unit_name="m")
+
+    event = Event(1.0, {"EventID": "20200101000000000",
+                        "CoaTime": UTCDateTime("2020-01-01T00:00:00"),
+                        "TRIG_COA": 1.5, "COA": 1.4, "COA_NORM": 1.3})
+    event.add_compute_output(
+        np.array([UTCDateTime("2020-01-01T00:00:00")], dtype=object),
+        np.array([1.9]), np.array([1.7]),
+        np.array([[10.12345678, 20.12345678, 1234.5678]]),
+        None, None,
+    )
+    event.add_spline_location([10.12345678, 20.12345678, 1234.5678])
+    event.add_gaussian_location(
+        [10.1, 20.1, 1230.4], [120.456, 130.456, 140.456]
+    )
+    event.add_covariance_location(
+        [10.2, 20.2, 1231.6], [150.456, 160.456, 170.456]
+    )
+    event.write(run, lut)
+
+    out = pd.read_csv(tmp_path / "locate" / "events" / f"{event.uid}.event")
+    row = out.iloc[0]
+    # Depth and every uncertainty column are whole metres (ints)
+    for col in ("Z", "GAU_Z", "GAU_ErrX", "GAU_ErrY", "GAU_ErrZ",
+                "COV_ErrX", "COV_ErrY", "COV_ErrZ", "COV_Err_XYZ"):
+        assert float(row[col]) == int(row[col]), col
+    assert int(row["Z"]) == 1235  # rounded, not truncated
+    # X/Y keep at least 6 decimals
+    assert abs(row["X"] - 10.123457) < 5e-7
