@@ -316,3 +316,63 @@ def test_segy_rejects_oversize(tmp_path):
                {"station": "X", "sampling_rate": 100.0})
     with np.testing.assert_raises(ValueError):
         Stream([tr]).write(str(tmp_path / "f.segy"), format="SEGY")
+
+
+class TestSteimFuzz:
+    """Randomised round-trip fuzz of the C STEIM codecs across the difference
+    regimes each frame-nibble encoding covers (the codecs carry every golden
+    parity test, so exactness must hold for arbitrary int32 content)."""
+
+    def test_steim_roundtrip_fuzz(self, tmp_path):
+        rng = np.random.default_rng(2024)
+        regimes = [
+            3,           # 2x 4-bit diffs territory
+            100,         # 1-byte diffs
+            20_000,      # 2-byte diffs
+            5_000_000,   # 30-bit diffs (STEIM2) / 4-byte (STEIM1)
+        ]
+        for encoding in ("STEIM1", "STEIM2"):
+            for case, scale in enumerate(regimes):
+                n = int(rng.integers(1, 4000))
+                data = np.cumsum(
+                    rng.integers(-scale, scale + 1, n)
+                ).astype(np.int32)
+                tr = Trace(
+                    data,
+                    {"station": f"F{case}", "sampling_rate": 100.0,
+                     "starttime": UTCDateTime("2020-01-01")},
+                )
+                file = tmp_path / f"{encoding}_{case}.mseed"
+                Stream([tr]).write(str(file), format="MSEED",
+                                   encoding=encoding)
+                back = read(str(file))[0]
+                assert np.array_equal(back.data, data), (encoding, case, n)
+
+    def test_steim_mixed_regimes_single_trace(self, tmp_path):
+        """Abrupt regime switches (quiet -> spike -> quiet) within a trace."""
+
+        rng = np.random.default_rng(7)
+        quiet = rng.integers(-5, 6, 3000)
+        spikes = rng.integers(-(2**28), 2**28, 50)
+        data = np.concatenate(
+            [quiet[:1000], spikes, quiet[1000:2000], -spikes, quiet[2000:]]
+        ).astype(np.int32)
+        file = tmp_path / "mixed.mseed"
+        Stream([Trace(data, {"station": "MX", "sampling_rate": 50.0})]).write(
+            str(file), format="MSEED", encoding="STEIM2"
+        )
+        assert np.array_equal(read(str(file))[0].data, data)
+
+    def test_steim_extreme_values(self, tmp_path):
+        """INT32_MIN/MAX first differences survive (forces the fallback)."""
+
+        data = np.array(
+            [0, np.iinfo(np.int32).max, np.iinfo(np.int32).min // 2,
+             -1, 1, 0] * 20,
+            dtype=np.int32,
+        )
+        file = tmp_path / "extreme.mseed"
+        Stream([Trace(data, {"station": "EX", "sampling_rate": 1.0})]).write(
+            str(file), format="MSEED", encoding="STEIM2"
+        )
+        assert np.array_equal(read(str(file))[0].data, data)
