@@ -251,7 +251,9 @@ class QuakeScan:
 
     @property
     def _mxu_active(self):
-        if self.mesh is not None:
+        # The MXU kernel computes in bf16-hi/lo (~f32); an explicit
+        # double-precision request must stay on the XLA kernel.
+        if self.mesh is not None or self.precision == "double":
             return False
         if self.kernel == "auto":
             import jax
