@@ -81,14 +81,14 @@ def _kernels(tt_flat, tt_dev, mask_dev):
     """name -> callable(block) returning (max_coa, max_norm, max_idx)."""
 
     from quakemigrate_tpu.ops.migrate import migrate_detect
-    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+    from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
 
     def xla(block):
         return migrate_detect(
             block, tt_dev, mask_dev, float(N_ONSETS), FSMP, NSAMPLES
         )
 
-    mxu_kernel = PallasDetectMXU(tt_flat, (NX, NY, NZ), FSMP, NSAMPLES)
+    mxu_kernel = make_mxu_detect(tt_flat, (NX, NY, NZ), FSMP, NSAMPLES)
 
     def mxu(block):
         return mxu_kernel(block, mask_dev, float(N_ONSETS))
@@ -167,7 +167,7 @@ def bench_regional(nx=142, ny=128, nz=114):
 
     import jax
 
-    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+    from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
 
     rng = np.random.default_rng(11)
     onsets = rng.gamma(2.0, 1.5, size=(N_ONSETS, T_SAMPLES))
@@ -186,7 +186,7 @@ def bench_regional(nx=142, ny=128, nz=114):
     tt = np.clip(np.stack(tts, -1).reshape(-1, N_ONSETS), 0, LSMP)
     mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
 
-    kernel = PallasDetectMXU(tt, (nx, ny, nz), FSMP, NSAMPLES)
+    kernel = make_mxu_detect(tt, (nx, ny, nz), FSMP, NSAMPLES)
     blocks = [
         jax.device_put(
             rng.gamma(2.0, 1.5, size=onsets.shape).astype(np.float32)

@@ -477,14 +477,24 @@ class PallasDetectMXU:
         # with K on the sublane axis.
         self.r_span = max(16, _round_up(int(fine8.max()) + 1, 16))
         # (n_tiles, O, tile) selector input for the kernel. plan.fine is
-        # superseded by fine_t here -- don't waste HBM uploading it.
-        self.fine_t = jax.device_put(np.ascontiguousarray(fine8))
+        # superseded by fine_t here -- don't waste HBM uploading it. The
+        # upload is deferred to first use so rejected candidate configs
+        # (make_mxu_detect) never touch the device.
+        self._fine_host = np.ascontiguousarray(fine8)
+        self._fine_dev = None
+        plan.fine = None
         plan.base = base8
-        plan.device_put(with_fine=False)
         self.plan = plan
         self.fsmp = fsmp
         self.nsamples = nsamples
         self.interpret = interpret
+
+    @property
+    def fine_t(self):
+        if self._fine_dev is None:
+            self._fine_dev = jax.device_put(self._fine_host)
+            self.plan.device_put(with_fine=False)
+        return self._fine_dev
 
     def estimated_vmem_bytes(self):
         """
@@ -510,9 +520,40 @@ class PallasDetectMXU:
         return self.estimated_vmem_bytes() <= budget
 
     def __call__(self, onsets, mask, available):
+        fine_t = self.fine_t  # triggers the deferred device upload
         p = self.plan
         return _pallas_mxu_detect_core(
-            onsets, mask, available, self.fine_t, p.base, p.valid, p.perm,
+            onsets, mask, available, fine_t, p.base, p.valid, p.perm,
             self.fsmp, self.nsamples, p.tile, self.r_span, p.n_nodes,
             interpret=self.interpret,
         )
+
+
+# Candidate (tile, brick_shape) configs, largest tile first. One brick per
+# tile keeps the residual span tight (a tile spanning two bricks pays the
+# union of their shift ranges); larger tiles amortise grid-step sequencing
+# and halve/quarter the per-node table-slice DMA bytes, at the price of a
+# bigger VMEM footprint -- measured sweep in experiments/exp_mxu_tile.py
+# (regional 2.1M-node grid: 475 / 456 / 430 G/s top to bottom).
+MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
+
+
+def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
+    """
+    Build the MXU detect kernel with the largest-tile config whose scratch
+    fits VMEM for this (LUT, scan geometry). Plans are built host-side only,
+    so rejected candidates cost no device transfer. If no config fits (long
+    windows / wide residual spans), the smallest-tile kernel is returned and
+    the caller's ``fits_vmem()`` check routes to the XLA shift-table path.
+
+    """
+
+    kernel = None
+    for tile, brick_shape in MXU_CONFIGS:
+        kernel = PallasDetectMXU(
+            traveltimes, node_count, fsmp, nsamples,
+            tile=tile, brick_shape=brick_shape, interpret=interpret,
+        )
+        if kernel.fits_vmem():
+            return kernel
+    return kernel

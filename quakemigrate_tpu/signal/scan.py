@@ -276,9 +276,9 @@ class QuakeScan:
             else (self._mxu.fsmp, self._mxu.nsamples)
         )
         if cached_geometry != (fsmp, nsamples):
-            from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+            from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
 
-            kernel = PallasDetectMXU(
+            kernel = make_mxu_detect(
                 self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
             )
             if kernel.fits_vmem():

@@ -211,3 +211,44 @@ def test_mxu_vmem_budget_estimate():
         0, 500, size=(8 * 8 * 8, 8), dtype=np.int32
     )
     assert not PallasDetectMXU(random_tt, (8, 8, 8), 100, 625).fits_vmem()
+
+
+def test_make_mxu_detect_picks_largest_fitting_tile():
+    """
+    The config factory walks MXU_CONFIGS largest-tile first and returns the
+    first candidate whose scratch fits VMEM; when nothing fits it still
+    returns a kernel (callers re-check fits_vmem to fall back to XLA).
+    Candidate plans stay host-side until first use.
+
+    """
+
+    import numpy as np
+
+    from quakemigrate_tpu.ops.pallas_migrate import (
+        MXU_CONFIGS,
+        make_mxu_detect,
+    )
+
+    x, y, z = np.meshgrid(*[np.arange(16)] * 3, indexing="ij")
+    tts = [
+        np.rint(np.sqrt((x - i) ** 2 + y**2 + z**2) * 10).astype(np.int32)
+        for i in range(8)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, 8), 0, 500)
+
+    # Short window: the largest tile fits.
+    kernel = make_mxu_detect(tt, (16, 16, 16), 100, 128)
+    assert kernel.fits_vmem()
+    assert kernel.plan.tile == MXU_CONFIGS[0][0]
+    assert kernel._fine_dev is None  # no device transfer yet
+
+    # Longer window: a smaller tile is chosen, still fitting.
+    kernel = make_mxu_detect(tt, (16, 16, 16), 100, 1024)
+    assert kernel.fits_vmem()
+    assert kernel.plan.tile < MXU_CONFIGS[0][0]
+
+    # Absurd window: nothing fits; the smallest config comes back so the
+    # caller's fits_vmem() check routes to the XLA kernel.
+    kernel = make_mxu_detect(tt, (16, 16, 16), 100, 40_000)
+    assert not kernel.fits_vmem()
+    assert kernel.plan.tile == MXU_CONFIGS[-1][0]
