@@ -189,6 +189,132 @@ def _local_reduce_combine(
     return gmax, gmax * n_nodes_real / gsum, gidx
 
 
+def pad_mxu_plan_for_mesh(kernel, n_shards):
+    """
+    Split a :class:`~quakemigrate_tpu.ops.pallas_migrate.PallasDetectMXU`
+    kernel's per-tile plan across mesh shards: the tile axis is padded with
+    dead tiles (valid=0, base/fine/perm=0) so it divides evenly. Returns
+    host-side ``(fine_t, base, valid, perm)`` ready to shard over their
+    leading axis. Dead tiles select real table rows but their coalescence
+    is zeroed by the valid mask, so they never win the combine.
+
+    """
+
+    plan = kernel.plan
+    fine = np.asarray(kernel._fine_host)
+    base = np.asarray(plan.base)
+    valid = np.asarray(plan.valid)
+    perm = np.asarray(plan.perm).reshape(plan.n_tiles, plan.tile)
+
+    pad = (-plan.n_tiles) % n_shards
+    if pad:
+        fine = np.pad(fine, ((0, pad), (0, 0), (0, 0)))
+        base = np.pad(base, ((0, pad), (0, 0)))
+        valid = np.pad(valid, ((0, pad), (0, 0), (0, 0)))
+        perm = np.pad(perm, ((0, pad), (0, 0)))
+    return fine, base, valid, perm.ravel()
+
+
+def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
+                       perm, fsmp, nsamples, n_nodes_real, tile, r_span,
+                       grid_axis, interpret):
+    """Per-shard MXU fused reduce + ICI collective combine. The plan's
+    ``perm`` stores GLOBAL flat node indices, so no shard offset is
+    needed before the cross-shard argmax."""
+
+    from quakemigrate_tpu.ops.pallas_migrate import mxu_detect_reduce
+
+    mx, idx, sm = mxu_detect_reduce(
+        combined, slot_mask, available, fine_t, base, valid, perm,
+        fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
+    )
+    gmax = jax.lax.pmax(mx, grid_axis)
+    gsum = jax.lax.psum(sm, grid_axis)
+    big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
+    cand = jnp.where(mx == gmax, idx, big)
+    gidx = jax.lax.pmin(cand, grid_axis)
+    return gmax, gmax * n_nodes_real / gsum, gidx
+
+
+def make_sharded_detect_fused_mxu(
+    mesh, position, transform, min_onset_value, fsmp, nsamples,
+    n_nodes_real, tile, r_span, grid_axis="grid", interpret=False,
+):
+    """
+    Mesh-sharded MXU twin of :func:`make_sharded_detect_fused`: each device
+    runs the Pallas one-hot-matmul migration over its slab of plan tiles
+    (from :func:`pad_mxu_plan_for_mesh`), with the onset front-end
+    replicated and the per-sample max/argmax/sum combine riding ICI.
+    Signature:
+    ``f(channels, chan_mask, slot_mask, nsta, nlta, fine_t, base, valid,
+    perm) -> (max_coa, max_norm_coa, max_idx)``.
+
+    """
+
+    from quakemigrate_tpu.ops.scan_window import fused_onsets
+
+    def _fn(channels, chan_mask, slot_mask, nsta, nlta, fine_t, base,
+            valid, perm):
+        combined, available = fused_onsets(
+            channels, chan_mask, slot_mask, nsta, nlta,
+            position, transform, min_onset_value,
+        )
+        return _mxu_local_combine(
+            combined, slot_mask, available, fine_t, base, valid, perm,
+            fsmp, nsamples, n_nodes_real, tile, r_span, grid_axis,
+            interpret,
+        )
+
+    sharded = shard_map(
+        _fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),
+            P(grid_axis, None, None), P(grid_axis, None),
+            P(grid_axis, None, None), P(grid_axis),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_detect_fused_kurtosis_mxu(
+    mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
+    n_nodes_real, tile, r_span, grid_axis="grid", interpret=False,
+):
+    """Kurtosis twin of :func:`make_sharded_detect_fused_mxu`. Signature:
+    ``f(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
+    perm)``."""
+
+    from quakemigrate_tpu.ops.scan_window import fused_kurtosis_onsets
+
+    def _fn(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
+            perm):
+        combined, available = fused_kurtosis_onsets(
+            channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
+            min_onset_value,
+        )
+        return _mxu_local_combine(
+            combined, slot_mask, available, fine_t, base, valid, perm,
+            fsmp, nsamples, n_nodes_real, tile, r_span, grid_axis,
+            interpret,
+        )
+
+    sharded = shard_map(
+        _fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P(grid_axis, None, None), P(grid_axis, None),
+            P(grid_axis, None, None), P(grid_axis),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_detect_fused_kurtosis(
     mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
     n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",

@@ -232,13 +232,11 @@ class QuakeScan:
         )  # [n_nodes, n_slots]
 
         if self._mxu_active or self.kernel == "mxu":
-            if self.mesh is not None:
-                logging.info(
-                    "\tkernel='mxu' is single-device; the mesh path keeps "
-                    "the XLA shift-table kernel."
-                )
-            else:
-                self._tt_host = tt
+            # Kept for the MXU plan builder. With a mesh, kernel="auto"
+            # stays on the XLA shift-table path (validated everywhere);
+            # kernel="mxu" opts the sharded fused window into the Pallas
+            # MXU kernel, one plan slab per device.
+            self._tt_host = tt
 
         if self.mesh is not None:
             from quakemigrate_tpu.parallel import pad_nodes_for_mesh
@@ -293,6 +291,103 @@ class QuakeScan:
                 self._mxu = False
             self._mxu_geometry = (fsmp, nsamples)
         return self._mxu or None
+
+    def _build_sharded_detect_fused(self, kind, fsmp, nsamples):
+        """
+        Build the mesh-sharded fused detect window. kernel="mxu" opts into
+        the Pallas MXU migration, one plan slab per device (interpret mode
+        off-TPU so the virtual CPU mesh can validate it); otherwise -- and
+        whenever the MXU scratch would not fit VMEM -- the XLA shift-table
+        kernel is used, the default validated everywhere.
+
+        """
+
+        import jax
+
+        use_mxu = self.kernel == "mxu" and self.precision != "double"
+        if use_mxu:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
+            from quakemigrate_tpu.parallel import (
+                make_sharded_detect_fused_kurtosis_mxu,
+                make_sharded_detect_fused_mxu,
+                pad_mxu_plan_for_mesh,
+            )
+
+            kernel = make_mxu_detect(
+                self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
+            )
+            if not kernel.fits_vmem():
+                logging.info(
+                    "\tMXU kernel scratch "
+                    f"({kernel.estimated_vmem_bytes() / 2**20:.0f} MiB) "
+                    "exceeds VMEM for this scan geometry; the mesh path "
+                    "uses the XLA shift-table kernel."
+                )
+                use_mxu = False
+            else:
+                n_shards = self.mesh.shape["grid"]
+                specs = (
+                    P("grid", None, None), P("grid", None),
+                    P("grid", None, None), P("grid"),
+                )
+                self._sharded_fused_extra = tuple(
+                    jax.device_put(arr, NamedSharding(self.mesh, spec))
+                    for arr, spec in zip(
+                        pad_mxu_plan_for_mesh(kernel, n_shards), specs
+                    )
+                )
+                interpret = jax.default_backend() != "tpu"
+                common = dict(
+                    fsmp=fsmp, nsamples=nsamples,
+                    n_nodes_real=self._n_nodes, tile=kernel.plan.tile,
+                    r_span=kernel.r_span, interpret=interpret,
+                )
+                if kind == "kurtosis":
+                    nsmooth, taper_pad, min_onset = (
+                        self.onset.fused_static_args(self.timestep)
+                    )
+                    self._sharded_detect_fused = (
+                        make_sharded_detect_fused_kurtosis_mxu(
+                            self.mesh, nsmooth, taper_pad, min_onset,
+                            **common,
+                        )
+                    )
+                else:
+                    self._sharded_detect_fused = (
+                        make_sharded_detect_fused_mxu(
+                            self.mesh,
+                            self.onset.position,
+                            self.onset.signal_transform,
+                            float(self.onset.min_onset_value),
+                            **common,
+                        )
+                    )
+                return
+
+        from quakemigrate_tpu.parallel import (
+            make_sharded_detect_fused,
+            make_sharded_detect_fused_kurtosis,
+        )
+
+        self._sharded_fused_extra = (self._device_tt,)
+        if kind == "kurtosis":
+            nsmooth, taper_pad, min_onset = (
+                self.onset.fused_static_args(self.timestep)
+            )
+            self._sharded_detect_fused = make_sharded_detect_fused_kurtosis(
+                self.mesh, nsmooth, taper_pad, min_onset,
+                fsmp, nsamples, self._n_nodes, tile=self.tile,
+            )
+        else:
+            self._sharded_detect_fused = make_sharded_detect_fused(
+                self.mesh,
+                self.onset.position,
+                self.onset.signal_transform,
+                float(self.onset.min_onset_value),
+                fsmp, nsamples, self._n_nodes, tile=self.tile,
+            )
 
     def _device_inputs(self, onsets, onset_data):
         """
@@ -815,36 +910,14 @@ class QuakeScan:
             kind = sample["fused_kind"]
 
             if self.mesh is not None and self._sharded_detect_fused is None:
-                from quakemigrate_tpu.parallel import (
-                    make_sharded_detect_fused,
-                    make_sharded_detect_fused_kurtosis,
-                )
-
-                if kind == "kurtosis":
-                    nsmooth, taper_pad, min_onset = (
-                        self.onset.fused_static_args(self.timestep)
-                    )
-                    self._sharded_detect_fused = (
-                        make_sharded_detect_fused_kurtosis(
-                            self.mesh, nsmooth, taper_pad, min_onset,
-                            fsmp, nsamples, self._n_nodes, tile=self.tile,
-                        )
-                    )
-                else:
-                    self._sharded_detect_fused = make_sharded_detect_fused(
-                        self.mesh,
-                        self.onset.position,
-                        self.onset.signal_transform,
-                        float(self.onset.min_onset_value),
-                        fsmp, nsamples, self._n_nodes, tile=self.tile,
-                    )
+                self._build_sharded_detect_fused(kind, fsmp, nsamples)
 
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
                 for i in keys:
                     if self.mesh is not None:
                         out = self._sharded_detect_fused(
-                            *prepared[i]["fused"], self._device_tt
+                            *prepared[i]["fused"], *self._sharded_fused_extra
                         )
                     elif kind == "kurtosis":
                         channels, chan_mask, slot_mask, nkurt = (
