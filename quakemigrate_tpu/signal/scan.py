@@ -1071,9 +1071,10 @@ class QuakeScan:
                     "using two-pass map-free locate."
                 )
                 with jax.profiler.TraceAnnotation("qm_migrate_detect"):
-                    max_coa, max_coa_n, max_idx = migrate_detect(
-                        onset_block, self._device_tt[: self._n_nodes], mask,
-                        available, fsmp, nsamples, tile=self.tile,
+                    # Same kernel routing as detect (Pallas MXU on TPU
+                    # when the plan fits VMEM, XLA otherwise).
+                    max_coa, max_coa_n, max_idx = self._run_detect_kernel(
+                        onset_block, mask, available, fsmp, nsamples
                     )
                 map4d = None
                 # Stash inputs for the second (marginalisation) pass
