@@ -34,6 +34,9 @@ from .migrate import _prepare_onsets
 
 LANE = 128
 
+# MXU-kernel scratch budget: the ~16 MB of VMEM less pipelining slack.
+VMEM_BUDGET = 14 * 2**20
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -497,27 +500,15 @@ class PallasDetectMXU:
         return self._fine_dev
 
     def estimated_vmem_bytes(self):
-        """
-        Approximate VMEM footprint of the kernel: table-slice slots
-        (double-buffered bf16 hi/lo), the one-hot selector, the f32
-        accumulator, and the pipelined input/output blocks.
-
-        """
-
         p = self.plan
-        s_pad = _round_up(self.nsamples, LANE)
-        k_dim = p.n_onsets * self.r_span
-        slices = 2 * 2 * k_dim * s_pad * 2
-        onehot = k_dim * p.tile * 2
-        accumulator = p.tile * s_pad * 4
-        blocks = 2 * (p.n_onsets * p.tile * 4 + p.tile * LANE * 4
-                      + 3 * s_pad * 4)
-        return slices + onehot + accumulator + blocks
+        return _mxu_vmem_bytes(p.tile, self.r_span, p.n_onsets, self.nsamples)
 
-    def fits_vmem(self, budget=14 * 2**20):
+    def fits_vmem(self, budget=None):
         """Whether the kernel's scratch fits the ~16 MB VMEM (with slack)."""
 
-        return self.estimated_vmem_bytes() <= budget
+        return self.estimated_vmem_bytes() <= (
+            VMEM_BUDGET if budget is None else budget
+        )
 
     def __call__(self, onsets, mask, available):
         fine_t = self.fine_t  # triggers the deferred device upload
@@ -538,22 +529,76 @@ class PallasDetectMXU:
 MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
 
 
+def _mxu_vmem_bytes(tile, r_span, n_onsets, nsamples):
+    """
+    Approximate VMEM footprint of the MXU kernel: table-slice slots
+    (double-buffered bf16 hi/lo), the one-hot selector, the f32
+    accumulator, and the pipelined input/output blocks.
+
+    """
+
+    s_pad = _round_up(nsamples, LANE)
+    k_dim = n_onsets * r_span
+    slices = 2 * 2 * k_dim * s_pad * 2
+    onehot = k_dim * tile * 2
+    accumulator = tile * s_pad * 4
+    blocks = 2 * (n_onsets * tile * 4 + tile * LANE * 4 + 3 * s_pad * 4)
+    return slices + onehot + accumulator + blocks
+
+
+def _estimate_r_span(traveltimes, node_count, brick_shape):
+    """
+    The exact r_span a PallasDetectMXU plan would land on, computed from
+    per-brick traveltime min/max alone (no per-node plan arrays). Valid
+    when one tile == one brick (every MXU_CONFIGS entry): the per-tile
+    residual span after the 16-row base alignment is
+    ``max(tt) - 16 * (min(tt) // 16)`` over each (brick, onset).
+
+    """
+
+    traveltimes = np.maximum(np.asarray(traveltimes), 0)
+    n_onsets = traveltimes.shape[-1]
+    node_count = np.asarray(node_count, dtype=int)
+    brick_shape = np.asarray(brick_shape, dtype=int)
+    n_bricks = -(-node_count // brick_shape)
+
+    # Edge-replicate up to whole bricks: the pad copies each overhanging
+    # brick's own boundary layer, so per-brick min/max are unchanged.
+    tt = traveltimes.reshape(tuple(node_count) + (n_onsets,))
+    pad = n_bricks * brick_shape - node_count
+    tt = np.pad(tt, [(0, p) for p in pad] + [(0, 0)], mode="edge")
+    tt = tt.reshape(
+        n_bricks[0], brick_shape[0], n_bricks[1], brick_shape[1],
+        n_bricks[2], brick_shape[2], n_onsets,
+    )
+    lo = tt.min(axis=(1, 3, 5))
+    hi = tt.max(axis=(1, 3, 5))
+    span_max = int((hi - 16 * (lo // 16)).max())
+    return max(16, _round_up(span_max + 1, 16))
+
+
 def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
     """
     Build the MXU detect kernel with the largest-tile config whose scratch
-    fits VMEM for this (LUT, scan geometry). Plans are built host-side only,
-    so rejected candidates cost no device transfer. If no config fits (long
-    windows / wide residual spans), the smallest-tile kernel is returned and
-    the caller's ``fits_vmem()`` check routes to the XLA shift-table path.
+    fits VMEM for this (LUT, scan geometry). Candidates are vetted with a
+    cheap per-brick span estimate (no plan arrays are materialised for
+    rejected configs, and nothing touches the device until first use). If
+    no config fits (long windows / wide residual spans), the smallest-tile
+    kernel is returned and the caller's ``fits_vmem()`` check routes to
+    the XLA shift-table path.
 
     """
 
-    kernel = None
-    for tile, brick_shape in MXU_CONFIGS:
-        kernel = PallasDetectMXU(
-            traveltimes, node_count, fsmp, nsamples,
-            tile=tile, brick_shape=brick_shape, interpret=interpret,
-        )
-        if kernel.fits_vmem():
+    n_onsets = np.asarray(traveltimes).shape[-1]
+    for i, (tile, brick_shape) in enumerate(MXU_CONFIGS):
+        last = i == len(MXU_CONFIGS) - 1
+        r_span = _estimate_r_span(traveltimes, node_count, brick_shape)
+        if last or _mxu_vmem_bytes(
+            tile, r_span, n_onsets, nsamples
+        ) <= VMEM_BUDGET:
+            kernel = PallasDetectMXU(
+                traveltimes, node_count, fsmp, nsamples,
+                tile=tile, brick_shape=brick_shape, interpret=interpret,
+            )
+            assert kernel.r_span == r_span, (kernel.r_span, r_span)
             return kernel
-    return kernel

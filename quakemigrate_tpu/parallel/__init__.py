@@ -94,13 +94,7 @@ def make_sharded_detect(
             onsets, tt_local, mask, available, fsmp, nsamples,
             n_nodes_real, tile=tile, node_offset=offset,
         )
-        gmax = jax.lax.pmax(mx, grid_axis)
-        gsum = jax.lax.psum(sm, grid_axis)
-        big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
-        cand = jnp.where(mx == gmax, idx, big)
-        gidx = jax.lax.pmin(cand, grid_axis)
-        gnorm = gmax * n_nodes_real / gsum
-        return gmax, gnorm, gidx
+        return _ici_combine(mx, idx, sm, n_nodes_real, grid_axis)
 
     if batch_axis is None:
         in_specs = (P(), P(grid_axis, None), P(), P())
@@ -181,6 +175,19 @@ def _local_reduce_combine(
         combined, tt_local, slot_mask, available, fsmp, nsamples,
         n_nodes_real, tile=tile, node_offset=offset,
     )
+    return _ici_combine(mx, idx, sm, n_nodes_real, grid_axis)
+
+
+def _ici_combine(mx, idx, sm, n_nodes_real, grid_axis):
+    """
+    The cross-shard reduction shared by every sharded detect variant:
+    pmax for the max, psum for the normalisation sum, and the argmax
+    tie-break -- candidates not attaining the global max are replaced by
+    INT32_MAX so a pmin reproduces the reference's first-index rule.
+    Returns (max_coa, max_norm_coa, max_idx).
+
+    """
+
     gmax = jax.lax.pmax(mx, grid_axis)
     gsum = jax.lax.psum(sm, grid_axis)
     big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
@@ -228,12 +235,7 @@ def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
         combined, slot_mask, available, fine_t, base, valid, perm,
         fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
     )
-    gmax = jax.lax.pmax(mx, grid_axis)
-    gsum = jax.lax.psum(sm, grid_axis)
-    big = jnp.asarray(np.iinfo(np.int32).max, dtype=idx.dtype)
-    cand = jnp.where(mx == gmax, idx, big)
-    gidx = jax.lax.pmin(cand, grid_axis)
-    return gmax, gmax * n_nodes_real / gsum, gidx
+    return _ici_combine(mx, idx, sm, n_nodes_real, grid_axis)
 
 
 def make_sharded_detect_fused_mxu(

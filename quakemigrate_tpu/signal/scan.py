@@ -237,6 +237,20 @@ class QuakeScan:
             # kernel="mxu" opts the sharded fused window into the Pallas
             # MXU kernel, one plan slab per device.
             self._tt_host = tt
+            if self.kernel == "mxu":
+                # A forced MXU request can still be downgraded -- say so.
+                if self.precision == "double":
+                    logging.info(
+                        "\tkernel='mxu' computes in bf16-hi/lo (~f32); "
+                        "precision='double' keeps the XLA shift-table "
+                        "kernel."
+                    )
+                elif self.mesh is not None and not self.fused_detect:
+                    logging.info(
+                        "\tkernel='mxu' with a mesh is only available for "
+                        "the fused detect window (fused_detect=True); the "
+                        "standard path keeps the XLA shift-table kernel."
+                    )
 
         if self.mesh is not None:
             from quakemigrate_tpu.parallel import pad_nodes_for_mesh
@@ -274,10 +288,15 @@ class QuakeScan:
             else (self._mxu.fsmp, self._mxu.nsamples)
         )
         if cached_geometry != (fsmp, nsamples):
+            import jax
+
             from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
 
+            # interpret mode off-TPU: a forced kernel="mxu" then still
+            # runs (slowly) on CPU hosts instead of failing to compile.
             kernel = make_mxu_detect(
-                self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
+                self._tt_host, tuple(self.lut.node_count), fsmp, nsamples,
+                interpret=jax.default_backend() != "tpu",
             )
             if kernel.fits_vmem():
                 self._mxu = kernel
@@ -308,23 +327,16 @@ class QuakeScan:
         if use_mxu:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
             from quakemigrate_tpu.parallel import (
                 make_sharded_detect_fused_kurtosis_mxu,
                 make_sharded_detect_fused_mxu,
                 pad_mxu_plan_for_mesh,
             )
 
-            kernel = make_mxu_detect(
-                self._tt_host, tuple(self.lut.node_count), fsmp, nsamples
-            )
-            if not kernel.fits_vmem():
-                logging.info(
-                    "\tMXU kernel scratch "
-                    f"({kernel.estimated_vmem_bytes() / 2**20:.0f} MiB) "
-                    "exceeds VMEM for this scan geometry; the mesh path "
-                    "uses the XLA shift-table kernel."
-                )
+            # Same cached builder (and VMEM-overflow fallback log) as the
+            # single-device path.
+            kernel = self._mxu_kernel(fsmp, nsamples)
+            if kernel is None:
                 use_mxu = False
             else:
                 n_shards = self.mesh.shape["grid"]
@@ -938,7 +950,7 @@ class QuakeScan:
                                 k.fine_t, k.plan.base, k.plan.valid,
                                 k.plan.perm, nsmooth, taper_pad, min_onset,
                                 fsmp, nsamples, k.plan.tile, k.r_span,
-                                self._n_nodes,
+                                self._n_nodes, interpret=k.interpret,
                             )
                         else:
                             out = detect_window_fused_kurtosis(
@@ -965,7 +977,7 @@ class QuakeScan:
                                 self.onset.signal_transform,
                                 float(self.onset.min_onset_value),
                                 fsmp, nsamples, k.plan.tile, k.r_span,
-                                self._n_nodes,
+                                self._n_nodes, interpret=k.interpret,
                             )
                         else:
                             out = detect_window_fused(

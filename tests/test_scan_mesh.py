@@ -413,6 +413,48 @@ def test_fused_mesh_mxu_pipeline_matches_single(setup):
         assert np.abs(a - b).max() <= 1, station
 
 
+def test_forced_mxu_kernel_single_device_cpu(setup):
+    """kernel='mxu' forced on a CPU host runs in interpret mode (it used
+    to crash with 'Only interpret mode is supported on CPU backend') and
+    matches the XLA kernel's scanmseed."""
+
+    root, archive, lut = setup
+
+    def run(name, kernel):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
+            fused_detect=True, kernel=kernel,
+        )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:30.0")
+        return (
+            root / "runs" / name / "detect" / "scanmseed"
+            / "2021_049.scanmseed"
+        )
+
+    xla = run("forced_xla", "xla")
+    mxu = run("forced_mxu", "mxu")
+
+    from quakemigrate_tpu.seis import read
+
+    st_x = read(str(xla))
+    st_m = read(str(mxu))
+    for station in ("X", "Y", "Z"):
+        np.testing.assert_array_equal(
+            st_x.select(station=station)[0].data,
+            st_m.select(station=station)[0].data,
+            err_msg=station,
+        )
+    for station in ("COA", "COA_N"):
+        a = st_x.select(station=station)[0].data.astype(np.int64)
+        b = st_m.select(station=station)[0].data.astype(np.int64)
+        assert np.abs(a - b).max() <= 1, station
+
+
 def test_sharded_combine_matches_single_device_large_random():
     """
     The cross-shard max/argmax(psum-tie-break)/sum combine must reproduce
