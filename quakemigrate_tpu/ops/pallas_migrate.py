@@ -288,24 +288,34 @@ class PallasDetect:
 
 def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
                        hi_ref, lo_ref, max_ref, arg_ref, sum_ref,
-                       a_slots, onehot, sems, *, r_span, n_onsets, tile,
+                       a_slots, onehot, sems, *, r_spans, n_onsets, tile,
                        n_tiles):
     i = pl.program_id(0)
     slot = jax.lax.rem(i, jnp.int32(2))
 
-    # Table-slice DMAs (rows base..base+R of each onset's Hankel block) are
-    # double-buffered across tiles: tile i computes from slot i%2 while tile
-    # i+1's slices stream into the other slot. Bases are pre-aligned to the
-    # 8-row sublane tiling (the remainder is folded into the fine residuals).
-    # base_ref is a (1, 2, O) SMEM block holding rows [i, i+1] of the base
-    # table (SMEM cannot hold the whole table on large grids).
+    # Per-onset residual spans: each onset's K rows start at its static
+    # offset (all 16-aligned). Sized per onset because e.g. P onsets
+    # (faster velocity) span roughly half the shifts of S onsets -- a
+    # uniform max-span would pad 12-17% of the DMA and matmul away.
+    k_off = [0]
+    for r in r_spans:
+        k_off.append(k_off[-1] + r)
+
+    # Table-slice DMAs (rows base..base+R_o of each onset's Hankel block)
+    # are double-buffered across tiles: tile i computes from slot i%2 while
+    # tile i+1's slices stream into the other slot. Bases are pre-aligned
+    # to the sublane tiling (the remainder is folded into the fine
+    # residuals). base_ref is a (1, 2, O) SMEM block holding rows [i, i+1]
+    # of the base table (SMEM cannot hold the whole table on large grids).
     def slice_dmas(local_row, into_slot):
         for o in range(n_onsets):
             row0 = pl.multiple_of(base_ref[0, local_row, o], 16)
             for half, table in enumerate((hi_ref, lo_ref)):
                 yield pltpu.make_async_copy(
-                    table.at[o, pl.ds(row0, r_span), :],
-                    a_slots.at[into_slot, half, pl.ds(o * r_span, r_span), :],
+                    table.at[o, pl.ds(row0, r_spans[o]), :],
+                    a_slots.at[
+                        into_slot, half, pl.ds(k_off[o], r_spans[o]), :
+                    ],
                     sems.at[into_slot, half, o],
                 )
 
@@ -320,13 +330,28 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
             dma.start()
 
     # Build the (transposed) one-hot selector while the DMAs are in flight:
-    # onehot[o*R + r, n] = (fine[o, n] == r). The K axis sits on sublanes so
-    # R only needs 8-alignment, not full lanes.
-    residues = jax.lax.broadcasted_iota(jnp.int32, (r_span, tile), 0)
-    for o in range(n_onsets):
-        onehot[o * r_span:(o + 1) * r_span, :] = (
-            fine_ref[0, o:o + 1, :] == residues
+    # onehot[k_off[o] + r, n] = (fine[o, n] == r). The K axis sits on
+    # sublanes so spans only need 16-alignment, not full lanes. Onsets are
+    # grouped into runs of equal span (typically two: the P block and the
+    # S block) and each run is built with ONE broadcast comparison -- a
+    # separate compare/store per onset leaves ~24 unshared (r, tile)
+    # stack temporaries and blows the 16 MB scoped-VMEM budget at
+    # tile=1024.
+    runs = []  # (first_onset, count, span)
+    for o, r in enumerate(r_spans):
+        if runs and runs[-1][2] == r:
+            runs[-1][1] += 1
+        else:
+            runs.append([o, 1, r])
+    for o0, count, r in runs:
+        # (count, r, tile): fine rows broadcast over the residue axis
+        residues = jax.lax.broadcasted_iota(jnp.int32, (count, r, tile), 1)
+        block = (
+            fine_ref[0, o0:o0 + count, :][:, None, :] == residues
         ).astype(jnp.bfloat16)
+        onehot[k_off[o0]:k_off[o0] + count * r, :] = block.reshape(
+            count * r, tile
+        )
 
     for dma in slice_dmas(0, slot):
         dma.wait()
@@ -350,12 +375,14 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
 
 
 def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
-                      fsmp, nsamples, tile, r_span, n_nodes_real,
+                      fsmp, nsamples, tile, r_spans, n_nodes_real,
                       interpret=False):
     """
     Traceable MXU fused migrate + reduce with the same contract as
     ops.migrate.detect_reduce: returns (max_coa, max_idx, coa_sum). The
-    plan arrays (fine_t/base/valid/perm) come from a PallasDetectMXU.
+    plan arrays (fine_t/base/valid/perm) come from a PallasDetectMXU;
+    ``r_spans`` is its per-onset residual-span tuple (a scalar is
+    broadcast for compatibility).
 
     """
 
@@ -363,6 +390,8 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 
     onsets_log = _prepare_onsets(onsets, mask).astype(jnp.float32)
     n_tiles, n_onsets = base.shape
+    if not isinstance(r_spans, tuple):
+        r_spans = (int(r_spans),) * n_onsets
     # Row pairs [base[i], base[i+1]] per tile, so the kernel's SMEM block
     # carries this tile's slice offsets AND the next tile's (for the
     # double-buffered prefetch) without holding the whole table in SMEM.
@@ -374,7 +403,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     # Global Hankel table [O, D, S], padded so every base..base+R slice and
     # the lane-aligned sample axis are in range.
     table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
-    d_pad = _round_up(d_max + 1 + r_span, 16)
+    d_pad = _round_up(d_max + 1 + max(r_spans), 16)
     table = jnp.pad(
         table,
         ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples)),
@@ -387,7 +416,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     lo = (table - hi_exact).astype(jnp.bfloat16)
 
     kernel = partial(
-        _mxu_detect_kernel, r_span=r_span, n_onsets=n_onsets, tile=tile,
+        _mxu_detect_kernel, r_spans=r_spans, n_onsets=n_onsets, tile=tile,
         n_tiles=n_tiles,
     )
 
@@ -414,8 +443,8 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
             jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, n_onsets * r_span, s_pad), jnp.bfloat16),
-            pltpu.VMEM((n_onsets * r_span, tile), jnp.bfloat16),
+            pltpu.VMEM((2, 2, sum(r_spans), s_pad), jnp.bfloat16),
+            pltpu.VMEM((sum(r_spans), tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2, n_onsets)),
         ],
         interpret=interpret,
@@ -444,15 +473,15 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 
 @partial(
     jax.jit,
-    static_argnames=("fsmp", "nsamples", "tile", "r_span", "n_nodes_real",
+    static_argnames=("fsmp", "nsamples", "tile", "r_spans", "n_nodes_real",
                      "interpret"),
 )
 def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
-                            perm, fsmp, nsamples, tile, r_span, n_nodes_real,
+                            perm, fsmp, nsamples, tile, r_spans, n_nodes_real,
                             interpret=False):
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         onsets, mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -477,8 +506,16 @@ class PallasDetectMXU:
         fine8 = plan.fine[..., 0] + remainder[:, :, None]  # (n_tiles, O, tile)
         # Residual span: bf16 memrefs tile as (16, 128), so bases and spans
         # align to 16 sublanes; the one-hot selector is built transposed,
-        # with K on the sublane axis.
+        # with K on the sublane axis. The kernel supports per-onset spans
+        # (P onsets span ~half the shifts of S onsets; sizing each onset's
+        # K rows individually would trim 12-17% off the DMA and matmul),
+        # and that variant passes interpret-mode parity -- but on hardware
+        # MIXED spans trip a Mosaic scoped-VMEM anomaly (stack usage jumps
+        # from <16M to 17.6M at tile=1024 despite strictly smaller
+        # buffers) and measured no faster at the Icequake scale, so the
+        # shipped plan uses the uniform max span.
         self.r_span = max(16, _round_up(int(fine8.max()) + 1, 16))
+        self.r_spans = (self.r_span,) * plan.n_onsets
         # (n_tiles, O, tile) selector input for the kernel. plan.fine is
         # superseded by fine_t here -- don't waste HBM uploading it. The
         # upload is deferred to first use so rejected candidate configs
@@ -501,7 +538,9 @@ class PallasDetectMXU:
 
     def estimated_vmem_bytes(self):
         p = self.plan
-        return _mxu_vmem_bytes(p.tile, self.r_span, p.n_onsets, self.nsamples)
+        return _mxu_vmem_bytes(
+            p.tile, sum(self.r_spans), p.n_onsets, self.nsamples
+        )
 
     def fits_vmem(self, budget=None):
         """Whether the kernel's scratch fits the ~16 MB VMEM (with slack)."""
@@ -515,7 +554,7 @@ class PallasDetectMXU:
         p = self.plan
         return _pallas_mxu_detect_core(
             onsets, mask, available, fine_t, p.base, p.valid, p.perm,
-            self.fsmp, self.nsamples, p.tile, self.r_span, p.n_nodes,
+            self.fsmp, self.nsamples, p.tile, self.r_spans, p.n_nodes,
             interpret=self.interpret,
         )
 
@@ -529,16 +568,16 @@ class PallasDetectMXU:
 MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
 
 
-def _mxu_vmem_bytes(tile, r_span, n_onsets, nsamples):
+def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
     """
     Approximate VMEM footprint of the MXU kernel: table-slice slots
     (double-buffered bf16 hi/lo), the one-hot selector, the f32
-    accumulator, and the pipelined input/output blocks.
+    accumulator, and the pipelined input/output blocks. ``k_dim`` is the
+    selector's contraction size (the sum of per-onset residual spans).
 
     """
 
     s_pad = _round_up(nsamples, LANE)
-    k_dim = n_onsets * r_span
     slices = 2 * 2 * k_dim * s_pad * 2
     onehot = k_dim * tile * 2
     accumulator = tile * s_pad * 4
@@ -546,13 +585,14 @@ def _mxu_vmem_bytes(tile, r_span, n_onsets, nsamples):
     return slices + onehot + accumulator + blocks
 
 
-def _estimate_r_span(traveltimes, node_count, brick_shape):
+def _estimate_r_spans(traveltimes, node_count, brick_shape):
     """
-    The exact r_span a PallasDetectMXU plan would land on, computed from
-    per-brick traveltime min/max alone (no per-node plan arrays). Valid
-    when one tile == one brick (every MXU_CONFIGS entry): the per-tile
-    residual span after the 16-row base alignment is
-    ``max(tt) - 16 * (min(tt) // 16)`` over each (brick, onset).
+    The exact r_spans tuple a PallasDetectMXU plan would land on, computed
+    from per-brick traveltime min/max alone (no per-node plan arrays).
+    Valid when one tile == one brick (every MXU_CONFIGS entry): the
+    per-tile residual span after the 16-row base alignment is
+    ``max(tt) - 16 * (min(tt) // 16)`` over each (brick, onset), and the
+    plan ships the uniform max (see PallasDetectMXU on why not per-onset).
 
     """
 
@@ -573,8 +613,8 @@ def _estimate_r_span(traveltimes, node_count, brick_shape):
     )
     lo = tt.min(axis=(1, 3, 5))
     hi = tt.max(axis=(1, 3, 5))
-    span_max = int((hi - 16 * (lo // 16)).max())
-    return max(16, _round_up(span_max + 1, 16))
+    span = int(max(16, _round_up(int((hi - 16 * (lo // 16)).max()) + 1, 16)))
+    return (span,) * n_onsets
 
 
 def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
@@ -592,13 +632,13 @@ def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
     n_onsets = np.asarray(traveltimes).shape[-1]
     for i, (tile, brick_shape) in enumerate(MXU_CONFIGS):
         last = i == len(MXU_CONFIGS) - 1
-        r_span = _estimate_r_span(traveltimes, node_count, brick_shape)
+        r_spans = _estimate_r_spans(traveltimes, node_count, brick_shape)
         if last or _mxu_vmem_bytes(
-            tile, r_span, n_onsets, nsamples
+            tile, sum(r_spans), n_onsets, nsamples
         ) <= VMEM_BUDGET:
             kernel = PallasDetectMXU(
                 traveltimes, node_count, fsmp, nsamples,
                 tile=tile, brick_shape=brick_shape, interpret=interpret,
             )
-            assert kernel.r_span == r_span, (kernel.r_span, r_span)
+            assert kernel.r_spans == r_spans, (kernel.r_spans, r_spans)
             return kernel

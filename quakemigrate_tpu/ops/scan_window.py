@@ -274,14 +274,14 @@ def detect_window_fused(
     jax.jit,
     static_argnames=(
         "position", "transform", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_span", "n_nodes_real", "interpret",
+        "tile", "r_spans", "n_nodes_real", "interpret",
     ),
 )
 def detect_window_fused_mxu(
     channels, chan_mask, slot_mask, nsta, nlta,
     fine_t, base, valid, perm,
     position, transform, min_onset_value, fsmp, nsamples,
-    tile, r_span, n_nodes_real, interpret=False,
+    tile, r_spans, n_nodes_real, interpret=False,
 ):
     """
     Fully-fused detect window with the Pallas MXU migration kernel
@@ -298,7 +298,7 @@ def detect_window_fused_mxu(
     )
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -307,14 +307,14 @@ def detect_window_fused_mxu(
     jax.jit,
     static_argnames=(
         "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_span", "n_nodes_real", "interpret",
+        "tile", "r_spans", "n_nodes_real", "interpret",
     ),
 )
 def detect_window_fused_kurtosis_mxu(
     channels, chan_mask, slot_mask, nkurt,
     fine_t, base, valid, perm,
     nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
-    tile, r_span, n_nodes_real, interpret=False,
+    tile, r_spans, n_nodes_real, interpret=False,
 ):
     """Kurtosis twin of detect_window_fused_mxu."""
 
@@ -326,6 +326,6 @@ def detect_window_fused_kurtosis_mxu(
     )
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_span, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx

@@ -354,7 +354,7 @@ class QuakeScan:
                 common = dict(
                     fsmp=fsmp, nsamples=nsamples,
                     n_nodes_real=self._n_nodes, tile=kernel.plan.tile,
-                    r_span=kernel.r_span, interpret=interpret,
+                    r_spans=kernel.r_spans, interpret=interpret,
                 )
                 if kind == "kurtosis":
                     nsmooth, taper_pad, min_onset = (
@@ -949,7 +949,7 @@ class QuakeScan:
                                 channels, chan_mask, slot_mask, nkurt,
                                 k.fine_t, k.plan.base, k.plan.valid,
                                 k.plan.perm, nsmooth, taper_pad, min_onset,
-                                fsmp, nsamples, k.plan.tile, k.r_span,
+                                fsmp, nsamples, k.plan.tile, k.r_spans,
                                 self._n_nodes, interpret=k.interpret,
                             )
                         else:
@@ -976,7 +976,7 @@ class QuakeScan:
                                 k.plan.perm, self.onset.position,
                                 self.onset.signal_transform,
                                 float(self.onset.min_onset_value),
-                                fsmp, nsamples, k.plan.tile, k.r_span,
+                                fsmp, nsamples, k.plan.tile, k.r_spans,
                                 self._n_nodes, interpret=k.interpret,
                             )
                         else:

@@ -111,7 +111,7 @@ def test_mxu_fused_window_matches_xla(small_workload=None):
             channels, chan_mask, slot_mask, nsta, nlta,
             plan.fine_t, plan.plan.base, plan.plan.valid, plan.plan.perm,
             "classic", "energy", 0.4, fsmp, nsamples,
-            plan.plan.tile, plan.r_span, n_nodes,
+            plan.plan.tile, plan.r_spans, n_nodes,
         )
     got = [np.asarray(g) for g in got]
 
@@ -169,12 +169,79 @@ def test_mxu_fused_kurtosis_window_matches_xla():
             channels, chan_mask, slot_mask, nkurt,
             plan.fine_t, plan.plan.base, plan.plan.valid, plan.plan.perm,
             nsmooth, taper_pad, min_onset, fsmp, nsamples,
-            plan.plan.tile, plan.r_span, n_nodes,
+            plan.plan.tile, plan.r_spans, n_nodes,
         )
     got = [np.asarray(g) for g in got]
 
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5)
     assert (got[2] == ref[2]).mean() > 0.99
+
+
+def test_mxu_per_onset_spans_match_uniform():
+    """
+    The MXU kernel supports per-onset residual spans (its K rows are laid
+    out at per-onset offsets). The shipped plans use the uniform max span
+    (mixed spans trip a Mosaic scoped-VMEM anomaly on hardware -- see
+    PallasDetectMXU), but the capability is kept parity-tested here.
+
+    """
+
+    import numpy as np
+
+    from quakemigrate_tpu.ops.migrate import migrate_detect
+    from quakemigrate_tpu.ops.pallas_migrate import (
+        PallasDetectMXU,
+        _pallas_mxu_detect_core,
+        _round_up,
+    )
+
+    rng = np.random.default_rng(5)
+    nx, ny, nz, n_onsets = 8, 6, 5, 6
+    fsmp, lsmp, nsamples = 20, 60, 80
+    t_samples = fsmp + nsamples + lsmp
+    onsets = rng.gamma(2.0, 1.5, size=(n_onsets, t_samples)).astype(np.float32)
+    x, y, z = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    # Half "P" (fast), half "S" (slow): genuinely different spans
+    tts = [
+        np.rint(
+            np.sqrt((x - rng.uniform(0, nx)) ** 2
+                    + (y - rng.uniform(0, ny)) ** 2 + z**2)
+            * (2 if i < n_onsets // 2 else 5)
+        ).astype(np.int32)
+        for i in range(n_onsets)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, n_onsets), 0, lsmp)
+    mask = np.ones(n_onsets, dtype=np.float32)
+
+    ref = [
+        np.asarray(r)
+        for r in migrate_detect(onsets, tt, mask, float(n_onsets), fsmp,
+                                nsamples, tile=64)
+    ]
+
+    kernel = PallasDetectMXU(
+        tt, (nx, ny, nz), fsmp, nsamples, tile=64, brick_shape=(4, 4, 4)
+    )
+    per_onset = np.asarray(kernel._fine_host).max(axis=(0, 2)) + 1
+    r_spans = tuple(
+        int(max(16, _round_up(int(s), 16))) for s in per_onset
+    )
+    assert len(set(r_spans)) > 1, "geometry failed to produce mixed spans"
+
+    p = kernel.plan
+    out = [
+        np.asarray(o)
+        for o in _pallas_mxu_detect_core(
+            onsets, mask, float(n_onsets), kernel.fine_t, p.base, p.valid,
+            p.perm, fsmp, nsamples, p.tile, r_spans, p.n_nodes,
+            interpret=True,
+        )
+    ]
+    np.testing.assert_allclose(out[0], ref[0], rtol=2e-5)
+    np.testing.assert_allclose(out[1], ref[1], rtol=2e-5)
+    assert (out[2] == ref[2]).mean() > 0.99
 
 
 def test_mxu_vmem_budget_estimate():

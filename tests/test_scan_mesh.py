@@ -355,7 +355,7 @@ def test_sharded_fused_mxu_op_matches_single_device_op():
 
     fn = make_sharded_detect_fused_mxu(
         mesh, "classic", "energy", 0.5, fsmp, nsamples,
-        n_nodes_real=n_nodes, tile=kernel.plan.tile, r_span=kernel.r_span,
+        n_nodes_real=n_nodes, tile=kernel.plan.tile, r_spans=kernel.r_spans,
         interpret=True,
     )
     # NOTE: interpret=True (not pltpu.force_tpu_interpret_mode) -- the
