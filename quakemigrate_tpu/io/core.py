@@ -88,6 +88,16 @@ def read_stations(station_file, **kwargs):
     return stations.astype({"Name": "str"})
 
 
+def stations(station_file, **kwargs):
+    """Deprecated alias for :func:`read_stations` (ref io/core.py:54)."""
+
+    print(
+        "FutureWarning: function name has changed - continuing.\n"
+        "To remove this message, change:\t'stations' -> 'read_stations'"
+    )
+    return read_stations(station_file, **kwargs)
+
+
 def read_vmodel(vmodel_file, **kwargs):
     """
     1-D velocity model from CSV: a "Depth" column (positive down) plus one
