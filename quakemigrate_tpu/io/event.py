@@ -124,10 +124,19 @@ class Event:
                 logging.info(line)
         return inside
 
-    def mw_times(self, sampling_rate):
-        """Sample timestamps spanning trigger_time ± 2·marginal_window."""
+    def mw_times(self, sampling_rate, count=None):
+        """
+        Sample timestamps spanning trigger_time ± 2·marginal_window.
 
-        count = int(4 * self.marginal_window * sampling_rate) + 1
+        Pass ``count`` (the migration window's actual sample count) to
+        guarantee the timestamps line up 1:1 with the computed
+        coalescence — nearest-sample rounding of ``4·mw·rate`` can
+        otherwise disagree with the scan window's own rounding by one.
+
+        """
+
+        if count is None:
+            count = int(round(4 * self.marginal_window * sampling_rate)) + 1
         first = self.trigger_time - 2 * self.marginal_window
         return np.array(
             [first + i / sampling_rate for i in range(count)], dtype=object

@@ -19,19 +19,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .rolling import trailing_window_sums
+
 
 def _rolling_moments(x, n):
     """Trailing-window sums of x, x^2, x^3, x^4 via cumulative sums."""
 
-    def window_sum(p):
-        c = jnp.cumsum(p, axis=-1)
-        padded = jnp.concatenate(
-            [jnp.zeros(p.shape[:-1] + (1,), c.dtype), c], axis=-1
-        )
-        idx = jnp.arange(p.shape[-1])
-        return padded[..., idx + 1] - padded[..., jnp.maximum(idx + 1 - n, 0)]
-
-    return [window_sum(x**k) for k in range(1, 5)]
+    return [trailing_window_sums(x**k, n) for k in range(1, 5)]
 
 
 @partial(jax.jit, static_argnames=("nkurt",))
@@ -103,19 +97,10 @@ def kurtosis_cf_rows(signal, nkurt_rows, nsmooth):
     idx = jnp.arange(t)
     n_col = nkurt_rows[:, None].astype(signal.dtype)
 
-    def window_sum(p):
-        c = jnp.cumsum(p, axis=-1)
-        padded = jnp.concatenate(
-            [jnp.zeros(p.shape[:-1] + (1,), c.dtype), c], axis=-1
-        )
-        hi = padded[..., idx + 1]
-        lo_idx = jnp.maximum(idx[None, :] + 1 - nkurt_rows[:, None], 0)
-        return hi - jnp.take_along_axis(padded, lo_idx, axis=-1)
-
-    s1 = window_sum(signal)
-    s2 = window_sum(signal**2)
-    s3 = window_sum(signal**3)
-    s4 = window_sum(signal**4)
+    s1 = trailing_window_sums(signal, nkurt_rows)
+    s2 = trailing_window_sums(signal**2, nkurt_rows)
+    s3 = trailing_window_sums(signal**3, nkurt_rows)
+    s4 = trailing_window_sums(signal**4, nkurt_rows)
 
     mean = s1 / n_col
     m2 = s2 / n_col - mean**2

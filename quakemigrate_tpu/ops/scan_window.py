@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .migrate import detect_reduce
+from .rolling import padded_cumsum, trailing_window_sums
 from .stalta import _envelope
 
 
@@ -38,16 +39,7 @@ def _windowed_sums_dynamic(x, n):
 
     """
 
-    csum = jnp.cumsum(x, axis=-1)
-    padded = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (1,), csum.dtype), csum], axis=-1
-    )
-    t = x.shape[-1]
-    idx = jnp.arange(t)
-    hi = padded[..., idx + 1]
-    lo_idx = jnp.maximum(idx[None, :] + 1 - n[:, None], 0)
-    lo = jnp.take_along_axis(padded, lo_idx, axis=-1)
-    return hi - lo
+    return trailing_window_sums(x, n)
 
 
 def _sta_lta_dynamic(signal, nsta, nlta, position):
@@ -78,10 +70,7 @@ def _sta_lta_dynamic(signal, nsta, nlta, position):
         return jnp.where(valid, ratio, 1.0)
 
     # centred: lta trails, sta leads
-    csum = jnp.cumsum(signal, axis=-1)
-    padded = jnp.concatenate(
-        [jnp.zeros(signal.shape[:-1] + (1,), csum.dtype), csum], axis=-1
-    )
+    padded = padded_cumsum(signal)
     hi = padded[..., idx + 1]
     lo_idx = jnp.maximum(idx[None, :] + 1 - nlta_col, 0)
     lta = hi - jnp.take_along_axis(padded, lo_idx, axis=-1)

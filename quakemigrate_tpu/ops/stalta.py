@@ -23,19 +23,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import rolling
+
 
 def _windowed_sums(signal, nsta, nlta):
     """Trailing-window rolling sums: sta[i] = sum(signal[i-nsta+1..i])."""
 
-    csum = jnp.cumsum(signal, axis=-1)
-    padded = jnp.concatenate(
-        [jnp.zeros(signal.shape[:-1] + (1,), csum.dtype), csum], axis=-1
+    return (
+        rolling.trailing_window_sums(signal, nsta),
+        rolling.trailing_window_sums(signal, nlta),
     )
-    n = signal.shape[-1]
-    idx = jnp.arange(n)
-    sta = padded[..., idx + 1] - padded[..., jnp.maximum(idx + 1 - nsta, 0)]
-    lta = padded[..., idx + 1] - padded[..., jnp.maximum(idx + 1 - nlta, 0)]
-    return sta, lta
 
 
 @partial(jax.jit, static_argnames=("nsta", "nlta"))
@@ -88,9 +85,11 @@ def recursive_sta_lta(signal, nsta, nlta):
     """
     Recursive STA/LTA: sta_i = c*x_i + (1-c)*sta_{i-1} with c = 1/nsta
     (similarly for lta), computed with an associative scan so it
-    parallelises despite the recurrence. First nlta samples are 1; sample 0
-    is 0 (matching the reference's zero-initialised output buffer,
-    core/lib.py:252-285).
+    parallelises despite the recurrence. Matching the reference
+    (core/src/onsetlib.c:126-148 + the zero-initialised output buffer in
+    core/lib.py:252-285): when nlta < n the first nlta samples — sample 0
+    included — are nulled to 1; when nlta >= n nothing is nulled and
+    sample 0 stays 0.
 
     """
 

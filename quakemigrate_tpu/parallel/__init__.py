@@ -85,7 +85,6 @@ def make_sharded_detect(
     """
 
     n_shards = mesh.shape[grid_axis]
-    per_shard_nodes = None  # resolved at trace time from the local shape
 
     def _local(onsets, tt_local, mask, available):
         shard = jax.lax.axis_index(grid_axis)

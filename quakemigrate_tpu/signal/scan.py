@@ -166,7 +166,9 @@ class QuakeScan:
         self._device_tt = None
         self._slot_index = None
         self._sharded_detect = None
+        self._sharded_detect_key = None
         self._sharded_detect_fused = None
+        self._sharded_fused_key = None
         self._mxu = None
         self._mxu_geometry = None
         self._tt_host = None
@@ -650,8 +652,15 @@ class QuakeScan:
                     util.DataGapException,
                     util.DataAvailabilityException,
                 ) as e:
-                    # Keep the output stream chronological: flush any
-                    # pending device results before writing the empty block
+                    # Keep the output stream chronological: dispatch any
+                    # already-prepared earlier steps of THIS batch, then
+                    # flush everything pending before writing the empty
+                    # block.
+                    if prepared:
+                        pending.append(
+                            (prepared, self._run_detect_batch(prepared))
+                        )
+                        prepared = {}
                     while pending:
                         self._drain_detect_results(
                             coalescence, availability, starttime,
@@ -921,8 +930,10 @@ class QuakeScan:
             nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
             kind = sample["fused_kind"]
 
-            if self.mesh is not None and self._sharded_detect_fused is None:
+            if (self.mesh is not None
+                    and self._sharded_fused_key != (kind, fsmp, nsamples)):
                 self._build_sharded_detect_fused(kind, fsmp, nsamples)
+                self._sharded_fused_key = (kind, fsmp, nsamples)
 
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
@@ -995,7 +1006,7 @@ class QuakeScan:
         nsamples = sample["block"].shape[-1] - fsmp - lsmp
 
         batch_size = 1 if self.mesh is not None else self.detect_batch
-        if batch_size == 1 or self.mesh is not None:
+        if batch_size == 1:
             results = {}
             with jax.profiler.TraceAnnotation("qm_migrate_detect"):
                 for i in keys:
@@ -1094,7 +1105,7 @@ class QuakeScan:
                     onset_block, mask, available, fsmp, nsamples,
                 )
             coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
-            times = event.mw_times(self.scan_rate)
+            times = event.mw_times(self.scan_rate, count=nsamples)
             return (
                 times,
                 np.asarray(max_coa, dtype=np.float64),
@@ -1114,12 +1125,15 @@ class QuakeScan:
                 onset_block, self._device_tt, mask, available, fsmp,
                 nsamples, n_nodes_real=self._n_nodes, tile=self.tile,
             )
-        if self._sharded_detect is None:
+        # Keyed on the scan geometry: detect and (two-pass) locate share
+        # this cache but run different window lengths.
+        if self._sharded_detect_key != (fsmp, nsamples):
             from quakemigrate_tpu.parallel import make_sharded_detect
 
             self._sharded_detect = make_sharded_detect(
                 self.mesh, fsmp, nsamples, self._n_nodes, tile=self.tile
             )
+            self._sharded_detect_key = (fsmp, nsamples)
         return self._sharded_detect(onset_block, self._device_tt, mask,
                                     available)
 

@@ -174,3 +174,82 @@ def test_allow_gaps_keeps_station(tmp_path, small_lut):
         index_col=0,
     )
     assert avail2["S0_P"].iloc[1] == 1
+
+
+def test_batch_mid_failure_keeps_chronological_appends(
+    tmp_path, small_lut, monkeypatch
+):
+    """
+    With detect_batch > 1, a failed step mid-batch must not have its
+    zero-filled block appended before the SAME batch's earlier successful
+    steps (regression: only previous batches were flushed on failure).
+
+    """
+
+    from quakemigrate_tpu.io.scanmseed import ScanmSEED
+
+    lut, stations = small_lut
+    # Gap across all stations at 29-32 s (data seconds; scan starts at
+    # data second 10). With this fixture's pads (pre 3.6 s, post 9.0 s)
+    # the 10 s scan windows span [10i+6.4, 10i+29) data seconds, so
+    # steps 1-2 fail while steps 0, 3 and 4 succeed -- step 0 is
+    # prepared in the same batch BEFORE step 1's failure, which is the
+    # regression shape.
+    root = tmp_path / "archive"
+    rng = np.random.default_rng(1)
+    start = UTCDateTime("2021-03-10T10:00:00.0")
+    n = int(70 * SPS) + 1
+    for _, stn in stations.iterrows():
+        for comp in "ZNE":
+            tr = Trace(
+                rng.normal(size=n),
+                {"station": stn.Name, "channel": f"HH{comp}",
+                 "network": "XX", "starttime": start,
+                 "sampling_rate": float(SPS)},
+            )
+            a = tr.slice(endtime=start + 29.0)
+            b = tr.slice(starttime=start + 32.0)
+            day_dir = root / "2021" / "069"
+            day_dir.mkdir(parents=True, exist_ok=True)
+            for k, t in enumerate((a, b)):
+                t.write(str(day_dir / f"{stn.Name}_{comp}_{k}.m"),
+                        format="MSEED")
+
+    appended = []
+    orig_append = ScanmSEED.append
+
+    def spy(self, starttime, *args, **kwargs):
+        appended.append(starttime)
+        return orig_append(self, starttime, *args, **kwargs)
+
+    monkeypatch.setattr(ScanmSEED, "append", spy)
+
+    archive = Archive(
+        archive_path=root, stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+        run_name="midgap", marginal_window=1.0, timestep=10.0, tile=64,
+        detect_batch=5, fused_detect=False,
+    )
+    scan.detect("2021-03-10T10:00:10.0", "2021-03-10T10:01:00.0")
+
+    assert appended == sorted(appended)
+    assert len(appended) == 5
+
+    st = read(
+        str(tmp_path / "runs" / "midgap" / "detect" / "scanmseed"
+            / "2021_069.scanmseed")
+    )
+    coa = st.select(station="COA")[0]
+    assert coa.stats.npts == 50 * SPS
+    # Steps 1-2 zero-filled, steps 0, 3 and 4 nonzero
+    assert (coa.data[10 * SPS:30 * SPS] == 0).all()
+    assert coa.data[:10 * SPS].max() > 0
+    assert coa.data[30 * SPS:40 * SPS].max() > 0
+    assert coa.data[40 * SPS:].max() > 0

@@ -348,3 +348,25 @@ def test_event_write_metre_grid_integer_depths(tmp_path):
     assert int(row["Z"]) == 1235  # rounded, not truncated
     # X/Y keep at least 6 decimals
     assert abs(row["X"] - 10.123457) < 5e-7
+
+
+def test_event_mw_times_rounding_and_count():
+    """
+    mw_times must round (not truncate) 4*mw*rate -- truncation disagrees
+    with the scan window's own nearest-sample rounding for combos like
+    mw=2.3 @ 50 Hz (4*2.3*50 = 459.99999999999994) -- and an explicit
+    ``count`` must pin the length to the migration window exactly.
+
+    """
+
+    from quakemigrate_tpu.io.event import Event
+
+    ev = Event(marginal_window=2.3)
+    ev.trigger_time = UTCDateTime("2021-01-01T00:00:10.0")
+
+    times = ev.mw_times(50.0)
+    assert len(times) == 461  # round(459.99999...) + 1
+    assert times[0] == ev.trigger_time - 4.6
+    assert abs((times[-1] - times[0]) - 9.2) < 1e-9
+
+    assert len(ev.mw_times(50.0, count=123)) == 123

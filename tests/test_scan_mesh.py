@@ -504,3 +504,48 @@ def test_sharded_combine_matches_single_device_large_random():
     assert mismatches.size == 0, (
         f"{mismatches.size} argmax mismatches, first {mismatches[:5]}"
     )
+
+
+def test_mesh_kernel_cache_rekeys_on_geometry_change(setup):
+    """
+    Re-running detect with a different timestep on the SAME QuakeScan
+    instance (mesh) must rebuild the sharded kernels for the new window
+    geometry rather than reusing closures traced with the old static
+    fsmp/nsamples (regression: caches were keyed on nothing).
+
+    """
+
+    root, archive, lut = setup
+
+    from quakemigrate_tpu.io.core import Run
+
+    def make_scan(name, timestep, fused):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        return QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, timestep=timestep,
+            mesh=make_mesh(jax.devices()), tile=64, fused_detect=fused,
+        )
+
+    span = ("2021-02-18T12:00:20.0", "2021-02-18T12:00:30.0")
+    for fused in (False, True):
+        tag = "f" if fused else "s"
+        scan = make_scan(f"rekey_{tag}_a", 5.0, fused)
+        scan.detect(*span)
+
+        # Same instance, new window geometry (different fsmp/nsamples)
+        scan.run = Run(str(root / "runs"), f"rekey_{tag}_b", "")
+        scan.timestep = 2.5
+        scan.detect(*span)
+
+        fresh = make_scan(f"rekey_{tag}_c", 2.5, fused)
+        fresh.detect(*span)
+
+        got = (root / "runs" / f"rekey_{tag}_b" / "detect" / "scanmseed"
+               / "2021_049.scanmseed")
+        want = (root / "runs" / f"rekey_{tag}_c" / "detect" / "scanmseed"
+                / "2021_049.scanmseed")
+        assert got.read_bytes() == want.read_bytes(), f"fused={fused}"
