@@ -53,8 +53,21 @@ def _read_one_day(path, permanent_conversion=False):
 
     table = pd.read_csv(path, index_col=0)
 
-    labels = [name.split("_") for name in table.columns]
-    if labels and len(labels[0]) == 2:
+    # New-format columns are {station}_{phase}: the suffix after the LAST
+    # underscore is a short alphabetic phase label. Station names may
+    # themselves contain underscores (e.g. "ST_01"), so a plain
+    # split("_") cannot distinguish the formats.
+    def _phase_suffix(name):
+        parts = str(name).rsplit("_", 1)
+        return (
+            parts[1]
+            if len(parts) == 2 and parts[1].isalpha() and len(parts[1]) <= 2
+            else None
+        )
+
+    if len(table.columns) and all(
+        _phase_suffix(c) is not None for c in table.columns
+    ):
         return table
 
     logging.info(
@@ -63,7 +76,7 @@ def _read_one_day(path, permanent_conversion=False):
     )
     expanded = pd.DataFrame(index=table.index)
     for phase in "PS":
-        for station, *_ in labels:
+        for station in table.columns:
             expanded[f"{station}_{phase}"] = table[station].values
 
     if permanent_conversion:
@@ -89,7 +102,11 @@ def write_availability(run, availability):
         target.parent.mkdir(exist_ok=True, parents=True)
         day_rows = availability.iloc[list(members)]
         if target.is_file():
-            prior = pd.read_csv(target, index_col=0)
+            # Normalise through the old-format converter so a resumed
+            # run merging over an old-format file does not produce a
+            # union of old and new columns
+            prior = _read_one_day(target)
             keep = prior[~prior.index.isin(day_rows.index)]
-            day_rows = pd.concat([keep, day_rows]).sort_index()
+            if len(keep):
+                day_rows = pd.concat([keep, day_rows]).sort_index()
         day_rows.to_csv(target)

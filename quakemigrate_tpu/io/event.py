@@ -158,6 +158,10 @@ class Event:
         self.trim_bounds = (self.coa_data.index[0], self.coa_data.index[-1])
         if self.map4d is not None:
             first, last = self.trim_bounds
+            # End-exclusive slice while coa_data keeps row `last`: a
+            # reference-parity quirk (ref io/event.py:433-435) pinned by
+            # the golden .event files; the two-pass marginalisation path
+            # mirrors it (scan.py passes window_length = i1 - i0).
             self.map4d = self.map4d[..., first:last]
         self.coa_data = self.coa_data.reset_index(drop=True)
         self.otime = self._peak_row()["DT"]
@@ -228,7 +232,11 @@ class Event:
             for col in targets:
                 frame[col] = frame[col].round(decimals=decimals)
                 if decimals <= 0:
-                    frame[col] = frame[col].astype(int)
+                    # Per-value: a degenerate uncertainty fit can leave
+                    # NaN, which a column astype(int) would raise on
+                    frame[col] = frame[col].map(
+                        lambda x: int(x) if pd.notna(x) else x
+                    )
 
     # -- views ----------------------------------------------------------------
 

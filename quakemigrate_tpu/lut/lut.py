@@ -113,6 +113,13 @@ class Grid3D:
         Thin the traveltime tables by integer factors per axis, recentring so
         the retained nodes sit symmetrically within the original grid.
 
+        Reference-parity quirk (ref lut/lut.py:102-140): the grid corners
+        are NOT updated, so when the recentring offset is nonzero (i.e.
+        (node_count-1) % df != 0) index2coord still maps index 0 to the
+        original ll_corner — node coordinates shift by offset x old
+        spacing, exactly as in the reference. Choose node counts with
+        (count-1) divisible by the factor to avoid the shift.
+
         """
 
         factors = np.array(df, dtype=int)
@@ -281,8 +288,10 @@ class LUT(Grid3D):
         if availability is None:
             stacked = self._stack_tables(self.phases)
         else:
+            # rsplit: station names may themselves contain underscores
             live = [
-                key.split("_") for key, up in availability.items() if up == 1
+                key.rsplit("_", 1)
+                for key, up in availability.items() if up == 1
             ]
             stacked = np.stack(
                 [self[station][phase] for station, phase in live], axis=-1

@@ -44,8 +44,9 @@ def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
     ]
     station_list = None
     if not plot_all_stns and event.onset_data is not None:
+        # rsplit: station names may themselves contain underscores
         station_list = sorted(
-            {k.split("_")[0] for k, v in
+            {k.rsplit("_", 1)[0] for k, v in
              event.onset_data.availability.items() if v == 1}
         )
     lut_plot(

@@ -102,10 +102,15 @@ def _decode_cm6(text):
 def write_gse2(stream, filename):
     """Write a Stream as GSE2.0/CM6, one WID2 block per trace."""
 
+    from .utcdatetime import UTCDateTime
+
     lines = []
     for tr in stream:
         stats = tr.stats
-        t = stats.starttime
+        # Round to the WID2 field's millisecond resolution BEFORE reading
+        # components: formatting 59.9996 s as %06.3f would write the
+        # unparseable "60.000"
+        t = UTCDateTime(ns=int(round(stats.starttime.ns / 1e6)) * 1_000_000)
         data = np.asarray(tr.data)
         if not np.issubdtype(data.dtype, np.integer):
             rounded = np.rint(data)

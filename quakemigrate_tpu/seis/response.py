@@ -245,6 +245,12 @@ class Inventory:
                 end_ok = resp.end is None or datetime <= resp.end
                 if start_ok and end_ok:
                     return resp
+            # No epoch covers the requested time: erroring (as ObsPy
+            # does) beats silently applying a wrong-era response
+            raise ResponseNotFoundError(
+                f"No response epoch covers {datetime} for {seed_id}",
+                seed_id,
+            )
         return epochs[0]
 
     def get_coordinates(self, seed_id, datetime=None):

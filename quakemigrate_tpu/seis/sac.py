@@ -51,7 +51,7 @@ _INT_HDR = {
 }
 _CHAR_HDR = {  # name -> (offset, length) within the 192-char block
     "kstnm": (0, 8), "kevnm": (8, 16),
-    "kt0": (40, 8), "kt1": (48, 8), "kt2": (56, 8), "kt3": (64, 8),
+    "kt0": (48, 8), "kt1": (56, 8), "kt2": (64, 8), "kt3": (72, 8),
     "khole": (24, 8), "ko": (32, 8), "ka": (40, 8),
     "kcmpnm": (160, 8), "knetwk": (168, 8),
 }

@@ -46,8 +46,10 @@ def write_segy(stream, filename):
         first = stream[0].stats
         dt_us = int(round(1e6 / first.sampling_rate))
         binary = bytearray(400)
-        struct.pack_into(">h", binary, 16, dt_us)  # bytes 3217-3218
-        struct.pack_into(">h", binary, 20, min(first.npts, 32767))
+        # Unsigned: dt_us is validated to 1-65535, which overflows ">h"
+        # for rates below ~30.5 Hz (e.g. 20 Hz -> 50000 us)
+        struct.pack_into(">H", binary, 16, dt_us)  # bytes 3217-3218
+        struct.pack_into(">H", binary, 20, min(first.npts, 65535))
         struct.pack_into(">h", binary, 24, 5)  # format 5 = IEEE float32
         struct.pack_into(">h", binary, 300, 256)  # rev 1.0 (0x0100)
         struct.pack_into(">h", binary, 302, 1)  # fixed-length traces flag

@@ -697,7 +697,7 @@ class Stream:
                 seg = slice(off, off + tr.stats.npts)
                 overlap = have[seg]
                 if overlap.any():
-                    if method == -1:
+                    if method == -1 or (method == 0 and fill_value is None):
                         if not np.array_equal(
                             buffer[seg][overlap], tr.data[overlap]
                         ):

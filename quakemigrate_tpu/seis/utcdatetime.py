@@ -66,14 +66,15 @@ class UTCDateTime:
             if isinstance(value, datetime):
                 if value.tzinfo is None:
                     value = value.replace(tzinfo=timezone.utc)
-                self._ns = int(
-                    (value - _EPOCH).total_seconds() // 1
-                ) * _NS + value.microsecond * 1000
-                # Recompute exactly from date components to avoid float error
-                dt = value
-                days = (dt.date() - _EPOCH.date()).days
-                secs = dt.hour * 3600 + dt.minute * 60 + dt.second
-                self._ns = (days * 86400 + secs) * _NS + dt.microsecond * 1000
+                else:
+                    # Normalise non-UTC offsets before reading components
+                    value = value.astimezone(timezone.utc)
+                # Compute exactly from date components to avoid float error
+                days = (value.date() - _EPOCH.date()).days
+                secs = value.hour * 3600 + value.minute * 60 + value.second
+                self._ns = (
+                    (days * 86400 + secs) * _NS + value.microsecond * 1000
+                )
                 return
             if isinstance(value, _date):
                 days = (value - _EPOCH.date()).days

@@ -370,3 +370,87 @@ def test_event_mw_times_rounding_and_count():
     assert abs((times[-1] - times[0]) - 9.2) < 1e-9
 
     assert len(ev.mw_times(50.0, count=123)) == 123
+
+
+def test_availability_underscore_station_names(tmp_path):
+    """Stations whose names contain underscores survive the availability
+    new/old format detection and LUT key splitting (regression:
+    split('_') misparsed 'ST_01_P')."""
+
+    from types import SimpleNamespace
+
+    from quakemigrate_tpu.io.availability import _read_one_day
+
+    # New-format file with an underscore station: must NOT be treated as
+    # old-format
+    new = tmp_path / "new.csv"
+    pd.DataFrame(
+        {"ST_01_P": [1], "ST_01_S": [0]}, index=["2021-01-01T00:00:00"]
+    ).to_csv(new)
+    table = _read_one_day(new)
+    assert list(table.columns) == ["ST_01_P", "ST_01_S"]
+
+    # Old-format file (plain station columns, underscore in the name)
+    old = tmp_path / "old.csv"
+    pd.DataFrame({"ST_01": [1]}, index=["2021-01-01T00:00:00"]).to_csv(old)
+    table = _read_one_day(old)
+    assert sorted(table.columns) == ["ST_01_P", "ST_01_S"]
+
+
+def test_lut_serve_traveltimes_underscore_station():
+    """serve_traveltimes availability masking rsplits keys so underscore
+    station names resolve (regression)."""
+
+    from quakemigrate_tpu import compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    grid_spec = dict(
+        ll_corner=[-0.02, -0.02, 0.0], ur_corner=[0.02, 0.02, 5.0],
+        node_spacing=[2.0, 2.0, 2.0], grid_proj=gproj,
+        coord_proj=Proj(proj="longlat"),
+    )
+    stations = pd.DataFrame(
+        {"Name": ["ST_01", "B"], "Longitude": [0.01, -0.01],
+         "Latitude": [0.01, -0.01], "Elevation": [0.0, 0.0]}
+    )
+    lut = compute_traveltimes(
+        grid_spec, stations, method="homogeneous", phases=["P"], vp=5.0,
+        vs=3.0,
+    )
+    tt = lut.serve_traveltimes(50, {"ST_01_P": 1, "B_P": 1})
+    assert tt.shape[-1] == 2
+
+
+def test_event_write_nan_uncertainty_metre_grid(tmp_path):
+    """A degenerate uncertainty fit (NaN) must not kill the .event write
+    on metre grids where columns are cast to int (regression)."""
+
+    from types import SimpleNamespace
+
+    from quakemigrate_tpu.io.event import Event
+
+    run = SimpleNamespace(path=tmp_path, subname="")
+    lut = SimpleNamespace(precision=[-2, -2, -2], unit_name="m")
+
+    event = Event(1.0, {"EventID": "20200101000001000",
+                        "CoaTime": UTCDateTime("2020-01-01T00:00:01"),
+                        "TRIG_COA": 1.5, "COA": 1.4, "COA_NORM": 1.3})
+    event.add_compute_output(
+        np.array([UTCDateTime("2020-01-01T00:00:01")], dtype=object),
+        np.array([1.9]), np.array([1.7]),
+        np.array([[10.1, 20.1, 1234.6]]),
+        None, None,
+    )
+    event.add_spline_location([10.1, 20.1, 1234.6])
+    event.add_gaussian_location([10.1, 20.1, 1230.4],
+                                [np.nan, np.nan, np.nan])
+    event.add_covariance_location([10.2, 20.2, 1231.6],
+                                  [150.456, np.nan, 170.456])
+    event.write(run, lut)
+
+    out = pd.read_csv(tmp_path / "locate" / "events" / f"{event.uid}.event")
+    row = out.iloc[0]
+    assert int(row["Z"]) == 1235
+    assert np.isnan(row["GAU_ErrX"])
+    assert int(row["COV_ErrX"]) == 150

@@ -376,3 +376,119 @@ class TestSteimFuzz:
             str(file), format="MSEED", encoding="STEIM2"
         )
         assert np.array_equal(read(str(file))[0].data, data)
+
+
+def test_segy_low_sampling_rate(tmp_path):
+    """20 Hz => 50000 us sample interval, which overflows a signed short:
+    the binary file header must pack it unsigned (regression)."""
+
+    from quakemigrate_tpu.seis import Stream, Trace, read
+
+    tr = Trace(
+        np.arange(100, dtype=np.float32),
+        {"station": "LOW", "channel": "HHZ", "sampling_rate": 20.0,
+         "starttime": "2021-02-18T01:02:03.0"},
+    )
+    f = tmp_path / "low.segy"
+    Stream([tr]).write(str(f), format="SEGY")
+    st = read(str(f))
+    assert st[0].stats.sampling_rate == 20.0
+    np.testing.assert_array_equal(st[0].data, tr.data)
+
+
+def test_sac_char_header_layout(tmp_path):
+    """ka/kt0-kt3 live in distinct 8-byte slots at the canonical SAC
+    offsets (ka=40, kt0=48..kt3=72 within the char block): a P label in
+    'ka' and an S label in 'kt0' must not collide (regression)."""
+
+    from quakemigrate_tpu.seis import Stream, Trace
+    from quakemigrate_tpu.seis.sac import read_sac
+
+    tr = Trace(
+        np.arange(50, dtype=np.float32),
+        {"station": "STA1", "channel": "HHZ", "network": "XX",
+         "starttime": "2021-01-01T00:00:00", "sampling_rate": 100.0},
+    )
+    f = tmp_path / "t.sac"
+    Stream([tr]).write(
+        str(f), format="SAC", extra_headers={"a": 1.5, "ka": "P",
+                                             "t0": 3.0, "kt0": "S"}
+    )
+
+    raw = f.read_bytes()
+    chars = raw[632 - 192 : 632]  # char block: last 192 bytes of header
+    assert chars[40:48].decode().strip() == "P"   # ka
+    assert chars[48:56].decode().strip() == "S"   # kt0
+
+    st = read_sac(str(f))
+    assert st[0].stats.station == "STA1"
+
+
+def test_utcdatetime_tz_aware_offset():
+    """A tz-aware datetime with a non-UTC offset converts to UTC
+    (regression: the offset was ignored)."""
+
+    from datetime import datetime, timedelta, timezone
+
+    dt = datetime(2020, 6, 1, 12, 0, 0, tzinfo=timezone(timedelta(hours=2)))
+    t = UTCDateTime(dt)
+    assert str(t).startswith("2020-06-01T10:00:00")
+
+    # Offsets that cross a date boundary
+    dt2 = datetime(2020, 6, 1, 1, 30, 0,
+                   tzinfo=timezone(timedelta(hours=5, minutes=30)))
+    assert str(UTCDateTime(dt2)).startswith("2020-05-31T20:00:00")
+
+
+def test_merge_method0_conflict_raises():
+    """merge(method=0) without fill_value must raise on conflicting
+    overlaps, as documented (regression: it silently overwrote)."""
+
+    from quakemigrate_tpu.util import MergeError
+
+    hdr = {"station": "S", "channel": "HHZ", "sampling_rate": 10.0}
+    a = Trace(np.zeros(20), {**hdr, "starttime": "2021-01-01T00:00:00"})
+    b = Trace(np.ones(20), {**hdr, "starttime": "2021-01-01T00:00:01"})
+    with pytest.raises(MergeError):
+        Stream([a, b]).merge(method=0)
+
+    # With a fill_value the later trace wins, no error
+    st = Stream([a.copy(), b.copy()]).merge(method=0, fill_value=0)
+    assert len(st) == 1
+
+
+def test_gse2_subsecond_rollover(tmp_path):
+    """A starttime whose milliseconds round up past 59.999 s must not
+    emit an unparseable '60.000' seconds field (regression)."""
+
+    from quakemigrate_tpu.seis import read
+
+    tr = Trace(
+        np.arange(40, dtype=np.int32),
+        {"station": "ROLL", "channel": "HHZ", "sampling_rate": 20.0,
+         "starttime": UTCDateTime("2021-01-01T00:00:59.999600")},
+    )
+    f = tmp_path / "roll.gse2"
+    Stream([tr]).write(str(f), format="GSE2")
+    st = read(str(f))
+    assert abs(st[0].stats.starttime - UTCDateTime("2021-01-01T00:01:00")) \
+        < 1e-6
+
+
+def test_response_epoch_mismatch_raises():
+    """A query time outside every response epoch errors instead of
+    silently returning the first epoch (regression)."""
+
+    from quakemigrate_tpu.seis.response import Inventory
+    from quakemigrate_tpu.util import ResponseNotFoundError
+
+    class _Resp:
+        start = UTCDateTime("2010-01-01")
+        end = UTCDateTime("2015-01-01")
+
+    inv = Inventory(responses={"XX.STA1..HHZ": [_Resp()]})
+    assert inv.get_response("XX.STA1..HHZ", UTCDateTime("2012-06-01")) \
+        is not None
+    assert inv.get_response("XX.STA1..HHZ") is not None  # no-time query
+    with pytest.raises(ResponseNotFoundError):
+        inv.get_response("XX.STA1..HHZ", UTCDateTime("2017-06-01"))
