@@ -64,6 +64,9 @@ def read_run(run_dir, units, run_subname="", local_mag_ph="S"):
     locate_dir = pathlib.Path(run_dir) / "locate" / run_subname
     events_dir = locate_dir / "events"
 
+    if units not in ("km", "m"):
+        raise AttributeError(f"units must be 'km' or 'm'; not {units}")
+
     records = []
     if not events_dir.is_dir():
         return records

@@ -79,6 +79,12 @@ def sac_mfast(event, stations, output_path, units, cut_waveforms_file,
             elif pick["Phase"] == "S":
                 s_pick = rel
 
+        if s_pick == 0.0:
+            # No usable S pick: MFAST windows its splitting measurement
+            # around t0, so writing t0=0.0 would hand it noise at the
+            # trace start (ref export/to_mfast.py:107-110 skips too)
+            continue
+
         headers = {
             "evla": evla,
             "evlo": evlo,
@@ -89,10 +95,11 @@ def sac_mfast(event, stations, output_path, units, cut_waveforms_file,
             "dist": dist / 1000.0,
             "az": az,
             "o": origin_time,
-            "a": p_pick,
             "t0": s_pick,
             "kt0": "S",
         }
+        if p_pick != 0.0:
+            headers["a"] = p_pick
 
         for tr in st:
             comp = tr.stats.channel[-1].lower() if tr.stats.channel else "x"

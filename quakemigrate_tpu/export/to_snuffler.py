@@ -52,7 +52,9 @@ def snuffler_markers(event, output_path, filename=None):
     def _stamp(t):
         return (
             f"{t.year}-{t.month:02d}-{t.day:02d} "
-            f"{t.hour:02d}:{t.minute:02d}:{t.second:02d}.{t.microsecond}"
+            # Zero-padded: an unpadded microsecond field would render
+            # e.g. 1234 us as 0.1234 s in Snuffler
+            f"{t.hour:02d}:{t.minute:02d}:{t.second:02d}.{t.microsecond:06d}"
         )
 
     with output.open("w") as f:

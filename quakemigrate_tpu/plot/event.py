@@ -172,3 +172,6 @@ def _plot_coalescence_trace(ax, event):
                label="Origin time")
     ax.set_ylabel("Coalescence")
     ax.legend(fontsize=8)
+    # Sub-second tick labels: the marginal window is only seconds long
+    # (ref plot/event.py:283)
+    ax.xaxis.set_major_formatter(util.DateFormatter("%H:%M:%S.{ms}", 2))

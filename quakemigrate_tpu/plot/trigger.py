@@ -52,6 +52,9 @@ def trigger_summary(
     times = [t.matplotlib_date for t in data["DT"]]
 
     # --- Coalescence traces ---
+    # Sub-second tick labels for short trigger windows (ref
+    # plot/trigger.py:294); the x-axis is shared across panels
+    ax_coa.xaxis.set_major_formatter(util.DateFormatter("%H:%M:%S.{ms}", 2))
     ax_coa.plot(times, data["COA"], c="k", lw=0.5, label="Max coalescence")
     ax_coan.plot(
         times, data["COA_N"], c="k", lw=0.5,

@@ -11,10 +11,69 @@ once and shared by both pads.
 """
 
 import abc
+import logging
 from dataclasses import dataclass
 from math import ceil
 
+import numpy as np
+
 from quakemigrate_tpu.util import trim2sample
+
+
+def fill_gaps(waveforms, data):
+    """Taper, merge and pad gappy channels with a tiny fill value."""
+
+    tiny = np.sqrt(np.finfo(float).tiny)
+    waveforms.taper(type="cosine", max_percentage=0.05)
+    waveforms.merge(method=1, fill_value=tiny)
+    waveforms.trim(
+        starttime=data.starttime - 0.00001, endtime=data.endtime + 0.00001,
+        pad=True, fill_value=tiny, nearest_sample=False,
+    )
+
+
+def gather_phase_waveforms(onset, data, phase, conditioned):
+    """
+    Availability-check one phase's pre-processed waveforms per station:
+    drop channels that failed QC, gap-fill when gaps / partial data are
+    tolerated (so downstream device batches keep a fixed shape), and
+    return ``({station: Stream}, {f"{station}_{phase}": 0/1})``.
+
+    Shared by every onset implementation — the availability semantics
+    (ref signal/onsets/stalta.py:353-489) must not drift between them.
+
+    """
+
+    criteria = dict(
+        all_channels=onset.all_channels,
+        n_channels=onset.channel_counts[phase],
+        allow_gaps=onset.allow_gaps,
+        full_timespan=onset.full_timespan,
+        check_sampling_rate=True,
+        sampling_rate=onset.sampling_rate,
+    )
+
+    availability, kept = {}, {}
+    for station in data.stations:
+        waveforms = conditioned.select(station=station)
+        available, per_channel = data.check_availability(
+            waveforms, **criteria
+        )
+        availability[f"{station}_{phase}"] = available
+        if not available:
+            logging.info(f"\t\tNo {phase} onset for {station}.")
+            continue
+
+        for tr_id, ok in per_channel.items():
+            if not ok:
+                for tr in list(waveforms.select(id=tr_id)):
+                    waveforms.remove(tr)
+        if onset.allow_gaps or not onset.full_timespan:
+            fill_gaps(waveforms, data)
+
+        kept[station] = waveforms
+
+    return kept, availability
 
 
 class Onset(metaclass=abc.ABCMeta):

@@ -15,7 +15,7 @@ import numpy as np
 import quakemigrate_tpu.util as util
 from quakemigrate_tpu.ops.kurtosis import kurtosis_onset
 from quakemigrate_tpu.seis import Stream
-from .base import Onset, OnsetData
+from .base import Onset, OnsetData, gather_phase_waveforms
 from .stalta import pre_process
 
 
@@ -104,36 +104,19 @@ class KurtosisOnset(Onset):
                 data.endtime,
             )
 
-            # Availability-filter per station, then batch the WHOLE phase's
-            # channel rows into ONE device call (a per-station call would
-            # pay a dispatch round-trip each)
-            kept = {}
+            # Availability-filter per station (shared helper: drops failed
+            # channels and gap-fills when gaps / partial data are
+            # tolerated, keeping the batch a fixed shape), then batch the
+            # WHOLE phase's channel rows into ONE device call (a
+            # per-station call would pay a dispatch round-trip each)
+            kept, phase_avail = gather_phase_waveforms(
+                self, data, phase, filtered_phase_waveforms
+            )
+            availability.update(phase_avail)
+
             rows = []
             station_slices = {}
-            for station in data.stations:
-                waveforms = filtered_phase_waveforms.select(station=station)
-
-                available, av_dict = data.check_availability(
-                    waveforms,
-                    all_channels=self.all_channels,
-                    n_channels=self.channel_counts[phase],
-                    allow_gaps=self.allow_gaps,
-                    full_timespan=self.full_timespan,
-                    check_sampling_rate=True,
-                    sampling_rate=self.sampling_rate,
-                )
-                availability[f"{station}_{phase}"] = available
-
-                if available == 0:
-                    logging.info(f"\t\tNo {phase} onset for {station}.")
-                    continue
-
-                for key, chan_available in av_dict.items():
-                    if chan_available == 0:
-                        for tr in list(waveforms.select(id=key)):
-                            waveforms.remove(tr)
-
-                kept[station] = waveforms
+            for station, waveforms in kept.items():
                 lo = len(rows)
                 rows.extend(
                     np.asarray(tr.data, dtype=np.float64) for tr in waveforms
@@ -207,27 +190,10 @@ class KurtosisOnset(Onset):
                 data.starttime,
                 data.endtime,
             )
-            kept = {}
-            for station in data.stations:
-                waveforms = filtered.select(station=station)
-                available, av_dict = data.check_availability(
-                    waveforms,
-                    all_channels=self.all_channels,
-                    n_channels=self.channel_counts[phase],
-                    allow_gaps=self.allow_gaps,
-                    full_timespan=self.full_timespan,
-                    check_sampling_rate=True,
-                    sampling_rate=self.sampling_rate,
-                )
-                availability[f"{station}_{phase}"] = available
-                if available == 0:
-                    logging.info(f"\t\tNo {phase} onset for {station}.")
-                    continue
-                for key, chan_available in av_dict.items():
-                    if chan_available == 0:
-                        for tr in list(waveforms.select(id=key)):
-                            waveforms.remove(tr)
-                kept[station] = waveforms
+            kept, phase_avail = gather_phase_waveforms(
+                self, data, phase, filtered
+            )
+            availability.update(phase_avail)
             kept_by_phase[phase] = kept
 
         for s, (phase, station) in enumerate(slots):

@@ -22,7 +22,7 @@ import numpy as np
 import quakemigrate_tpu.util as util
 from quakemigrate_tpu.ops import stalta as stalta_ops
 from quakemigrate_tpu.seis import Stream
-from .base import Onset, OnsetData
+from .base import Onset, OnsetData, gather_phase_waveforms
 
 
 def pre_process(stream, sampling_rate, resample, upfactor, filter_,
@@ -126,50 +126,10 @@ class STALTAOnset(Onset):
             self.bandpass_filters[phase], data.starttime, data.endtime,
         )
 
-        criteria = dict(
-            all_channels=self.all_channels,
-            n_channels=self.channel_counts[phase],
-            allow_gaps=self.allow_gaps,
-            full_timespan=self.full_timespan,
-            check_sampling_rate=True,
-            sampling_rate=self.sampling_rate,
+        kept, availability = gather_phase_waveforms(
+            self, data, phase, conditioned
         )
-
-        availability, kept = {}, {}
-        for station in data.stations:
-            waveforms = conditioned.select(station=station)
-            available, per_channel = data.check_availability(
-                waveforms, **criteria
-            )
-            availability[f"{station}_{phase}"] = available
-            if not available:
-                logging.info(f"\t\tNo {phase} onset for {station}.")
-                continue
-
-            # Drop individual channels that failed QC, then (when gaps are
-            # tolerated) fill them so the device batch has fixed shape.
-            for tr_id, ok in per_channel.items():
-                if not ok:
-                    for tr in list(waveforms.select(id=tr_id)):
-                        waveforms.remove(tr)
-            if self.allow_gaps or not self.full_timespan:
-                self._fill_gaps(waveforms, data)
-
-            kept[station] = waveforms
-
         return kept, availability, stw, ltw
-
-    @staticmethod
-    def _fill_gaps(waveforms, data):
-        """Taper, merge and pad gappy channels with a tiny fill value."""
-
-        tiny = np.sqrt(np.finfo(float).tiny)
-        waveforms.taper(type="cosine", max_percentage=0.05)
-        waveforms.merge(method=1, fill_value=tiny)
-        waveforms.trim(
-            starttime=data.starttime - 0.00001, endtime=data.endtime + 0.00001,
-            pad=True, fill_value=tiny, nearest_sample=False,
-        )
 
     def calculate_onsets(self, data, timespan=None):
         """
@@ -298,8 +258,6 @@ class STALTAOnset(Onset):
 
         """
 
-        import logging as _logging
-
         if c_max is None:
             c_max = max(3, max(self.channel_counts.values()))
         dtype = np.float32 if dtype is None else dtype
@@ -329,7 +287,7 @@ class STALTAOnset(Onset):
                 continue
             traces = list(waveforms)
             if len(traces) > c_max:
-                _logging.warning(
+                logging.warning(
                     f"{station}/{phase}: {len(traces)} live channels exceed "
                     f"the fused channel capacity ({c_max}); using the first "
                     f"{c_max}."

@@ -253,3 +253,44 @@ def test_batch_mid_failure_keeps_chronological_appends(
     assert coa.data[:10 * SPS].max() > 0
     assert coa.data[30 * SPS:40 * SPS].max() > 0
     assert coa.data[40 * SPS:].max() > 0
+
+
+def test_kurtosis_allow_gaps(tmp_path, small_lut):
+    """
+    KurtosisOnset with allow_gaps=True must gap-fill via the shared
+    availability helper instead of crashing on ragged trace segments
+    (regression: the kurtosis path skipped _fill_gaps).
+
+    """
+
+    from quakemigrate_tpu.signal.onsets import KurtosisOnset
+
+    lut, stations = small_lut
+    _write_noise_archive(
+        tmp_path / "archive", stations, "2021-03-12T10:00:00.0", 60.0,
+        gap=("2021-03-12T10:00:20.0", "2021-03-12T10:00:25.0"),
+    )
+    archive = Archive(
+        archive_path=tmp_path / "archive", stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    onset = KurtosisOnset(
+        sampling_rate=SPS, allow_gaps=True, full_timespan=False
+    )
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+        run_name="kurtgap", marginal_window=1.0, timestep=10.0, tile=64,
+        fused_detect=False,
+    )
+    scan.detect("2021-03-12T10:00:10.0", "2021-03-12T10:00:40.0")
+
+    avail = pd.read_csv(
+        tmp_path / "runs" / "kurtgap" / "detect" / "availability"
+        / "2021_071_StationAvailability.csv",
+        index_col=0,
+    )
+    # The gappy S0 stays available because gaps are tolerated and filled
+    assert avail["S0_P"].iloc[1] == 1
+    assert avail.iloc[1].sum() == 8

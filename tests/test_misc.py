@@ -454,3 +454,76 @@ def test_event_write_nan_uncertainty_metre_grid(tmp_path):
     assert int(row["Z"]) == 1235
     assert np.isnan(row["GAU_ErrX"])
     assert int(row["COV_ErrX"]) == 150
+
+
+def test_snuffler_marker_microsecond_padding(tmp_path):
+    """Marker fractional seconds zero-pad microseconds (regression:
+    1234 us rendered as '.1234' = 0.1234 s)."""
+
+    from quakemigrate_tpu.export import EventRecord, snuffler_markers
+
+    picks = pd.DataFrame(
+        {
+            "Station": ["STA1"],
+            "Phase": ["P"],
+            "PickTime": ["2021-01-01T12:00:00.001234"],
+            "PickError": [0.02],
+        }
+    )
+    event = EventRecord(
+        uid="padev", otime=UTCDateTime("2021-01-01T12:00:00.001234"),
+        longitude=-17.0, latitude=64.0, depth_km=5.0, picks=picks,
+    )
+    snuffler_markers(event, tmp_path)
+    text = (tmp_path / "padev" / "padev.markers").read_text()
+    assert "12:00:00.001234" in text
+    assert "12:00:00.1234" not in text
+
+
+def test_mfast_skips_stations_without_s_pick(tmp_path):
+    """Stations whose S pick failed are excluded from the MFAST export
+    (regression: t0=0.0 was written, pointing MFAST at noise)."""
+
+    from quakemigrate_tpu.export import EventRecord, sac_mfast
+    from quakemigrate_tpu.seis import read as seis_read
+
+    rng = np.random.default_rng(3)
+    st = Stream()
+    for comp in "ZNE":
+        st += Trace(
+            rng.normal(size=500),
+            {"station": "NOS", "channel": f"HH{comp}", "network": "XX",
+             "starttime": UTCDateTime("2021-01-01T00:00:00"),
+             "sampling_rate": 100.0},
+        )
+    wf_file = tmp_path / "event.m"
+    st.write(str(wf_file), format="MSEED")
+
+    picks = pd.DataFrame(
+        {
+            "Station": ["NOS", "NOS"],
+            "Phase": ["P", "S"],
+            "PickTime": ["2021-01-01T00:00:01.0", "-1"],
+            "PickError": [0.02, -1],
+        }
+    )
+    event = EventRecord(
+        uid="nosev", otime=UTCDateTime("2021-01-01T00:00:00.5"),
+        longitude=-17.0, latitude=64.0, depth_km=5.0, picks=picks,
+    )
+    stations = pd.DataFrame(
+        {"Name": ["NOS"], "Latitude": [64.05], "Longitude": [-17.05],
+         "Elevation": [0.5]}
+    )
+    sac_mfast(event, stations, tmp_path, "km", str(wf_file))
+    assert not list((tmp_path / "nosev").glob("*"))
+
+
+def test_catalog_read_run_validates_units(tmp_path):
+    """read_run rejects unknown units instead of silently scaling depths
+    by 1/1000 (regression)."""
+
+    from quakemigrate_tpu.export import read_run
+
+    with pytest.raises(AttributeError):
+        read_run(tmp_path, units="KM")
