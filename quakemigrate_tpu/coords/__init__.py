@@ -202,7 +202,6 @@ class LambertConformalConic(Projection):
         lam = np.deg2rad(lon)
         t = _tsfn(phi, self.e)
         rho = self.a * self.F * t**self.n
-        theta = self.n * (lam - self.lam0)
         # wrap to [-pi, pi] scaled by n
         theta = self.n * (np.mod(lam - self.lam0 + np.pi, 2 * np.pi) - np.pi)
         x = rho * np.sin(theta) + self.x_0
@@ -469,6 +468,31 @@ class Transformer:
         return ox, oy, np.asarray(z, float)
 
 
+def _great_circle_dist_azimuth(lat1, lon1, lat2, lon2, a, f):
+    """Great-circle distance/azimuths on the geocentric sphere — the
+    fallback for geometries where Vincenty does not converge."""
+
+    gl1 = np.arctan((1 - f) ** 2 * np.tan(np.deg2rad(lat1)))
+    gl2 = np.arctan((1 - f) ** 2 * np.tan(np.deg2rad(lat2)))
+    dlon = np.deg2rad(lon2 - lon1)
+    central = np.arccos(np.clip(
+        np.sin(gl1) * np.sin(gl2)
+        + np.cos(gl1) * np.cos(gl2) * np.cos(dlon), -1.0, 1.0,
+    ))
+    radius = (2 * a + a * (1 - f)) / 3  # mean Earth radius
+    az = np.rad2deg(np.arctan2(
+        np.sin(dlon) * np.cos(gl2),
+        np.cos(gl1) * np.sin(gl2)
+        - np.sin(gl1) * np.cos(gl2) * np.cos(dlon),
+    )) % 360
+    baz = np.rad2deg(np.arctan2(
+        -np.sin(dlon) * np.cos(gl1),
+        np.cos(gl2) * np.sin(gl1)
+        - np.sin(gl2) * np.cos(gl1) * np.cos(dlon),
+    )) % 360
+    return float(radius * central), float(az), float(baz)
+
+
 def gps2dist_azimuth(lat1, lon1, lat2, lon2, a=6378137.0, f=1 / 298.257223563):
     """
     Vincenty inverse geodesic: distance (m), azimuth A->B and back-azimuth
@@ -487,6 +511,7 @@ def gps2dist_azimuth(lat1, lon1, lat2, lon2, a=6378137.0, f=1 / 298.257223563):
     sin_u1, cos_u1 = np.sin(u1), np.cos(u1)
     sin_u2, cos_u2 = np.sin(u2), np.cos(u2)
 
+    converged = False
     for _ in range(200):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
         sin_sigma = np.sqrt(
@@ -512,7 +537,16 @@ def gps2dist_azimuth(lat1, lon1, lat2, lon2, a=6378137.0, f=1 / 298.257223563):
             )
         )
         if abs(lam - lam_prev) < 1e-12:
+            converged = True
             break
+
+    if not converged:
+        # Nearly antipodal points: Vincenty's lambda iteration diverges,
+        # and the non-converged solution can be off by many km. Fall back
+        # to a great-circle solve on the geocentric sphere instead of
+        # returning it silently (the same strategy the ObsPy function
+        # this replaces uses).
+        return _great_circle_dist_azimuth(lat1, lon1, lat2, lon2, a, f)
 
     u_sq = cos2_alpha * (a**2 - b**2) / b**2
     A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))

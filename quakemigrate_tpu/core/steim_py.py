@@ -8,11 +8,6 @@ but correct.
 
 import numpy as np
 
-_STEIM2_DECODES = {
-    # nib -> list of (dnib or None, count, bits)
-    1: (None, 4, 8),
-}
-
 
 def _sext(v, bits):
     m = 1 << (bits - 1)
@@ -74,7 +69,9 @@ def decode(frames, nframes, max_samples, out, encoding):
                 if n == 0:
                     last = x0 if x0 is not None else d
                 else:
-                    last += d
+                    # int32 wraparound, mirroring the C accumulator
+                    # (steimlib.c:112's int32_t `last`)
+                    last = _sext(last + d, 32)
                 out[n] = last
                 n += 1
     return n
@@ -93,7 +90,10 @@ def encode(samples, prev, out, nframes, encoding):
     samples = np.asarray(samples, dtype=np.int64)
     n_in = len(samples)
     prevs = np.concatenate([[prev], samples[:-1]])
-    diffs = (samples - prevs).astype(np.int64)
+    # int32 wraparound differences, mirroring the C encoder
+    # (steimlib.c:190-191 computes d in int32_t)
+    raw = (samples - prevs) & 0xFFFFFFFF
+    diffs = ((raw ^ 0x80000000) - 0x80000000).astype(np.int64)
 
     words_out = np.zeros((nframes, 16), dtype=np.uint64)
     pos = 0

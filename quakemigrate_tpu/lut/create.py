@@ -25,7 +25,6 @@ Also provides ``read_nlloc`` to import existing NonLinLoc .hdr/.buf grids.
 
 import logging
 import pathlib
-import struct
 
 import numpy as np
 from scipy.interpolate import interp1d
@@ -78,67 +77,89 @@ def compute_traveltimes(
     lut.station_data = stations
     lut.phases = phases
 
-    if method == "homogeneous":
-        logging.info("Computing homogeneous traveltimes for...")
-        lut.velocity_model = "Homogeneous velocity model:"
-        for phase in phases:
-            velocity = kwargs.get(f"v{phase.lower()}")
-            if velocity is None:
-                raise TypeError(f"Missing argument: 'v{phase.lower()}'")
-            lut.velocity_model += f"\n\tV{phase.lower()} = {velocity:5.2f}"
-            logging.info(f"\t...phase: {phase}...")
-            _compute_homogeneous(lut, phase, velocity)
-
-    elif method == "1dfmm":
-        logging.info("Computing 1-D fast-marching traveltimes for...")
-        lut.velocity_model = vmodel = kwargs.get("vmod")
-        if vmodel is None:
-            raise TypeError("Missing argument: 'vmod'")
-        for phase in phases:
-            logging.info(f"\t...phase: {phase}...")
-            _compute_1d_fmm(lut, phase, vmodel)
-
-    elif method == "1dsweep":
-        logging.info("Computing 1-D swept 2-D fast-marching traveltimes for...")
-        lut.velocity_model = vmodel = kwargs.get("vmod")
-        if vmodel is None:
-            raise TypeError("Missing argument: 'vmod'")
-        for phase in phases:
-            logging.info(f"\t...phase: {phase}...")
-            _compute_1d_sweep(lut, phase, vmodel, **kwargs)
-
-    elif method == "3dfmm":
-        logging.info("Computing 3-D fast-marching traveltimes for...")
-        vmod_3d = kwargs.get("vmod_3d")
-        if vmod_3d is None:
-            raise TypeError(
-                "Missing argument: 'vmod_3d' (dict of phase -> 3-D velocity "
-                "array on the LUT grid)"
-            )
-        lut.velocity_model = "3-D velocity model (user-supplied grids)"
-        for phase in phases:
-            logging.info(f"\t...phase: {phase}...")
-            _compute_3d_fmm(lut, phase, np.asarray(vmod_3d[phase]))
-
-    elif method == "1dnlloc":
-        logging.info("Computing 1-D NonLinLoc traveltimes for...")
-        lut.velocity_model = vmodel = kwargs.get("vmod")
-        if vmodel is None:
-            raise TypeError("Missing argument: 'vmod'")
-        for phase in phases:
-            logging.info(f"\t...phase: {phase}...")
-            _compute_1d_nlloc(lut, phase, vmodel, **kwargs)
-
-    else:
+    try:
+        banner, setup = _BUILDERS[method]
+    except KeyError:
         raise ValueError(
             f"'{method}' is not a valid method. Valid options are "
             "'homogeneous', '1dfmm', '1dsweep', '3dfmm', and '1dnlloc'."
-        )
+        ) from None
+
+    logging.info(banner)
+    per_phase = setup(lut, phases, kwargs)
+    for phase in phases:
+        logging.info(f"\t...phase: {phase}...")
+        per_phase(phase)
 
     if save_file is not None:
         lut.save(save_file)
 
     return lut
+
+
+def _require(options, key):
+    value = options.get(key)
+    if value is None:
+        raise TypeError(f"Missing argument: '{key}'")
+    return value
+
+
+def _setup_homogeneous(lut, phases, options):
+    lut.velocity_model = "Homogeneous velocity model:"
+    speeds = {}
+    for phase in phases:
+        speeds[phase] = _require(options, f"v{phase.lower()}")
+        lut.velocity_model += f"\n\tV{phase.lower()} = {speeds[phase]:5.2f}"
+    return lambda phase: _compute_homogeneous(lut, phase, speeds[phase])
+
+
+def _setup_1d_fmm(lut, phases, options):
+    lut.velocity_model = vmodel = _require(options, "vmod")
+    return lambda phase: _compute_1d_fmm(lut, phase, vmodel)
+
+
+def _setup_1d_sweep(lut, phases, options):
+    lut.velocity_model = vmodel = _require(options, "vmod")
+    return lambda phase: _compute_1d_sweep(lut, phase, vmodel, **options)
+
+
+def _setup_3d_fmm(lut, phases, options):
+    vmod_3d = options.get("vmod_3d")
+    if vmod_3d is None:
+        raise TypeError(
+            "Missing argument: 'vmod_3d' (dict of phase -> 3-D velocity "
+            "array on the LUT grid)"
+        )
+    lut.velocity_model = "3-D velocity model (user-supplied grids)"
+    return lambda phase: _compute_3d_fmm(
+        lut, phase, np.asarray(vmod_3d[phase])
+    )
+
+
+def _setup_1d_nlloc(lut, phases, options):
+    lut.velocity_model = vmodel = _require(options, "vmod")
+    return lambda phase: _compute_1d_nlloc(lut, phase, vmodel, **options)
+
+
+# method -> (log banner, setup returning the per-phase compute closure)
+_BUILDERS = {
+    "homogeneous": (
+        "Computing homogeneous traveltimes for...", _setup_homogeneous,
+    ),
+    "1dfmm": (
+        "Computing 1-D fast-marching traveltimes for...", _setup_1d_fmm,
+    ),
+    "1dsweep": (
+        "Computing 1-D swept 2-D fast-marching traveltimes for...",
+        _setup_1d_sweep,
+    ),
+    "3dfmm": (
+        "Computing 3-D fast-marching traveltimes for...", _setup_3d_fmm,
+    ),
+    "1dnlloc": (
+        "Computing 1-D NonLinLoc traveltimes for...", _setup_1d_nlloc,
+    ),
+}
 
 
 def _compute_homogeneous(lut, phase, velocity):
@@ -339,46 +360,52 @@ def _compute_1d_nlloc(lut, phase, vmodel, **kwargs):
     (cwd / "time").mkdir(exist_ok=True)
     (cwd / "model").mkdir(exist_ok=True)
 
-    for i, station in enumerate(lut.station_data["Name"].values):
+    def run_tool(tool):
+        out = check_output([str(nlloc_path / tool), "control.in"],
+                           stderr=STDOUT)
+        if b"ERROR" in out:
+            raise Exception(f"{tool} Error", out)
+
+    flat_depths = grid_xyz[2].flatten()
+    station_names = lut.station_data["Name"].values
+    for i, station in enumerate(station_names):
         logging.info(
             f"\t\t...running Grid2Time - station: {station:5s} - {i + 1} of "
             f"{len(stations_xyz)}"
         )
-        dx, dy = [grid_xyz[j] - stations_xyz[i, j] for j in range(2)]
-        distances = np.sqrt(dx**2 + dy**2).flatten()
-        depths = grid_xyz[2].flatten()
-        max_dist = np.max(distances)
-        depth_span = [
-            np.min([ll[2], stations_xyz[i, 2]]),
-            np.max([ur[2], stations_xyz[i, 2]]),
+        offsets = np.hypot(
+            grid_xyz[0] - stations_xyz[i, 0],
+            grid_xyz[1] - stations_xyz[i, 1],
+        ).flatten()
+        z_span = [
+            min(ll[2], stations_xyz[i, 2]), max(ur[2], stations_xyz[i, 2])
         ]
         _write_control_file(
-            stations_xyz[i], station, max_dist, vmodel, depth_span, phase,
+            stations_xyz[i], station, offsets.max(), vmodel, z_span, phase,
             nlloc_dx, block_model,
         )
-        for mode in ["Vel2Grid", "Grid2Time"]:
-            out = check_output([str(nlloc_path / mode), "control.in"], stderr=STDOUT)
-            if b"ERROR" in out:
-                raise Exception(f"{mode} Error", out)
+        run_tool("Vel2Grid")
+        run_tool("Grid2Time")
 
-        to_read = cwd / "time" / f"layer.{phase}.{station}.time"
-        gridspec, _, traveltimes = _read_nlloc(to_read, ignore_proj=True)
-
-        lut.traveltimes.setdefault(station, {}).update(
-            {
-                phase: _bilinear_interpolate(
-                    np.c_[distances, depths],
-                    gridspec[1, 1:],
-                    gridspec[2, 1:],
-                    traveltimes[0, :, :],
-                ).reshape(lut.node_count)
-            }
+        spec, _, table_2d = _read_nlloc(
+            cwd / "time" / f"layer.{phase}.{station}.time", ignore_proj=True
+        )
+        swept = _bilinear_interpolate(
+            np.c_[offsets, flat_depths], spec[1, 1:], spec[2, 1:],
+            table_2d[0],
+        )
+        lut.traveltimes.setdefault(station, {})[phase] = (
+            swept.reshape(lut.node_count)
         )
 
         (cwd / "control.in").unlink(missing_ok=True)
         if not retain_nll_grids:
-            for pattern in (f"layer.{phase}.{station}.time*", f"layer.{phase}.mod.*"):
-                for file in (cwd / "time").glob(pattern):
+            # Grid2Time writes under time/, Vel2Grid under model/
+            for subdir, pattern in (
+                ("time", f"layer.{phase}.{station}.time*"),
+                ("model", f"layer.{phase}.mod.*"),
+            ):
+                for file in (cwd / subdir).glob(pattern):
                     file.unlink()
 
 
@@ -486,6 +513,12 @@ def read_nlloc(path, stations, phases=None, fraction_tt=0.1, save_file=None,
                     coord_proj=cproj,
                     fraction_tt=fraction_tt,
                 )
+                # The corner round-trip through cproj can land ~1e-13
+                # above an exact spacing multiple, and the grid's
+                # 1 + ceil(span/spacing) then overcounts by one; the
+                # .hdr's node count is authoritative and must match the
+                # traveltime array shapes.
+                lut.node_count = node_count
             else:
                 _, _, traveltimes = _read_nlloc(file)
 
@@ -503,54 +536,47 @@ def read_nlloc(path, stations, phases=None, fraction_tt=0.1, save_file=None,
 def _read_nlloc(fname, ignore_proj=False):
     """Parse a NonLinLoc .hdr/.buf grid pair."""
 
-    with open(f"{fname}.hdr", "r") as f:
-        line = f.readline().split()
-        nx, ny, nz = int(line[0]), int(line[1]), int(line[2])
-        x0, y0, z0 = float(line[3]), float(line[4]), float(line[5])
-        dx, dy, dz = float(line[6]), float(line[7]), float(line[8])
+    header = pathlib.Path(f"{fname}.hdr").read_text().splitlines()
+    geometry = header[0].split()
+    shape = [int(v) for v in geometry[:3]]
+    origin = [float(v) for v in geometry[3:6]]
+    steps = [float(v) for v in geometry[6:9]]
 
-        _ = f.readline().split()  # station line
-
-        line = f.readline().split()
-        cproj = Proj(proj="longlat", ellps="WGS84")
-        gproj = None
-        if line[1] == "NONE":
-            if not ignore_proj:
-                logging.info("\tNo projection selected.")
-        elif line[1] == "SIMPLE":
-            gproj = Proj(
-                proj="eqc", lat_0=float(line[3]), lon_0=float(line[5]), units="km"
+    # header[1] is the source (station) line; header[2] the projection
+    proj_fields = header[2].split()
+    kind = proj_fields[1]
+    cproj = Proj(proj="longlat", ellps="WGS84")
+    gproj = None
+    if kind == "NONE":
+        if not ignore_proj:
+            logging.info("\tNo projection selected.")
+    elif kind == "SIMPLE":
+        gproj = Proj(
+            proj="eqc", lat_0=float(proj_fields[3]),
+            lon_0=float(proj_fields[5]), units="km",
+        )
+    elif kind == "LAMBERT":
+        ellps = _NLL_ELLIPSOIDS.get(proj_fields[3])
+        if ellps is None:
+            logging.info(
+                f"Projection Ellipsoid {proj_fields[3]} not supported! "
+                "WGS-84 used instead..."
             )
-        elif line[1] == "LAMBERT":
-            ellps = _NLL_ELLIPSOIDS.get(line[3])
-            if ellps is None:
-                logging.info(
-                    f"Projection Ellipsoid {line[3]} not supported! WGS-84 "
-                    "used instead..."
-                )
-                ellps = "WGS84"
-            gproj = Proj(
-                proj="lcc",
-                lon_0=float(line[7]),
-                lat_0=float(line[5]),
-                lat_1=float(line[9]),
-                lat_2=float(line[11]),
-                units="km",
-                ellps=ellps,
-            )
-        elif line[1] == "TRANS_MERC":
-            gproj = Proj(
-                proj="tmerc", lon_0=float(line[7]), lat_0=float(line[5]), units="km"
-            )
+            ellps = "WGS84"
+        gproj = Proj(
+            proj="lcc", lon_0=float(proj_fields[7]),
+            lat_0=float(proj_fields[5]), lat_1=float(proj_fields[9]),
+            lat_2=float(proj_fields[11]), units="km", ellps=ellps,
+        )
+    elif kind == "TRANS_MERC":
+        gproj = Proj(
+            proj="tmerc", lon_0=float(proj_fields[7]),
+            lat_0=float(proj_fields[5]), units="km",
+        )
 
-        transform = [gproj, cproj, line[1]]
+    tables = np.fromfile(
+        f"{fname}.buf", dtype=np.float32, count=int(np.prod(shape))
+    ).astype(np.float64).reshape(tuple(shape))
+    gridspec = np.array([shape, origin, steps])
 
-    with open(f"{fname}.buf", "rb") as f:
-        npts = nx * ny * nz
-        buf = f.read(npts * 4)
-        traveltimes = struct.unpack("f" * npts, buf)
-
-    traveltimes = np.array(traveltimes).reshape((nx, ny, nz))
-    gridspec = np.array([[nx, ny, nz], [x0, y0, z0], [dx, dy, dz]])
-
-    return gridspec, transform, traveltimes
+    return gridspec, [gproj, cproj, kind], tables

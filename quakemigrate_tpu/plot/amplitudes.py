@@ -51,6 +51,13 @@ def amplitudes_summary(magnitudes, amp_feature, amp_multiplier, dist_err,
     ax.set_xscale("log")
     ax.set_yscale("log")
 
+    # Goodness-of-fit annotation (ref plot/amplitudes.py:163-172)
+    ax.text(
+        0.98, 0.02, f"r-squared: {mag_r2:.2f}", transform=ax.transAxes,
+        bbox=dict(boxstyle="round", fc="w", alpha=0.8),
+        va="bottom", ha="right", fontsize=16,
+    )
+
     return fig, ax
 
 

@@ -18,6 +18,23 @@ import quakemigrate_tpu.util as util
 from .lut import lut_plot
 
 
+def _map_slices(coa_map, ijk):
+    """
+    XY/XZ/YZ cross-sections through the hypocentre in lut_plot's
+    orientation: pcolormesh maps the slice's axis 0 to the panel's x
+    coordinate (grid1 in plot.lut varies along axis 0), so the xy/xz
+    panels take the slices un-transposed and yz transposed (z on its
+    x-axis) -- same convention as ref plot/event.py:71-75.
+
+    """
+
+    return [
+        coa_map[:, :, ijk[2]],
+        coa_map[:, ijk[1], :],
+        coa_map[ijk[0], :, :].T,
+    ]
+
+
 @util.timeit()
 def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
     """Create and save the event summary figure."""
@@ -37,11 +54,7 @@ def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
     # --- Map slices through the marginalised coalescence map ---
     hypocentre = event.hypocentre
     ijk = lut.index2coord(hypocentre, inverse=True)[0]
-    slices = [
-        coa_map[:, :, ijk[2]].T,
-        coa_map[:, ijk[1], :].T,
-        coa_map[ijk[0], :, :],
-    ]
+    slices = _map_slices(coa_map, ijk)
     station_list = None
     if not plot_all_stns and event.onset_data is not None:
         # rsplit: station names may themselves contain underscores

@@ -13,7 +13,7 @@ import quakemigrate_tpu.util as util
 
 
 def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
-                 traveltimes, windows):
+                 windows):
     """Build the pick summary figure; returns the figure."""
 
     phases = list(onsets.keys())
@@ -27,13 +27,14 @@ def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
     fig.subplots_adjust(hspace=0.15)
 
     comp_selectors = [p_str, s_str_1, s_str_2]
-    sampling_rate = None
+    sampling_rate = starttime = None
 
     # --- Waveform panels ---
     for ax, comp in zip(axes[:3], comp_selectors):
         st = waveforms.select(channel=f"*{comp}")
         for tr in st:
             sampling_rate = tr.stats.sampling_rate
+            starttime = tr.stats.starttime
             data = np.asarray(tr.data, dtype=float)
             peak = np.max(np.abs(data)) or 1.0
             ax.plot(
@@ -45,25 +46,28 @@ def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
             ax.legend(fontsize=7, loc="upper right")
 
     # --- Onset panels with windows, fits and picks ---
+    # All panels share one x-axis (sharex=True), so onset samples must be
+    # placed on the same matplotlib-datenum scale as the waveforms: the
+    # onsets start at the filtered waveforms' starttime.
+    base = starttime.matplotlib_date if starttime is not None else 0.0
+    per_day = (sampling_rate or 1.0) * 86400.0
+
     for ax, phase in zip(axes[3:], phases):
         onset = onsets[phase]
         n = len(onset)
-        start = event.picks.get("gaussfits", {})
-        onset_times = None
-        if sampling_rate:
-            t0 = event.data.starttime if event.data else None
-        # Onset time axis from the onset_data start
         window = windows.get(phase)
-        ax.plot(np.arange(n), onset, c="k", lw=0.6, label=f"{phase} onset")
+        ax.plot(base + np.arange(n) / per_day, onset, c="k", lw=0.6,
+                label=f"{phase} onset")
         if window:
-            ax.axvspan(window[0], window[2], alpha=0.15, color="orange")
-            ax.axvline(window[1], c="grey", ls="--", lw=1,
+            ax.axvspan(base + window[0] / per_day, base + window[2] / per_day,
+                       alpha=0.15, color="orange")
+            ax.axvline(base + window[1] / per_day, c="grey", ls="--", lw=1,
                        label="Modelled arrival")
         fits = event.picks.get("gaussfits", {}).get(station, {}).get(phase)
         if fits and not np.isscalar(fits.get("xdata", 0)):
-            # The x_data is in seconds from the onset start
             if sampling_rate:
-                xs = np.asarray(fits["xdata"]) * sampling_rate
+                # The x_data is in seconds from the onset start
+                xs = base + np.asarray(fits["xdata"]) / 86400.0
                 ax.plot(
                     xs, util.gaussian_1d(np.asarray(fits["xdata"]),
                                          *fits["popt"]),
@@ -75,18 +79,19 @@ def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
         ax.set_ylabel(f"{phase} onset")
         ax.legend(fontsize=7, loc="upper right")
 
-    # --- Pick times on all panels ---
+    # --- Pick times on all panels (one shared datenum axis) ---
     colours = {"P": "r", "S": "b"}
     for _, pick in picks.iterrows():
         if pick["PickTime"] == -1:
             continue
-        for ax in axes[:3]:
+        for ax in axes:
             ax.axvline(
                 pick["PickTime"].matplotlib_date,
                 c=colours.get(pick["Phase"], "g"), lw=1.0,
             )
 
     fig.suptitle(f"Pick summary: {event.uid} | {station}", fontsize=14)
-    axes[-1].set_xlabel("Sample / DateTime")
+    axes[-1].set_xlabel("DateTime")
+    axes[-1].xaxis.set_major_formatter(util.DateFormatter("%H:%M:%S.{ms}", 2))
 
     return fig

@@ -70,8 +70,6 @@ def event_video(run, event, lut, fps=10, max_frames=200):
                   s=15, zorder=10)
 
     ims = []
-    axis_pairs = ((ax_xy, None), (ax_xz, None), (ax_yz, None))
-
     fpath = run.path / "locate" / run.subname / "videos"
     fpath.mkdir(exist_ok=True, parents=True)
     file = (fpath / f"{run.name}_{event.uid}_Coalescence").with_suffix(".gif")

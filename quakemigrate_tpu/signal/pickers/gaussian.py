@@ -146,9 +146,8 @@ class GaussianPicker(PhasePicker):
 
         if self.plot_picks:
             logging.info("\t\tPlotting picks...")
-            for station, station_onsets in onset_data.onsets.items():
-                tts = [modelled_tt(p, station) for p in station_onsets]
-                self.plot(event, station, onset_data, picks, tts, run)
+            for station in onset_data.onsets:
+                self.plot(event, station, onset_data, picks, run)
 
         return event, picks
 
@@ -274,7 +273,7 @@ class GaussianPicker(PhasePicker):
     # -- plotting --------------------------------------------------------------------
 
     @util.timeit()
-    def plot(self, event, station, onset_data, picks_df, traveltimes, run):
+    def plot(self, event, station, onset_data, picks_df, run):
         """Write the per-station pick summary figure."""
 
         import matplotlib.pyplot as plt
@@ -294,7 +293,6 @@ class GaussianPicker(PhasePicker):
             picks_df[picks_df["Station"] == station].reset_index(drop=True),
             onset_data.onsets[station],
             onset_data.channel_maps,
-            traveltimes,
             event.picks["pick_windows"][station],
         )
         plt.savefig((outdir / f"{event.uid}_{station}").with_suffix(".pdf"))

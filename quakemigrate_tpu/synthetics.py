@@ -114,7 +114,11 @@ def simulate_waveforms(
             scale=noise["amplitude"]["S"], size=len(wavelet.data)
         )
         s1_data = np.roll(wavelet.data.copy() * amp_factor + s_noise, roll_by)
-        s2_data = np.zeros(len(s1_data)) + s_noise
+        # Independent draw: reusing s_noise would give Q and T perfectly
+        # correlated "noise", skewing SNR/noise statistics downstream
+        s2_data = rng.normal(
+            scale=noise["amplitude"]["S"], size=len(s1_data)
+        )
 
         lqt_stream = Stream()
         for component, data in zip("LQT", [p_data, s1_data, s2_data]):

@@ -390,14 +390,11 @@ class DateFormatter:
         self.precision = precision
 
     def __call__(self, x, pos=0):
+        # NOTE: the reference raises on x == 0 ("illegal date") -- a relic
+        # of matplotlib's pre-3.3 year-0001 epoch. Since the epoch moved
+        # to 1970, 0 is a legitimate datenum and must format normally.
         from matplotlib.dates import num2date
 
-        if x == 0:
-            raise ValueError(
-                "DateFormatter found a value of x=0, which is an illegal date; "
-                "this usually occurs because you have not informed the axis "
-                "that it is plotting dates."
-            )
         when = num2date(x)
         fractional = f"{when.microsecond:06d}"[: self.precision]
         return when.strftime(self.fmt).format(ms=fractional)

@@ -191,7 +191,7 @@ def test_pick_plot_renders(tmp_path):
 
     fig = pick_summary(
         event, "PK1", waveforms, picks, onsets,
-        {"P": "*Z", "S": "*[N,E]"}, [5.0, 9.0], windows,
+        {"P": "*Z", "S": "*[N,E]"}, windows,
     )
     fig.savefig(tmp_path / "picks.pdf")
     assert (tmp_path / "picks.pdf").stat().st_size > 1000
@@ -527,3 +527,71 @@ def test_catalog_read_run_validates_units(tmp_path):
 
     with pytest.raises(AttributeError):
         read_run(tmp_path, units="KM")
+
+
+def test_read_nlloc_node_count_matches_header(tmp_path):
+    """
+    The corner round-trip through geographic coordinates can land ~1e-13
+    above an exact spacing multiple, inflating the derived node count by
+    one vs the traveltime arrays (regression): the .hdr count is
+    authoritative.
+
+    """
+
+    import struct
+
+    from quakemigrate_tpu.lut.create import read_nlloc
+
+    # A LAMBERT geometry empirically shown to overcount pre-fix
+    nx, ny, nz = 37, 101, 30
+    x0, y0, z0 = -47.95132380319026, -49.17361822357355, 0.0
+    dx, dz = 1.0, 0.5
+    lat0, lon0 = 49.10885061964363, -13.81279717416778
+    rng = np.random.default_rng(5)
+
+    stations = pd.DataFrame(
+        {"Name": ["CCC"], "Latitude": [lat0], "Longitude": [lon0],
+         "Elevation": [0.0]}
+    )
+
+    tt = rng.uniform(0.1, 5.0, size=(nx, ny, nz)).astype(np.float32)
+    stem = tmp_path / "layer.P.CCC.time"
+    with open(f"{stem}.hdr", "w") as f:
+        f.write(f"{nx} {ny} {nz} {x0} {y0} {z0} {dx} {dx} {dz} TIME\n")
+        f.write("CCC 0.0 0.0 0.0\n")
+        f.write(
+            f"TRANSFORM LAMBERT RefEllipsoid WGS-84 LatOrig {lat0} "
+            f"LongOrig {lon0} FirstStdParal {lat0 - 2} "
+            f"SecondStdParal {lat0 + 2} RotCW 0.0\n"
+        )
+    with open(f"{stem}.buf", "wb") as f:
+        f.write(struct.pack("f" * tt.size, *tt.ravel()))
+
+    lut = read_nlloc(tmp_path, stations, phases=["P"])
+    assert tuple(lut.node_count) == (nx, ny, nz)
+    # traveltime_to interpolates on axes sized from node_count: must not
+    # raise a shape mismatch
+    val = lut.traveltime_to("P", [[1, 1, 1]], "CCC")
+    assert np.isfinite(val).all()
+
+
+def test_event_summary_slice_orientation():
+    """
+    Map cross-sections feed lut_plot with axis 0 -> panel x: for a map of
+    distinct dims (nx, ny, nz) the xy slice must be (nx, ny), xz
+    (nx, nz) and yz (nz, ny) (regression: all three were transposed,
+    mirroring the coalescence blob across the panel diagonal).
+
+    """
+
+    from quakemigrate_tpu.plot.event import _map_slices
+
+    nx, ny, nz = 5, 7, 3
+    coa_map = np.arange(nx * ny * nz, dtype=float).reshape(nx, ny, nz)
+    xy, xz, yz = _map_slices(coa_map, (1, 2, 0))
+    assert xy.shape == (nx, ny)
+    assert xz.shape == (nx, nz)
+    assert yz.shape == (nz, ny)
+    np.testing.assert_array_equal(xy, coa_map[:, :, 0])
+    np.testing.assert_array_equal(xz, coa_map[:, 2, :])
+    np.testing.assert_array_equal(yz, coa_map[1, :, :].T)

@@ -492,3 +492,50 @@ def test_response_epoch_mismatch_raises():
     assert inv.get_response("XX.STA1..HHZ") is not None  # no-time query
     with pytest.raises(ResponseNotFoundError):
         inv.get_response("XX.STA1..HHZ", UTCDateTime("2017-06-01"))
+
+
+def test_steim_python_fallback_matches_native_on_extremes():
+    """
+    The pure-Python STEIM fallback must reproduce the native codec's
+    int32-wraparound semantics on INT32-extreme samples (regression: the
+    Python decode overflowed / the encode misclassified wrapped diffs).
+
+    """
+
+    from quakemigrate_tpu.core import _lib, steim_decode, steim_encode, steim_py
+
+    if _lib is None:
+        pytest.skip("native library unavailable; nothing to cross-check")
+
+    # Consecutive samples hop between the INT32 extremes so that every
+    # difference wraps into a SMALL int32 value (e.g. INT32_MIN -
+    # INT32_MAX -> +1): the codecs must agree on wraparound, and STEIM2
+    # must not misclassify the unwrapped int64 diff as >30 bits.
+    samples = np.array(
+        [2147483647, -2147483648, -2147483647, 2147483647, 2147483645,
+         -2147483648, -2147483640],
+        dtype=np.int32,
+    )
+
+    for encoding in (10, 11):
+        # Native encode -> Python decode must round-trip
+        n, frames = steim_encode(samples, int(samples[0]), 8, encoding)
+        assert n == len(samples)
+        out_py = np.empty(len(samples), dtype=np.int32)
+        got = steim_py.decode(
+            np.frombuffer(frames, dtype=np.uint8), len(frames) // 64,
+            len(samples), out_py, encoding,
+        )
+        assert got == len(samples)
+        np.testing.assert_array_equal(out_py, samples)
+
+        # Python encode (wraparound diffs) -> native decode must round-trip
+        out_pyenc = np.zeros(64 * 8, dtype=np.uint8)
+        n2, frames_used = steim_py.encode(
+            samples, int(samples[0]), out_pyenc, 8, encoding
+        )
+        assert n2 == len(samples)
+        out_rt = steim_decode(
+            out_pyenc[: frames_used * 64].tobytes(), len(samples), encoding
+        )
+        np.testing.assert_array_equal(out_rt, samples)
