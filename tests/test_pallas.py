@@ -319,3 +319,66 @@ def test_make_mxu_detect_picks_largest_fitting_tile():
     kernel = make_mxu_detect(tt, (16, 16, 16), 100, 40_000)
     assert not kernel.fits_vmem()
     assert kernel.plan.tile == MXU_CONFIGS[-1][0]
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_mxu_detect_random_geometry_fuzz(seed):
+    """
+    Randomised-geometry fuzz of the MXU kernel's plan/padding logic
+    (interpret mode): prime/odd grid dims that don't divide the tile or
+    brick, random onset counts, boundary traveltimes (0 and exactly
+    lsmp), masked-out onsets, and small windows must all agree with the
+    XLA reference kernel.
+
+    """
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+    rng = np.random.default_rng(seed)
+    dims = tuple(int(d) for d in rng.integers(3, 14, size=3))
+    n_nodes = int(np.prod(dims))
+    n_onsets = int(rng.integers(1, 9))
+    fsmp = int(rng.integers(0, 30))
+    nsamples = int(rng.integers(8, 80))
+    lsmp = int(rng.integers(10, 50))
+    t_samples = fsmp + nsamples + lsmp
+
+    # Smooth moveout (spatially coherent) so the plan's residual spans
+    # stay realistic, then force boundary values onto a few nodes.
+    x, y, z = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+    tts = []
+    for o in range(n_onsets):
+        sx, sy = rng.uniform(0, dims[0]), rng.uniform(0, dims[1])
+        field = np.sqrt((x - sx) ** 2 + (y - sy) ** 2 + z**2)
+        scale = lsmp / max(field.max(), 1e-9)
+        tts.append(np.rint(field * scale * rng.uniform(0.5, 1.0)))
+    tt = np.clip(np.stack(tts, -1).reshape(n_nodes, n_onsets), 0,
+                 lsmp).astype(np.int32)
+    tt[0, :] = 0        # boundary: zero shift
+    tt[-1, :] = lsmp    # boundary: maximum legal shift
+
+    onsets = rng.gamma(2.0, 1.5, size=(n_onsets, t_samples)).astype(
+        np.float32
+    )
+    mask = np.ones(n_onsets, dtype=np.float32)
+    if n_onsets > 1:
+        mask[int(rng.integers(0, n_onsets))] = 0.0
+    available = float(max(mask.sum(), 1.0))
+
+    ref = [
+        np.asarray(v)
+        for v in migrate_detect(onsets, tt, mask, available, fsmp,
+                                nsamples, tile=64)
+    ]
+    kernel = PallasDetectMXU(
+        tt, dims, fsmp, nsamples, tile=256, brick_shape=(8, 8, 4),
+        interpret=True,
+    )
+    got = [np.asarray(v) for v in kernel(onsets, mask, available)]
+
+    np.testing.assert_allclose(got[0], ref[0], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], rtol=5e-3, atol=1e-5)
+    # argmax agreement wherever the max is unique enough to be stable
+    # under the bf16 hi/lo arithmetic
+    agree = (got[2] == ref[2]).mean()
+    assert agree > 0.9, agree
