@@ -151,7 +151,10 @@ class Archive:
             try:
                 gathered += read(str(path), starttime=read_start,
                                  endtime=read_end, nearest_sample=True)
-            except TypeError:
+            except (TypeError, OSError):
+                # TypeError: not a recognised waveform format; OSError
+                # covers directories matched by the archive glob and
+                # permission/IO failures -- skip, don't kill the scan
                 logging.info(f"File not readable as waveform data - {path}")
 
         gathered = util.merge_stream(gathered)

@@ -164,29 +164,31 @@ _INDEX_CACHE = {}
 _INDEX_CACHE_MAX = 128
 
 
-def _file_index(path):
-    import os
-
-    st = os.stat(path)
+def _file_index(path, stat_key):
     key = str(path)
     cached = _INDEX_CACHE.get(key)
-    if cached is not None and cached[0] == (st.st_mtime_ns, st.st_size):
+    if cached is not None and cached[0] == stat_key:
+        # LRU: refresh recency so cycling through >max files per window
+        # does not evict the whole working set every pass
+        _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)
         return cached[1]
     return None
 
 
-def _store_index(path, offsets, starts, ends):
-    import os
+def _store_index(path, stat_key, offsets, starts, ends, halves):
+    """Cache the record index keyed by the stat snapshot taken from the
+    OPEN handle before the content was read -- stat-ing the path again
+    here would let a concurrent append make a stale index look fresh."""
 
     if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
         _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
-    st = os.stat(path)
     _INDEX_CACHE[str(path)] = (
-        (st.st_mtime_ns, st.st_size),
+        stat_key,
         (
             np.asarray(offsets, dtype=np.int64),
             np.asarray(starts, dtype=np.int64),
             np.asarray(ends, dtype=np.int64),
+            np.asarray(halves, dtype=np.int64),
         ),
     )
 
@@ -201,20 +203,25 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
 
     """
 
+    import os
+
     with open(path, "rb") as f:
+        st = os.fstat(f.fileno())
+        stat_key = (st.st_mtime_ns, st.st_size)
         buf = f.read()
 
     start_ns = None if starttime is None else UTCDateTime(starttime).ns
     end_ns = None if endtime is None else UTCDateTime(endtime).ns
 
-    index = _file_index(path)
+    index = _file_index(path, stat_key)
     if index is not None:
         return _read_indexed(
             path, buf, index, start_ns, end_ns, starttime, endtime,
             nearest_sample,
         )
 
-    idx_offsets, idx_starts, idx_ends = [], [], []
+    idx_offsets, idx_starts, idx_ends, idx_halves = [], [], [], []
+    walk_complete = True
     segments = {}  # seed id -> list of segment dicts (integer-ns times)
     offset = 0
     while offset + 48 <= len(buf):
@@ -229,16 +236,23 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
             logging.info(
                 f"Skipping truncated miniSEED record at offset {offset} in {path}."
             )
+            walk_complete = False
             break
         if hdr["npts"] > 0 and hdr["encoding"] != 0:
             sr = hdr["sampling_rate"]
+            half_ns = round(0.5 / sr * _NS)
             rec_start_ns = hdr["starttime_ns"]
             rec_end_ns = rec_start_ns + round((hdr["npts"] - 1) / sr * _NS)
             idx_offsets.append(offset)
             idx_starts.append(rec_start_ns)
             idx_ends.append(rec_end_ns)
-            skip = (start_ns is not None and rec_end_ns < start_ns) or (
-                end_ns is not None and rec_start_ns > end_ns
+            idx_halves.append(half_ns)
+            # Half-sample slack: with nearest_sample=True the window
+            # bound can snap to a sample just outside [start, end]
+            skip = (
+                start_ns is not None and rec_end_ns < start_ns - half_ns
+            ) or (
+                end_ns is not None and rec_start_ns > end_ns + half_ns
             )
             if not skip:
                 try:
@@ -282,7 +296,11 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
                         )
         offset += reclen
 
-    _store_index(path, idx_offsets, idx_starts, idx_ends)
+    if walk_complete:
+        # A truncated walk must NOT be cached: caching it would silently
+        # hide the unparsed tail from every later read of the file
+        _store_index(path, stat_key, idx_offsets, idx_starts, idx_ends,
+                     idx_halves)
     return _segments_to_stream(segments, starttime, endtime, nearest_sample)
 
 
@@ -291,12 +309,12 @@ def _read_indexed(
 ):
     """Read only the in-window records using a cached file index."""
 
-    offsets, starts, ends = index
+    offsets, starts, ends, halves = index
     mask = np.ones(offsets.shape, dtype=bool)
     if start_ns is not None:
-        mask &= ends >= start_ns
+        mask &= ends >= start_ns - halves
     if end_ns is not None:
-        mask &= starts <= end_ns
+        mask &= starts <= end_ns + halves
 
     segments = {}
     for offset in offsets[mask]:

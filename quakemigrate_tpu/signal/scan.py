@@ -504,22 +504,40 @@ class QuakeScan:
         from quakemigrate_tpu.seis import Stream, read
 
         outdir = self.run.path / "detect" / "scanmseed"
-        existing = None
+        delta = 1.0 / self.scan_rate
+
+        # Walk the days forward and require CONTIGUOUS coverage from
+        # starttime: a day file left by an unrelated earlier run (or one
+        # preceded by an unscanned gap) must not fast-forward past work
+        # that was never done.
+        covered_to = starttime
+        last_stream = None
         day = UTCDateTime(starttime.date)
         while day <= endtime:
             candidate = outdir / f"{day.year}_{day.julday:03d}.scanmseed"
-            if candidate.is_file():
-                existing = candidate
+            if not candidate.is_file():
+                break
+            try:
+                on_disk = read(str(candidate))
+                coa = on_disk.select(station="COA")[0]
+            except Exception:
+                # A crash mid-write can leave a truncated/empty day file
+                # -- exactly the state resume exists to recover from.
+                logging.info(
+                    f"\tResume: unreadable partial file {candidate}; "
+                    f"rescanning from {covered_to}."
+                )
+                break
+            if coa.stats.starttime > covered_to:
+                break  # gap before this file: not this run's coverage
+            if coa.stats.endtime + delta <= covered_to:
+                break  # file ends before the requested span begins
+            covered_to = coa.stats.endtime + delta
+            last_stream = on_disk
             day = day + 86400
-        if existing is None:
-            return starttime, None
-
-        on_disk = read(str(existing))
-        scanned_to = on_disk.select(station="COA")[0].stats.endtime
-        delta = 1.0 / self.scan_rate
 
         done_steps = int(
-            np.floor((scanned_to + delta - starttime) / self.timestep + 1e-9)
+            np.floor((covered_to - starttime) / self.timestep + 1e-9)
         )
         if done_steps <= 0:
             return starttime, None
@@ -527,12 +545,17 @@ class QuakeScan:
         if new_start > endtime:
             return None, None
 
-        # Only seed when we will append into the same (partial) day.
+        # Only seed when we will append into the same (partial) day, and
+        # trim the seed to the whole-timestep boundary: the recomputed
+        # partial step may differ by a count from the crashed run's
+        # values, and ScanmSEED's merge refuses conflicting overlaps.
         seed = None
-        if UTCDateTime(new_start.date).julday == on_disk[0].stats.starttime.julday:
+        if (last_stream is not None
+                and new_start.date == last_stream[0].stats.starttime.date):
             seed = Stream()
-            for tr in on_disk:
+            for tr in last_stream:
                 seed += tr
+            seed.trim(endtime=new_start - delta)
         return new_start, seed
 
     def locate(self, starttime=None, endtime=None, trigger_file=None):
@@ -624,6 +647,29 @@ class QuakeScan:
         }
         pending = []  # dispatched-but-unfetched device results
 
+        try:
+            self._detect_loop(
+                reader, reads, pending, coalescence, availability,
+                availability_cols, starttime, n_steps, batch_size, window,
+            )
+        finally:
+            # On failure paths too: stop the reader thread fetching
+            # archive data behind the traceback.
+            reader.shutdown(wait=False, cancel_futures=True)
+
+        if not coalescence.written:
+            coalescence.write()
+        availability_df = pd.DataFrame.from_dict(
+            availability, orient="index", columns=availability_cols
+        ).fillna(0).astype(int)
+        write_availability(self.run, availability_df)
+
+    def _detect_loop(self, reader, reads, pending, coalescence, availability,
+                     availability_cols, starttime, n_steps, batch_size,
+                     window):
+        """The continuous-detect batch loop (split out so the caller can
+        guarantee executor shutdown on every exit path)."""
+
         for batch_start in range(0, n_steps, batch_size):
             steps = list(range(batch_start, min(batch_start + batch_size,
                                                 n_steps)))
@@ -686,20 +732,20 @@ class QuakeScan:
                     if hasattr(r, "copy_to_host_async"):
                         r.copy_to_host_async()
                 pending.append((prepared, results))
-            if len(pending) > 1 or batch_start + batch_size >= n_steps:
+            # Keep exactly one batch in flight: drain only the OLDER
+            # entries so the batch just dispatched overlaps the next
+            # batch's reads and onset preprocessing (draining it too
+            # would block on device compute and serialise every other
+            # window); drain everything once the loop is done.
+            while len(pending) > 1:
+                self._drain_detect_results(
+                    coalescence, availability, starttime, *pending.pop(0)
+                )
+            if batch_start + batch_size >= n_steps:
                 while pending:
                     self._drain_detect_results(
                         coalescence, availability, starttime, *pending.pop(0)
                     )
-
-        reader.shutdown(wait=False)
-
-        if not coalescence.written:
-            coalescence.write()
-        availability_df = pd.DataFrame.from_dict(
-            availability, orient="index", columns=availability_cols
-        ).fillna(0).astype(int)
-        write_availability(self.run, availability_df)
 
     def _drain_detect_results(self, coalescence, availability, starttime,
                               prepared, results):
@@ -755,15 +801,17 @@ class QuakeScan:
                     self._read_event_waveform_data, w_beg, w_end
                 )
 
-        submit_read(0)
-        for i, event in enumerate(events):
-            submit_read(i + 1)
-            logging.info(util.log_spacer)
-            logging.info(f"\tEVENT - {i + 1} of {total} - {event.uid}")
-            logging.info(util.log_spacer)
-            if self._locate_one(event, pending.pop(i)):
+        try:
+            submit_read(0)
+            for i, event in enumerate(events):
+                submit_read(i + 1)
                 logging.info(util.log_spacer)
-        reader.shutdown(wait=False)
+                logging.info(f"\tEVENT - {i + 1} of {total} - {event.uid}")
+                logging.info(util.log_spacer)
+                if self._locate_one(event, pending.pop(i)):
+                    logging.info(util.log_spacer)
+        finally:
+            reader.shutdown(wait=False, cancel_futures=True)
 
     def _locate_one(self, event, waveform_read):
         """Full locate chain for one candidate; False if it was dropped."""

@@ -245,8 +245,10 @@ class Trigger:
         chunks = [values[i: i + per_chunk] for i in range(0, len(values), per_chunk)]
 
         def tiled(stat):
-            per = np.asarray([stat(chunk) for chunk in chunks])
-            return np.repeat(per, len(chunks[0]))[: len(values)]
+            per = [stat(chunk) for chunk in chunks]
+            return chunks2trace(
+                per, (len(chunks), len(chunks[0]))
+            )[: len(values)]
 
         if method == "mad":
             return tiled(np.median) + self.mad_multiplier * tiled(util.calculate_mad)

@@ -294,3 +294,23 @@ def test_kurtosis_allow_gaps(tmp_path, small_lut):
     # The gappy S0 stays available because gaps are tolerated and filled
     assert avail["S0_P"].iloc[1] == 1
     assert avail.iloc[1].sum() == 8
+
+
+def test_archive_glob_matching_directory_is_skipped(tmp_path, small_lut):
+    """A subdirectory matched by the archive glob must be skipped, not
+    crash the scan with IsADirectoryError (regression)."""
+
+    lut, stations = small_lut
+    _write_noise_archive(
+        tmp_path / "archive", stations, "2021-03-15T10:00:00.0", 40.0
+    )
+    # Directory whose name matches the STATION glob inside the day dir
+    (tmp_path / "archive" / "2021" / "074" / "S0_extracted").mkdir()
+
+    scan = _scan(tmp_path / "archive", stations, lut, "dirglob")
+    scan.detect("2021-03-15T10:00:10.0", "2021-03-15T10:00:30.0")
+    st = read(
+        str(tmp_path / "runs" / "dirglob" / "detect" / "scanmseed"
+            / "2021_074.scanmseed")
+    )
+    assert st.select(station="COA")[0].stats.npts == 20 * SPS

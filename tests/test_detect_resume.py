@@ -114,3 +114,44 @@ def test_resume_noop_when_complete(tmp_path, capsys):
     after = (tmp_path / "runs" / "done" / "detect" / "scanmseed"
              / "2021_049.scanmseed").read_bytes()
     assert before == after
+
+
+def test_resume_tolerates_corrupt_partial_file(tmp_path):
+    """A crash mid-write can leave a truncated/empty day file; resume
+    must treat it as unscanned instead of dying with IndexError
+    (regression)."""
+
+    archive, lut = _world(tmp_path)
+    scandir = tmp_path / "runs" / "crashy" / "detect" / "scanmseed"
+    scandir.mkdir(parents=True)
+    (scandir / "2021_049.scanmseed").write_bytes(b"")  # zero-byte file
+
+    _scan(archive, lut, tmp_path, "crashy").detect(START, END, resume=True)
+    st = read(str(scandir / "2021_049.scanmseed"))
+    assert st.select(station="COA")[0].stats.npts == 25 * SPS
+
+
+def test_resume_ignores_unrelated_day_file(tmp_path):
+    """A day file whose coverage starts AFTER the requested starttime
+    (e.g. from an earlier different-span run) must not fast-forward past
+    the unscanned span before it (regression)."""
+
+    archive, lut = _world(tmp_path)
+
+    # Earlier run covering only a LATER slice of the span
+    _scan(archive, lut, tmp_path, "gap").detect(MID, END)
+    mid_bytes = (tmp_path / "runs" / "gap" / "detect" / "scanmseed"
+                 / "2021_049.scanmseed").read_bytes()
+    assert len(mid_bytes)
+
+    # Resume over the full span: the file does not start at START, so
+    # the whole span must be rescanned
+    _scan(archive, lut, tmp_path, "gap").detect(START, END, resume=True)
+    st = read(str(tmp_path / "runs" / "gap" / "detect" / "scanmseed"
+                  / "2021_049.scanmseed"))
+    coa = st.select(station="COA")[0]
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    assert coa.stats.starttime == UTCDateTime(START)
+    assert coa.stats.npts == 25 * SPS
+    assert (coa.data[: 5 * SPS] != 0).any()  # the early span was scanned

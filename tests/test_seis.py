@@ -539,3 +539,47 @@ def test_steim_python_fallback_matches_native_on_extremes():
             out_pyenc[: frames_used * 64].tobytes(), len(samples), encoding
         )
         np.testing.assert_array_equal(out_rt, samples)
+
+
+def test_read_mseed_window_boundary_in_record_seam(tmp_path):
+    """
+    Off-sample archives: a read window starting inside an inter-record
+    seam must still include the record whose LAST sample is nearest the
+    window start (nearest_sample semantics; regression: the record was
+    skipped, dropping a sample and sporadically failing availability).
+
+    """
+
+    from quakemigrate_tpu.seis import read
+
+    sr = 125.0
+    # Two traces around a sub-sample seam: tr1's last sample at 9.996,
+    # tr2 starts at 10.004
+    t1 = UTCDateTime("2021-01-01T00:00:00.004000")
+    tr1 = Trace(
+        np.arange(1250, dtype=np.int32),
+        {"station": "SEAM", "channel": "HHZ", "sampling_rate": sr,
+         "starttime": t1},
+    )
+    t2 = UTCDateTime("2021-01-01T00:00:10.008000")
+    tr2 = Trace(
+        np.arange(1250, dtype=np.int32),
+        {"station": "SEAM", "channel": "HHZ", "sampling_rate": sr,
+         "starttime": t2},
+    )
+    f = tmp_path / "seam.m"
+    Stream([tr1, tr2]).write(str(f), format="MSEED")
+
+    # Window starts at 9.998 -- within half a sample period after tr1's
+    # last sample (9.996), which is therefore the nearest sample and
+    # must be included.
+    w0 = UTCDateTime("2021-01-01T00:00:09.998")
+    w1 = UTCDateTime("2021-01-01T00:00:15.0")
+    st = read(str(f), starttime=w0, endtime=w1)
+    starts = sorted(tr.stats.starttime for tr in st)
+    assert len(st) == 2, [str(tr) for tr in st]
+    assert abs(starts[0] - UTCDateTime("2021-01-01T00:00:09.996")) < 1e-6
+
+    # Same result through the cached record index (second read)
+    st2 = read(str(f), starttime=w0, endtime=w1)
+    assert len(st2) == 2
