@@ -359,6 +359,10 @@ class WaveformData:
             tr.data,
             tr.stats.sampling_rate,
             paz_simulate=util.wa_response(obspy_def=True),
+            # pre_filt applies in BOTH the deconvolution and this WA
+            # step (ref io/data.py:768-776) -- omitting it here inflates
+            # amplitudes/ML for energy in the roll-off bands
+            pre_filt=self.pre_filt,
             water_level=self.water_level,
             taper=True,
         )

@@ -45,14 +45,21 @@ class Event:
 
     @staticmethod
     def _trigger_fields(row):
-        """TRIG/DEC coalescence values carried over from the trigger stage."""
+        """
+        TRIG/DEC coalescence values carried over from the trigger stage.
+        Old-format trigger files name the peak-coalescence column COA_V
+        (ref io/event.py:596-609).
 
-        wanted = {"TRIG_COA": "TRIG_COA", "DEC_COA": "COA",
-                  "DEC_COA_NORM": "COA_NORM"}
-        try:
-            return {out: row[src] for out, src in wanted.items()}
-        except KeyError:
-            return dict.fromkeys(wanted, np.nan)
+        """
+
+        for trig_key in ("TRIG_COA", "COA_V"):
+            if trig_key in row:
+                return {
+                    "TRIG_COA": row[trig_key],
+                    "DEC_COA": row.get("COA", np.nan),
+                    "DEC_COA_NORM": row.get("COA_NORM", np.nan),
+                }
+        return dict.fromkeys(("TRIG_COA", "DEC_COA", "DEC_COA_NORM"), np.nan)
 
     # -- accumulation -------------------------------------------------------
 

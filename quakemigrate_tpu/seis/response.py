@@ -127,6 +127,27 @@ def _apply_water_level(resp, water_level):
     return out
 
 
+def _sim_taper(npts, p):
+    """
+    ObsPy ``cosine_taper(npts, p, sactaper=True, halfcosine=False)``:
+    quarter-cycle cosine ramps over ``p/2`` of each end, with the SAC
+    index adjustment (idx2 += 1, idx3 -= 1).
+
+    """
+
+    frac = int(npts * p / 2.0 + 0.5)
+    idx1, idx2 = 0, frac - 1 + 1  # sactaper: idx2 += 1
+    idx3, idx4 = npts - frac - 1, npts - 1  # sactaper: idx3 -= 1
+    win = np.ones(npts)
+    if idx2 > idx1:
+        i = np.arange(idx1, min(idx2, npts - 1) + 1)
+        win[i] = np.cos(np.pi * (idx2 - i) / (2.0 * (idx2 - idx1)))
+    if idx4 > idx3 >= 0:
+        i = np.arange(max(idx3, 0), idx4 + 1)
+        win[i] = np.cos(np.pi * (i - idx3) / (2.0 * (idx4 - idx3)))
+    return win
+
+
 def simulate_seismometer(
     data,
     sampling_rate,
@@ -152,9 +173,13 @@ def simulate_seismometer(
 
     work = data - data.mean()
     if taper:
-        from .trace import _cosine_taper
-
-        work = work * _cosine_taper(npts, p=2 * taper_fraction)
+        # ObsPy's simulate_seismometer applies
+        # cosine_taper(npts, taper_fraction, sactaper=True,
+        # halfcosine=False): a quarter-cycle (SAC/sine-shaped) ramp over
+        # taper_fraction/2 of EACH end -- not the Hann ramp over
+        # taper_fraction per end an earlier revision used, which
+        # silently changed every deconvolved amplitude.
+        work = work * _sim_taper(npts, taper_fraction)
 
     nfft = 1
     while nfft < 2 * npts:

@@ -80,6 +80,21 @@ class Amplitude:
     def __init__(self, amplitude_params=None):
         params = dict(amplitude_params or {})
 
+        # Response-removal settings live on the Archive; silently
+        # ignoring them here would measure amplitudes with the wrong
+        # deconvolution settings (ref amplitude.py:132-143 errors too)
+        moved = [
+            p for p in ("water_level", "pre_filt", "remove_full_response")
+            if p in params
+        ]
+        if moved:
+            raise AttributeError(
+                "The response removal parameters ('water_level', "
+                "'pre_filt', 'remove_full_response') have been moved to "
+                "the Archive object. Please specify them there, e.g. as "
+                "a response_removal dictionary."
+            )
+
         if "signal_window" not in params:
             logging.warning(
                 "Warning: 'signal_window' not specified. Set to default: 0"

@@ -207,9 +207,16 @@ class GaussianPicker(PhasePicker):
             logging.debug(err.msg)
             return self._sentinels(threshold)
 
-        lo_idx, hi_idx = low + first - 1, low + last + 1
+        # Clamp: when the excursion starts at sample 0 of a window
+        # already clamped to index 0, lo_idx would be -1 and the slice
+        # empty -- the reference crashes here (ref gaussian.py:433);
+        # degrade to the -1 sentinels like every other failure mode.
+        lo_idx = max(low + first - 1, 0)
+        hi_idx = min(low + last + 1, len(onset))
         x_data = np.arange(lo_idx, hi_idx) / sampling_rate
         y_data = onset[lo_idx:hi_idx]
+        if y_data.size == 0:
+            return self._sentinels(threshold)
 
         initial = [
             max(y_data),

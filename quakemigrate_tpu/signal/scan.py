@@ -143,8 +143,6 @@ class QuakeScan:
             raise util.MagsTypeError
         self.mags = mags
 
-        self.scan_rate = self.onset.sampling_rate
-
         # Scan, device-execution, plotting and file-writing options.
         # detect_batch: windows migrated per device call (vmapped; ignored
         #   with a mesh). locate_map_memory_limit: above this map4d size
@@ -185,6 +183,24 @@ class QuakeScan:
             out += f"\t\tMarginal window    = {self.marginal_window} s\n"
 
         return out
+
+    @property
+    def scan_rate(self):
+        """Scan sampling rate: fixed to the onset sampling rate (the
+        traveltime quantisation and window geometry depend on it)."""
+
+        return self.onset.sampling_rate
+
+    @scan_rate.setter
+    def scan_rate(self, value):
+        # Reference parity (ref scan.py:1080-1097): refuse silently
+        # breaking the traveltime quantisation via a user assignment.
+        if value != self.onset.sampling_rate:
+            print(
+                "Warning: scan sampling rate is fixed to the onset "
+                f"sampling rate ({self.onset.sampling_rate} Hz); "
+                f"ignoring {value}."
+            )
 
     # ------------------------------------------------------------------
     # Device state

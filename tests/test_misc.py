@@ -595,3 +595,71 @@ def test_event_summary_slice_orientation():
     np.testing.assert_array_equal(xy, coa_map[:, :, 0])
     np.testing.assert_array_equal(xz, coa_map[:, 2, :])
     np.testing.assert_array_equal(yz, coa_map[1, :, :].T)
+
+
+def test_scan_rate_assignment_refused(tmp_path, capsys):
+    """scan_rate is pinned to the onset sampling rate: a user assignment
+    must not silently break the traveltime quantisation (regression)."""
+
+    from quakemigrate_tpu import QuakeScan, compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    grid_spec = dict(
+        ll_corner=[-0.02, -0.02, 0.0], ur_corner=[0.02, 0.02, 5.0],
+        node_spacing=[2.0, 2.0, 2.0], grid_proj=gproj,
+        coord_proj=Proj(proj="longlat"),
+    )
+    stations = pd.DataFrame(
+        {"Name": ["A"], "Longitude": [0.01], "Latitude": [0.01],
+         "Elevation": [0.0]}
+    )
+    lut = compute_traveltimes(
+        grid_spec, stations, method="homogeneous", phases=["P"], vp=5.0,
+        vs=3.0,
+    )
+    onset = STALTAOnset(position="classic", sampling_rate=50.0)
+    archive = Archive(archive_path=tmp_path, stations=stations,
+                      archive_format="YEAR/JD/STATION")
+    scan = QuakeScan(archive, lut, onset=onset, run_path=str(tmp_path),
+                     run_name="rate")
+    assert scan.scan_rate == 50.0
+    scan.scan_rate = 100.0
+    assert scan.scan_rate == 50.0
+    assert "fixed to the onset" in capsys.readouterr().out
+
+
+def test_amplitude_rejects_moved_response_params():
+    """Deprecated response-removal parameters in amp_params raise instead
+    of being silently ignored (regression)."""
+
+    from quakemigrate_tpu.signal.local_mag.amplitude import Amplitude
+
+    with pytest.raises(AttributeError, match="moved to"):
+        Amplitude({"signal_window": 5.0, "water_level": 30})
+    Amplitude({"signal_window": 5.0})  # clean params still fine
+
+
+def test_event_trigger_fields_coa_v_fallback():
+    """Old-format trigger rows (COA_V peak column) carry their value into
+    TRIG_COA instead of becoming NaN (regression)."""
+
+    from quakemigrate_tpu.io.event import Event
+
+    old_row = pd.Series({
+        "EventID": "x", "CoaTime": UTCDateTime("2020-01-01"),
+        "COA_V": 3.5, "COA": 3.1, "COA_NORM": 2.9,
+    })
+    ev = Event(1.0, old_row)
+    assert ev.trigger_info["TRIG_COA"] == 3.5
+    assert ev.trigger_info["DEC_COA"] == 3.1
+
+    oldest_row = pd.Series({
+        "EventID": "y", "CoaTime": UTCDateTime("2020-01-01"),
+        "COA_V": 2.5,
+    })
+    ev2 = Event(1.0, oldest_row)
+    assert ev2.trigger_info["TRIG_COA"] == 2.5
+    assert np.isnan(ev2.trigger_info["DEC_COA"])
