@@ -133,7 +133,13 @@ def read_scanmseed(run, starttime, endtime, pad, ucf):
 
     if not bool(gathered):
         raise util.NoScanMseedDataException
-    gathered.merge(method=-1)
+    try:
+        gathered.merge(method=-1)
+    except util.MergeError as err:
+        # Conflicting overlaps between day files: proceed with the
+        # unmerged segments (the reference's ObsPy merge only warns
+        # here), rather than killing the trigger stage
+        logging.info(f"\t\tWarning: {err} -- using unmerged segments.")
 
     coa_trace = gathered.select(station="COA")[0]
     stats = coa_trace.stats

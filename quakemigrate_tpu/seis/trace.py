@@ -133,7 +133,10 @@ class Trace:
     """A single continuous waveform segment plus its metadata."""
 
     def __init__(self, data=None, header=None):
-        self.stats = header if isinstance(header, Stats) else Stats(header)
+        # Copy a passed Stats (as ObsPy deepcopies the header): adopting
+        # it by reference would let two traces built from one template
+        # corrupt each other's npts/endtime
+        self.stats = header.copy() if isinstance(header, Stats) else Stats(header)
         self.data = np.array([]) if data is None else np.asarray(data)
 
     # --- basic protocol ---
@@ -243,6 +246,22 @@ class Trace:
             return self
 
         lo, hi = max(i0, 0), min(i1, self.stats.npts - 1)
+        if hi < lo:
+            # Window lies entirely before/after the data: empty result
+            # (or all-fill with pad=True) -- a negative `hi` must never
+            # reach the slice, where it would keep out-of-window data
+            if pad:
+                fv = 0 if fill_value is None else fill_value
+                self.data = np.full(
+                    i1 - i0 + 1, fv,
+                    dtype=self._data.dtype if self._data.size else float,
+                )
+                self.stats.starttime = t0 + i0 / sr
+            else:
+                self.data = self._data[:0]
+                if starttime is not None:
+                    self.stats.starttime = starttime
+            return self
         data = self._data[lo : hi + 1]
         new_start = t0 + lo / sr
 
@@ -329,13 +348,32 @@ class Trace:
         if type == "bandpass":
             freqmin, freqmax = options["freqmin"], options["freqmax"]
             if freqmax >= nyq:
-                raise ValueError(
-                    f"Selected high corner frequency ({freqmax}) of bandpass is at "
-                    f"or above Nyquist ({nyq})."
+                # ObsPy warns and degrades to a highpass rather than
+                # erroring (callers may not know each trace's rate)
+                import logging
+
+                logging.warning(
+                    f"Selected high corner frequency ({freqmax}) of "
+                    f"bandpass is at or above Nyquist ({nyq}). Applying "
+                    "a high-pass instead."
                 )
-            sos = _design_sos(corners, (freqmin / nyq, freqmax / nyq), "band")
+                sos = _design_sos(corners, freqmin / nyq, "highpass")
+            else:
+                sos = _design_sos(
+                    corners, (freqmin / nyq, freqmax / nyq), "band"
+                )
         elif type == "lowpass":
-            sos = _design_sos(corners, options["freq"] / nyq, "lowpass")
+            freq = options["freq"]
+            if freq >= nyq:
+                import logging
+
+                logging.warning(
+                    f"Selected corner frequency ({freq}) is at or above "
+                    f"Nyquist ({nyq}). Setting Nyquist as high corner."
+                )
+                # scipy requires Wn < 1 strictly
+                freq = nyq * (1.0 - 1e-6)
+            sos = _design_sos(corners, freq / nyq, "lowpass")
         elif type == "highpass":
             sos = _design_sos(corners, options["freq"] / nyq, "highpass")
         else:
@@ -412,7 +450,12 @@ class Trace:
 
         factor = self.stats.sampling_rate / float(sampling_rate)
         npts_new = int(self.stats.npts / factor)
-        self.data = _sp_resample(np.asarray(self._data, dtype=np.float64), npts_new)
+        # Hann window applied to the spectrum, as ObsPy's resample does
+        # by default (plain Fourier resampling leaves un-tapered energy
+        # at Nyquist and different edge ringing)
+        self.data = _sp_resample(
+            np.asarray(self._data, dtype=np.float64), npts_new, window="hann"
+        )
         self.stats.sampling_rate = float(sampling_rate)
         return self
 
@@ -466,12 +509,32 @@ class Trace:
 
 
 def _lanczos_interpolate(data, positions, a):
-    """Windowed-sinc (Lanczos) interpolation of ``data`` at ``positions``."""
+    """
+    Windowed-sinc (Lanczos) interpolation of ``data`` at ``positions``.
+    Interior samples are computed as one (m, 2a) gather + einsum (a
+    per-sample Python loop here would dominate whole-day reads with
+    interpolate=True); only the few edge samples fall back to a loop.
+
+    """
 
     n = data.size
-    out = np.empty(positions.size)
+    positions = np.asarray(positions, dtype=np.float64)
     floor = np.floor(positions).astype(int)
-    for j, (pos, f0) in enumerate(zip(positions, floor)):
+    out = np.empty(positions.size)
+
+    interior = (floor - a + 1 >= 0) & (floor + a + 1 <= n)
+    if interior.any():
+        f0 = floor[interior]
+        offsets = np.arange(-a + 1, a + 1)
+        idx = f0[:, None] + offsets[None, :]
+        x = positions[interior][:, None] - idx
+        kernel = np.sinc(x) * np.sinc(x / a)
+        out[interior] = (
+            np.einsum("ij,ij->i", data[idx], kernel) / kernel.sum(axis=1)
+        )
+
+    for j in np.flatnonzero(~interior):
+        pos, f0 = positions[j], floor[j]
         i0 = max(0, f0 - a + 1)
         i1 = min(n, f0 + a + 1)
         idx = np.arange(i0, i1)
@@ -708,8 +771,10 @@ class Stream:
                 buffer[seg] = tr.data
                 have[seg] = True
             if not have.all():
-                if method == -1 or fill_value is None and method == 0:
-                    # Leave as separate contiguous segments
+                if method == -1 or fill_value is None:
+                    # No fill_value: leave separate contiguous segments
+                    # rather than fabricating zero samples in the gaps
+                    # (ObsPy would return masked arrays here)
                     contiguous = False
                 # else: gaps stay filled with fill_value
             if contiguous or (method != -1 and fill_value is not None):
@@ -793,11 +858,26 @@ class Stream:
 
         """
 
+        src_comps = {"LQT->ZNE": "LQT", "ZNE->LQT": "ZNE",
+                     "NE->RT": "NE", "RT->NE": "RT"}.get(method)
+        if src_comps is None:
+            raise ValueError(f"Unsupported rotation method: {method}")
+
         stations = sorted(set(tr.stats.station for tr in self.traces))
         out = Stream()
         for station in stations:
             st = self.select(station=station)
-            out += _rotate_station(st, method, back_azimuth, inclination)
+            participating = Stream(
+                [tr for tr in st if tr.stats.channel[-1:] in src_comps]
+            )
+            # Keep non-participating components (e.g. Z for "NE->RT")
+            # rather than dropping them, as ObsPy does
+            for tr in st:
+                if tr.stats.channel[-1:] not in src_comps:
+                    out += tr
+            out += _rotate_station(
+                participating, method, back_azimuth, inclination
+            )
         self.traces = out.traces
         return self
 
@@ -867,14 +947,18 @@ def _rotate_station(stream, method, back_azimuth, inclination):
             )
         comps.append(sel[0])
 
-    n = min(tr.stats.npts for tr in comps)
-    data = np.stack([np.asarray(tr.data[:n], dtype=np.float64) for tr in comps])
-    if method == "LQT->ZNE":
-        rotated = m @ data
-    elif method == "ZNE->LQT":
-        rotated = m @ data
-    else:
-        rotated = m @ data
+    # Components must be simultaneous: rotating misaligned samples
+    # would silently combine different times (ObsPy errors here too)
+    t0s = {tr.stats.starttime.ns for tr in comps}
+    srs = {tr.stats.sampling_rate for tr in comps}
+    ns = {tr.stats.npts for tr in comps}
+    if len(t0s) > 1 or len(srs) > 1 or len(ns) > 1:
+        raise ValueError(
+            "All components need to share starttime, sampling rate and "
+            f"length to rotate: {[str(tr) for tr in comps]}"
+        )
+    data = np.stack([np.asarray(tr.data, dtype=np.float64) for tr in comps])
+    rotated = m @ data
 
     out = Stream()
     for c_out, row in zip(dst, rotated):

@@ -337,9 +337,12 @@ def resample(stream, sampling_rate, resample, upfactor, starttime, endtime):
             if int(native * upfactor) % sampling_rate != 0:
                 raise BadUpfactorException(trace)
             fine = upsample(trace, upfactor, starttime, endtime)
-            if fine.stats.sampling_rate != sampling_rate:
-                fine = decimate(fine, sampling_rate)
-            conformed += fine
+            # ALWAYS decimate after upsampling, even when the upsampled
+            # rate already equals the target (factor 1): decimate is
+            # where the detrend / taper / zero-phase lowpass conditioning
+            # happens (ref util.py:459 keys this off the PRE-upsample
+            # rate, which is always != the target on this branch)
+            conformed += decimate(fine, sampling_rate)
         else:
             logging.info(
                 "Mismatched sampling rates - cannot decimate data from\n\t"

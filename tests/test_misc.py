@@ -72,7 +72,11 @@ def test_rotation_roundtrip():
     original = {tr.stats.channel: tr.data.copy() for tr in st}
 
     st.rotate("NE->RT", back_azimuth=37.0)
-    assert {tr.stats.channel[-1] for tr in st} == {"R", "T"}
+    # Non-participating components (Z) are kept, as in ObsPy
+    assert {tr.stats.channel[-1] for tr in st} == {"R", "T", "Z"}
+    np.testing.assert_array_equal(
+        st.select(component="Z")[0].data, original["HHZ"]
+    )
     st.rotate("RT->NE", back_azimuth=37.0)
     for tr in st:
         np.testing.assert_allclose(

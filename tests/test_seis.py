@@ -583,3 +583,123 @@ def test_read_mseed_window_boundary_in_record_seam(tmp_path):
     # Same result through the cached record index (second read)
     st2 = read(str(f), starttime=w0, endtime=w1)
     assert len(st2) == 2
+
+
+def test_trim_window_fully_outside_trace():
+    """A trim window lying entirely before (or after) the trace yields an
+    empty trace -- or all-fill with pad=True -- never a negative-end
+    slice keeping out-of-window data (regression)."""
+
+    tr = Trace(
+        np.arange(100, dtype=np.float64),
+        {"station": "TW", "sampling_rate": 1.0,
+         "starttime": UTCDateTime(100.0)},
+    )
+
+    before = tr.copy().trim(starttime=UTCDateTime(80), endtime=UTCDateTime(90))
+    assert before.stats.npts == 0
+
+    after = tr.copy().trim(
+        starttime=UTCDateTime(300), endtime=UTCDateTime(310)
+    )
+    assert after.stats.npts == 0
+
+    padded = tr.copy().trim(
+        starttime=UTCDateTime(80), endtime=UTCDateTime(90), pad=True,
+        fill_value=0,
+    )
+    assert padded.stats.npts == 11
+    assert (padded.data == 0).all()
+    assert padded.stats.starttime == UTCDateTime(80)
+
+
+def test_rotate_requires_aligned_components():
+    """Rotating misaligned components raises instead of silently
+    combining samples from different times (regression)."""
+
+    hdr = {"station": "MA", "sampling_rate": 100.0}
+    n = Trace(np.ones(500), {**hdr, "channel": "HHN",
+                             "starttime": UTCDateTime(0)})
+    e = Trace(np.ones(500), {**hdr, "channel": "HHE",
+                             "starttime": UTCDateTime(3.0)})
+    with pytest.raises(ValueError, match="share"):
+        Stream([n, e]).rotate("NE->RT", back_azimuth=30.0)
+
+
+def test_stats_template_not_shared_between_traces():
+    """Building two traces from one Stats template must not share the
+    header (regression: npts/endtime corrupted through aliasing)."""
+
+    from quakemigrate_tpu.seis.trace import Stats
+
+    template = Stats({"station": "TP", "sampling_rate": 100.0,
+                      "starttime": UTCDateTime(0)})
+    a = Trace(np.ones(100), template)
+    b = Trace(np.ones(25), template)
+    assert a.stats.npts == 100
+    assert b.stats.npts == 25
+    assert a.stats.endtime != b.stats.endtime
+
+
+def test_merge_no_fill_value_keeps_gap_split():
+    """merge(method=1) without a fill_value must not fabricate zero
+    samples across gaps (regression)."""
+
+    hdr = {"station": "GP", "channel": "HHZ", "sampling_rate": 10.0}
+    a = Trace(np.ones(10), {**hdr, "starttime": UTCDateTime(0)})
+    b = Trace(np.ones(10), {**hdr, "starttime": UTCDateTime(2.0)})
+    st = Stream([a, b]).merge(method=1)
+    assert len(st) == 2  # gap NOT filled
+    st2 = Stream([a.copy(), b.copy()]).merge(method=1, fill_value=7.0)
+    assert len(st2) == 1
+    assert (st2[0].data[10:20] == 7.0).all()
+
+
+def test_lanczos_vectorised_matches_loop():
+    """The vectorised interior path of the Lanczos interpolator matches
+    the per-sample formula everywhere (including edges)."""
+
+    from quakemigrate_tpu.seis.trace import _lanczos_interpolate
+
+    rng = np.random.default_rng(8)
+    data = rng.normal(size=200)
+    positions = np.sort(rng.uniform(-0.4, 199.4, size=300))
+    a = 20
+
+    got = _lanczos_interpolate(data, positions, a)
+
+    expected = np.empty(positions.size)
+    for j, pos in enumerate(positions):
+        f0 = int(np.floor(pos))
+        i0, i1 = max(0, f0 - a + 1), min(data.size, f0 + a + 1)
+        idx = np.arange(i0, i1)
+        x = pos - idx
+        kernel = np.sinc(x) * np.sinc(x / a)
+        expected[j] = np.dot(data[idx], kernel) / np.sum(kernel)
+
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_upsample_to_exact_target_still_conditions(tmp_path):
+    """25 Hz -> 50 Hz with upfactor=2 (upsampled rate == target) must
+    still run the decimate-stage conditioning (detrend/taper/lowpass),
+    as the reference always does after upsampling (regression)."""
+
+    from quakemigrate_tpu.util import resample as qm_resample
+
+    sr = 25.0
+    n = 2500
+    t = np.arange(n) / sr
+    # Strong linear trend: surviving the pipeline means detrend ran
+    data = 1000.0 + 5.0 * t + np.sin(2 * np.pi * 3.0 * t)
+    tr = Trace(
+        data,
+        {"station": "UP", "channel": "HHZ", "sampling_rate": sr,
+         "starttime": UTCDateTime(0)},
+    )
+    out = qm_resample(
+        Stream([tr]), 50.0, True, 2, UTCDateTime(0), UTCDateTime(99.0)
+    )
+    assert out[0].stats.sampling_rate == 50.0
+    # Detrended: mean far below the raw mean (~1250)
+    assert abs(np.mean(out[0].data)) < 10.0
