@@ -42,6 +42,9 @@ def _build_library():
         cmd = [
             compiler,
             "-O2",
+            # The STEIM codec's difference/accumulator arithmetic relies
+            # on int32 wraparound, which is UB without this flag
+            "-fwrapv",
             "-shared",
             "-fPIC",
             "-o",
@@ -120,10 +123,12 @@ def native_available():
     return _lib is not None
 
 
-def steim_decode(frames, nsamples, encoding):
+def steim_decode(frames, nsamples, encoding, little_endian=False):
     """
     Decode STEIM1/2 frames (bytes or uint8 array) into int32 samples.
-    ``encoding`` is the SEED code: 10 for STEIM1, 11 for STEIM2.
+    ``encoding`` is the SEED code: 10 for STEIM1, 11 for STEIM2. Set
+    ``little_endian`` for payloads whose Blockette-1000 word order is 0
+    (non-standard but common in the wild).
 
     """
 
@@ -132,11 +137,12 @@ def steim_decode(frames, nsamples, encoding):
     out = np.empty(nsamples, dtype=np.int32)
     if _lib is not None:
         fn = _lib.steim2_decode if encoding == 11 else _lib.steim1_decode
-        n = fn(frames, nframes, nsamples, out, 0)
+        n = fn(frames, nframes, nsamples, out, 1 if little_endian else 0)
     else:
         from . import steim_py
 
-        n = steim_py.decode(frames, nframes, nsamples, out, encoding)
+        n = steim_py.decode(frames, nframes, nsamples, out, encoding,
+                            little_endian=little_endian)
     if n < 0:
         raise ValueError("Malformed STEIM data.")
     if n < nsamples:

@@ -24,6 +24,18 @@ static inline uint32_t be32(const uint8_t *p) {
            ((uint32_t)p[2] << 8) | (uint32_t)p[3];
 }
 
+static inline uint32_t le32(const uint8_t *p) {
+    return ((uint32_t)p[3] << 24) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[1] << 8) | (uint32_t)p[0];
+}
+
+/* swapflag nonzero => little-endian frame words (Blockette-1000
+ * word_order 0); SEED nominally mandates big-endian but little-endian
+ * STEIM payloads are common in the wild. */
+static inline uint32_t word32(const uint8_t *p, int swapflag) {
+    return swapflag ? le32(p) : be32(p);
+}
+
 static inline void put_be32(uint8_t *p, uint32_t v) {
     p[0] = (uint8_t)(v >> 24);
     p[1] = (uint8_t)(v >> 16);
@@ -57,17 +69,16 @@ static inline int bitclass2(int32_t d) {
  */
 int64_t steim2_decode(const uint8_t *frames, int64_t nframes,
                       int64_t max_samples, int32_t *out, int swapflag) {
-    (void)swapflag; /* frames are always big-endian per SEED */
     int64_t n = 0;
     int32_t x0 = 0, last = 0;
     int have_x0 = 0;
 
     for (int64_t f = 0; f < nframes; ++f) {
         const uint8_t *frame = frames + f * 64;
-        uint32_t ctrl = be32(frame);
+        uint32_t ctrl = word32(frame, swapflag);
         for (int w = 1; w < WORDS_PER_FRAME; ++w) {
             int nib = (ctrl >> (2 * (WORDS_PER_FRAME - 1 - w))) & 3;
-            uint32_t word = be32(frame + 4 * w);
+            uint32_t word = word32(frame + 4 * w, swapflag);
             if (f == 0 && w == 1) { x0 = (int32_t)word; have_x0 = 1; continue; }
             if (f == 0 && w == 2) { continue; } /* xn: reverse constant */
             if (nib == 0) continue;
@@ -124,17 +135,16 @@ int64_t steim2_decode(const uint8_t *frames, int64_t nframes,
  */
 int64_t steim1_decode(const uint8_t *frames, int64_t nframes,
                       int64_t max_samples, int32_t *out, int swapflag) {
-    (void)swapflag;
     int64_t n = 0;
     int32_t x0 = 0, last = 0;
     int have_x0 = 0;
 
     for (int64_t f = 0; f < nframes; ++f) {
         const uint8_t *frame = frames + f * 64;
-        uint32_t ctrl = be32(frame);
+        uint32_t ctrl = word32(frame, swapflag);
         for (int w = 1; w < WORDS_PER_FRAME; ++w) {
             int nib = (ctrl >> (2 * (WORDS_PER_FRAME - 1 - w))) & 3;
-            uint32_t word = be32(frame + 4 * w);
+            uint32_t word = word32(frame + 4 * w, swapflag);
             if (f == 0 && w == 1) { x0 = (int32_t)word; have_x0 = 1; continue; }
             if (f == 0 && w == 2) { continue; }
             if (nib == 0) continue;
@@ -174,6 +184,10 @@ int64_t steim1_decode(const uint8_t *frames, int64_t nframes,
  */
 int64_t steim2_encode(const int32_t *samples, int64_t nsamples, int32_t prev,
                       uint8_t *out, int64_t nframes, int64_t *frames_used) {
+    if (nframes <= 0 || nsamples <= 0) {
+        if (frames_used) *frames_used = 0;
+        return 0;
+    }
     memset(out, 0, (size_t)(nframes * 64));
     int64_t pos = 0;   /* next sample index to encode */
     int64_t f = 0;
@@ -250,6 +264,10 @@ int64_t steim2_encode(const int32_t *samples, int64_t nsamples, int32_t prev,
  */
 int64_t steim1_encode(const int32_t *samples, int64_t nsamples, int32_t prev,
                       uint8_t *out, int64_t nframes, int64_t *frames_used) {
+    if (nframes <= 0 || nsamples <= 0) {
+        if (frames_used) *frames_used = 0;
+        return 0;
+    }
     memset(out, 0, (size_t)(nframes * 64));
     int64_t pos = 0;
     int64_t f = 0;

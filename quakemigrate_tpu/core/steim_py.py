@@ -15,8 +15,10 @@ def _sext(v, bits):
     return (v ^ m) - m
 
 
-def decode(frames, nframes, max_samples, out, encoding):
-    words = np.frombuffer(bytes(frames[: nframes * 64]), dtype=">u4").reshape(
+def decode(frames, nframes, max_samples, out, encoding,
+           little_endian=False):
+    dtype = "<u4" if little_endian else ">u4"
+    words = np.frombuffer(bytes(frames[: nframes * 64]), dtype=dtype).reshape(
         nframes, 16
     )
     n = 0
@@ -89,6 +91,8 @@ def _bits2(d):
 def encode(samples, prev, out, nframes, encoding):
     samples = np.asarray(samples, dtype=np.int64)
     n_in = len(samples)
+    if nframes <= 0 or n_in == 0:
+        return 0, 0
     prevs = np.concatenate([[prev], samples[:-1]])
     # int32 wraparound differences, mirroring the C encoder
     # (steimlib.c:190-191 computes d in int32_t)

@@ -31,12 +31,24 @@ def _pick_xml(uid, i, pick):
         f"        <value>{pick_time}</value>",
         f"        <uncertainty>{error}</uncertainty>",
         "      </time>",
-        f'      <waveformID stationCode="{escape(str(station))}"/>',
+        # networkCode is use="required" in QuakeML 1.2's
+        # WaveformStreamID; ObsPy emits an empty one for the same reason
+        f'      <waveformID networkCode="" '
+        f'stationCode="{escape(str(station))}"/>',
         f"      <phaseHint>{escape(str(phase))}</phaseHint>",
         f"      <methodID>{_SMI}/method/gaussian_picker</methodID>",
         "    </pick>",
     ]
     return "\n".join(out) + "\n"
+
+
+def _finite(value):
+    """None for missing/NaN values: 'nan' is not valid xs:double."""
+
+    if value is None:
+        return None
+    value = float(value)
+    return value if value == value else None
 
 
 def _event_xml(record):
@@ -58,31 +70,43 @@ def _event_xml(record):
         "      <depth>",
         f"        <value>{record.depth_km * 1000.0}</value>",
     ]
-    if record.err_z_km is not None:
+    if _finite(record.err_z_km) is not None:
         out.append(f"        <uncertainty>{record.err_z_km * 1000.0}</uncertainty>")
     out += [
         "      </depth>",
         f"      <methodID>{_SMI}/method/coalescence_migration</methodID>",
     ]
-    if record.cov_err_xyz_km is not None:
+    horiz = (
+        None
+        if _finite(record.err_x_km) is None or _finite(record.err_y_km) is None
+        else max(record.err_x_km, record.err_y_km) * 1000.0
+    )
+    if _finite(record.cov_err_xyz_km) is not None and horiz is not None:
         out += [
             "      <originUncertainty>",
-            "        <preferredDescription>uncertainty ellipse"
+            # Only horizontalUncertainty is populated, so that (not
+            # "uncertainty ellipse", whose min/max/azimuth elements are
+            # absent) is the correct preferred description
+            "        <preferredDescription>horizontal uncertainty"
             "</preferredDescription>",
-            f"        <horizontalUncertainty>"
-            f"{max(record.err_x_km, record.err_y_km) * 1000.0}"
+            f"        <horizontalUncertainty>{horiz}"
             f"</horizontalUncertainty>",
             "      </originUncertainty>",
         ]
     out.append("    </origin>")
 
     # Magnitude
-    if record.ml is not None and record.ml == record.ml:
+    if _finite(record.ml) is not None:
         out += [
             f'    <magnitude publicID="{_SMI}/magnitude/{uid}">',
             "      <mag>",
             f"        <value>{record.ml}</value>",
-            f"        <uncertainty>{record.ml_err}</uncertainty>",
+        ]
+        if _finite(record.ml_err) is not None:
+            out.append(
+                f"        <uncertainty>{record.ml_err}</uncertainty>"
+            )
+        out += [
             "      </mag>",
             "      <type>ML</type>",
             f"      <originID>{_SMI}/origin/{uid}</originID>",

@@ -145,7 +145,10 @@ def _decode_record(buf, offset, hdr):
     payload = buf[offset + hdr["data_offset"] : offset + hdr["reclen"]]
     enc = hdr["encoding"]
     if enc in (10, 11):
-        return steim_decode(payload, npts, enc)
+        return steim_decode(
+            payload, npts, enc,
+            little_endian=hdr["word_order"] == 0,
+        )
     if enc in _ENCODING_DTYPES:
         code, size = _ENCODING_DTYPES[enc]
         endian = ">" if hdr["word_order"] == 1 else "<"
@@ -169,8 +172,11 @@ def _file_index(path, stat_key):
     cached = _INDEX_CACHE.get(key)
     if cached is not None and cached[0] == stat_key:
         # LRU: refresh recency so cycling through >max files per window
-        # does not evict the whole working set every pass
-        _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)
+        # does not evict the whole working set every pass. pop() is
+        # guarded: a concurrent reader thread may have evicted the
+        # entry between the get and the pop.
+        _INDEX_CACHE.pop(key, None)
+        _INDEX_CACHE[key] = cached
         return cached[1]
     return None
 
@@ -457,6 +463,10 @@ def write_mseed(stream, path, encoding=None, reclen=512):
     reclen_power = int(np.log2(reclen))
     if 2**reclen_power != reclen:
         raise ValueError("Record length must be a power of two.")
+    if reclen < 128:
+        # 64 bytes are the header: a 64-byte record holds no data, which
+        # the packing loops cannot make progress on
+        raise ValueError("Record length must be at least 128 bytes.")
     nframes = (reclen - 64) // 64
 
     out = bytearray()
@@ -471,7 +481,16 @@ def write_mseed(stream, path, encoding=None, reclen=512):
                 raise MSEEDError(
                     "Cannot write non-integer data with an integer encoding."
                 )
-            data = np.round(data).astype(np.int32)
+            data = np.round(data)
+        if enc in (1, 3, 10, 11) and len(data):
+            limit = 32767 if enc == 1 else 2147483647
+            lo, hi = data.min(), data.max()
+            if lo < -limit - 1 or hi > limit:
+                raise MSEEDError(
+                    f"Data range [{lo}, {hi}] overflows encoding "
+                    f"{enc}; a silent wraparound would corrupt "
+                    "amplitudes."
+                )
         if enc in (10, 11):
             data = data.astype(np.int32)
         elif enc in _ENCODING_DTYPES:

@@ -38,7 +38,7 @@ def _parse_epochs(text):
         value = m.group(3)
         # A new B050F03 (station) or B052F03 (location) header after we've
         # already collected response fields starts a new epoch
-        if code == "B050F03" and any(
+        if code in ("B050F03", "B052F03") and any(
             c.startswith(("B053", "B054", "B058", "B061")) for c, _ in current
         ):
             epochs.append(current)
@@ -51,6 +51,36 @@ def _parse_epochs(text):
 
 def _first_number(value):
     return float(value.split()[0])
+
+
+def _parse_resp_date(value):
+    """
+    SEED epoch dates come as "YYYY,DDD,HH:MM:SS[.FFFF]" but the
+    time-of-day (and even the day) fields are optional ("2006,169" is
+    valid and emitted by several tools); a missing field must not
+    silently turn into an any-time-matching None.
+
+    """
+
+    from .utcdatetime import UTCDateTime
+
+    parts = [p for p in str(value).split(",") if p.strip()]
+    if not parts or not parts[0].strip().isdigit():
+        return None  # e.g. "No Ending Time"
+    try:
+        year = int(parts[0])
+        julday = int(parts[1]) if len(parts) > 1 and parts[1].strip() else 1
+        seconds = 0.0
+        if len(parts) > 2 and parts[2].strip():
+            hms = parts[2].split(":")
+            seconds = int(hms[0]) * 3600
+            if len(hms) > 1:
+                seconds += int(hms[1]) * 60
+            if len(hms) > 2:
+                seconds += float(hms[2])
+        return UTCDateTime(year=year, julday=julday) + seconds
+    except (ValueError, IndexError):
+        return None
 
 
 def _parse_epoch(fields):
@@ -87,25 +117,9 @@ def _parse_epoch(fields):
         elif code == "B052F04":
             cha = value.split()[0] if value else ""
         elif code == "B052F22":
-            try:
-                y, j, hms = value.split(",")
-                start = UTCDateTime(year=int(y), julday=int(j)) + (
-                    int(hms.split(":")[0]) * 3600
-                    + int(hms.split(":")[1]) * 60
-                    + float(hms.split(":")[2])
-                )
-            except (ValueError, IndexError):
-                start = None
+            start = _parse_resp_date(value)
         elif code == "B052F23":
-            try:
-                y, j, hms = value.split(",")
-                end = UTCDateTime(year=int(y), julday=int(j)) + (
-                    int(hms.split(":")[0]) * 3600
-                    + int(hms.split(":")[1]) * 60
-                    + float(hms.split(":")[2])
-                )
-            except (ValueError, IndexError):
-                end = None  # "No Ending Time"
+            end = _parse_resp_date(value)  # None for "No Ending Time"
 
         # --- B053: poles and zeros (first PZ stage only) ---
         elif code == "B053F03":

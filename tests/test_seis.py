@@ -703,3 +703,68 @@ def test_upsample_to_exact_target_still_conditions(tmp_path):
     assert out[0].stats.sampling_rate == 50.0
     # Detrended: mean far below the raw mean (~1250)
     assert abs(np.mean(out[0].data)) < 10.0
+
+
+def test_read_little_endian_steim(tmp_path):
+    """STEIM payloads with Blockette-1000 word order 0 (little-endian --
+    non-standard but common) decode correctly (regression: always
+    decoded big-endian, yielding garbage or dropped records)."""
+
+    import struct
+
+    from quakemigrate_tpu.core import steim_encode
+
+    rng = np.random.default_rng(3)
+    data = np.round(np.cumsum(rng.normal(0, 100, 300))).astype(np.int32)
+    n, frames = steim_encode(data, int(data[0]), 7, 11)
+    assert n == len(data)
+    # Byte-swap each 32-bit word to little-endian
+    le_payload = np.frombuffer(frames, dtype=">u4").astype("<u4").tobytes()
+
+    endian = "<"
+    header = bytearray(64)
+    header[0:6] = b"000001"
+    header[6:8] = b"D "
+    header[8:13] = b"LES  "
+    header[15:18] = b"HHZ"
+    header[18:20] = b"XX"
+    struct.pack_into(endian + "HHBBBBH", header, 20, 2020, 100, 1, 2, 3,
+                     0, 0)
+    struct.pack_into(endian + "Hhh", header, 30, len(data), 100, 1)
+    struct.pack_into("BBBB", header, 36, 0, 0, 0, 1)
+    struct.pack_into(endian + "i", header, 40, 0)
+    struct.pack_into(endian + "HH", header, 44, 64, 48)
+    struct.pack_into(endian + "HH", header, 48, 1000, 0)
+    struct.pack_into("BBBB", header, 52, 11, 0, 9, 0)  # word_order = 0
+
+    file = tmp_path / "le_steim.mseed"
+    file.write_bytes(
+        bytes(header) + le_payload.ljust(512 - 64, b"\x00")
+    )
+    st = read(str(file))
+    assert len(st) == 1
+    np.testing.assert_array_equal(st[0].data, data)
+
+
+def test_write_mseed_rejects_tiny_reclen_and_overflow(tmp_path):
+    """reclen=64 (no data capacity) and out-of-range INT16 data raise
+    instead of heap-corrupting / silently wrapping (regression)."""
+
+    tr = Trace(
+        np.arange(100, dtype=np.int32),
+        {"station": "RJ", "sampling_rate": 100.0,
+         "starttime": UTCDateTime(0)},
+    )
+    with pytest.raises(ValueError, match="at least 128"):
+        Stream([tr]).write(str(tmp_path / "a.m"), format="MSEED", reclen=64)
+
+    big = Trace(
+        np.array([0, 40000, -40000], dtype=np.int32),
+        {"station": "RJ", "sampling_rate": 100.0,
+         "starttime": UTCDateTime(0)},
+    )
+    from quakemigrate_tpu.seis.mseed import MSEEDError
+
+    with pytest.raises(MSEEDError, match="overflows"):
+        Stream([big]).write(str(tmp_path / "b.m"), format="MSEED",
+                            encoding="INT16")
