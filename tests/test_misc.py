@@ -667,3 +667,52 @@ def test_event_trigger_fields_coa_v_fallback():
     ev2 = Event(1.0, oldest_row)
     assert ev2.trigger_info["TRIG_COA"] == 2.5
     assert np.isnan(ev2.trigger_info["DEC_COA"])
+
+
+def test_quakeml_structural_validity(tmp_path):
+    """QuakeML output carries the schema-required networkCode, omits NaN
+    uncertainties (not valid xs:double), and describes a lone
+    horizontalUncertainty correctly (regression)."""
+
+    import xml.etree.ElementTree as ET
+
+    from quakemigrate_tpu.export import EventRecord
+    from quakemigrate_tpu.export.to_quakeml import _NS, _QNS, _SMI, _event_xml
+
+    picks = pd.DataFrame(
+        {
+            "Station": ["STA1"],
+            "Phase": ["P"],
+            "PickTime": [UTCDateTime("2021-01-01T00:00:02.5")],
+            "PickError": [0.02],
+        }
+    )
+    rec = EventRecord(
+        uid="qml1", otime=UTCDateTime("2021-01-01T00:00:01"),
+        longitude=-17.0, latitude=64.0, depth_km=5.0, picks=picks,
+        err_x_km=0.2, err_y_km=0.3, err_z_km=np.nan,
+        cov_err_xyz_km=0.4, ml=1.2, ml_err=np.nan,
+    )
+    out = tmp_path / "cat.xml"
+    out.write_text("\n".join([
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<q:quakeml xmlns:q="{_QNS}" xmlns="{_NS}">',
+        f'  <eventParameters publicID="{_SMI}/catalog">',
+        _event_xml(rec),
+        "  </eventParameters>", "</q:quakeml>", "",
+    ]))
+    text = out.read_text()
+    assert "nan" not in text.lower().replace("quakeml", "")
+    root = ET.parse(str(out)).getroot()
+
+    ns = {"q": root.tag.split("}")[0].strip("{")} if "}" in root.tag else {}
+    wid = root.find(".//waveformID") if not ns else root.find(
+        ".//q:waveformID", ns
+    )
+    # Fall back to tag scan if namespacing differs
+    found = [e for e in root.iter() if e.tag.endswith("waveformID")]
+    assert found and "networkCode" in found[0].attrib
+
+    descs = [e.text for e in root.iter()
+             if e.tag.endswith("preferredDescription")]
+    assert descs == ["horizontal uncertainty"]
