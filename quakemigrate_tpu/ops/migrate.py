@@ -152,8 +152,13 @@ def detect_reduce(
         running_max, running_idx, running_sum = carry
         tt_tile, tile_i = inputs
         coa = _stack_tile(shift_table, d_max, tt_tile, mask, available)
-        global_idx = node_offset + tile_i * tile + node_idx_base
-        valid = (global_idx < n_nodes_real)[:, None]
+        local_idx = tile_i * tile + node_idx_base
+        global_idx = node_offset + local_idx
+        # Both checks are needed: the tile padding appended to THIS slab
+        # (local_idx >= n_total) is invalid even when its global index
+        # happens to fall below n_nodes_real (a mid-grid slab whose
+        # length is not a multiple of `tile`)
+        valid = ((local_idx < n_total) & (global_idx < n_nodes_real))[:, None]
         coa = jnp.where(valid, coa, 0.0)
         tile_max = jnp.max(coa, axis=0)
         tile_arg = jnp.take(

@@ -35,11 +35,39 @@ from .migrate import _prepare_onsets
 LANE = 128
 
 # MXU-kernel scratch budget: the ~16 MB of VMEM less pipelining slack.
-VMEM_BUDGET = 14 * 2**20
+# Effective scoped-VMEM budget under _mxu_vmem_bytes' accounting, which
+# includes Mosaic stack temporaries that the compiler partially reuses --
+# so the constant exceeds the physical 16 MiB. Calibrated on v5e: the
+# regional tile=1024 config (new-accounting estimate ~18.4 MiB) compiles
+# and is the measured optimum; a 52-onset x 1000-sample tile=1024 config
+# (~22.8 MiB) dies at compile with a scoped-vmem stack overflow.
+VMEM_BUDGET = 20 * 2**20
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _combine_tiles(tmax, targ, tsum, perm, tile, nsamples):
+    """
+    Cross-tile combine shared by the VPU and MXU kernels: per-sample max
+    with FIRST-tile tie-break (argmax), brick-permutation mapping of the
+    winning local index back to the flat grid, and the grid sum.
+    Returns (max_coa, max_idx, coa_sum).
+
+    """
+
+    tmax = tmax[:, 0, :nsamples]
+    targ = targ[:, 0, :nsamples]
+    tsum = tsum[:, 0, :nsamples]
+
+    best_tile = jnp.argmax(tmax, axis=0)
+    max_coa = jnp.take_along_axis(tmax, best_tile[None, :], axis=0)[0]
+    local = jnp.take_along_axis(targ, best_tile[None, :], axis=0)[0]
+    perm_idx = best_tile.astype(jnp.int32) * tile + local
+    max_idx = jnp.take(perm, perm_idx)
+    coa_sum = jnp.sum(tsum, axis=0)
+    return max_coa, max_idx, coa_sum
 
 
 def brick_permutation(node_count, brick_shape):
@@ -83,7 +111,7 @@ class PallasDetectPlan:
     """
 
     def __init__(self, traveltimes, node_count, tile=512,
-                 brick_shape=(8, 8, 8)):
+                 brick_shape=(8, 8, 8), vpu_fine=True):
         traveltimes = np.asarray(traveltimes)
         n_nodes, n_onsets = traveltimes.shape
         assert int(np.prod(node_count)) == n_nodes
@@ -119,10 +147,17 @@ class PallasDetectPlan:
         self.n_nodes = n_nodes
         self.bits = bits
         self.r_pow2 = 1 << bits
-        # [n_tiles, O, TILE, 1] so the kernel sees a (TILE, 1) column
-        self.fine = np.ascontiguousarray(
-            fine.transpose(0, 2, 1)[..., None].astype(np.int32)
-        )
+        if vpu_fine:
+            # [n_tiles, O, TILE, 1] so the kernel sees a (TILE, 1) column
+            self.fine = np.ascontiguousarray(
+                fine.transpose(0, 2, 1)[..., None].astype(np.int32)
+            )
+            self._fine_raw = None
+        else:
+            # MXU consumer derives its own layout; skip the transposed
+            # contiguous copy (a ~GB-scale transient at regional scale)
+            self.fine = None
+            self._fine_raw = fine.astype(np.int32)  # (n_tiles, tile, O)
         self.base = base
         self.valid = live.reshape(n_tiles, tile, 1).astype(np.float32)
         self.perm = np.where(live, perm, 0).astype(np.int32)
@@ -230,18 +265,9 @@ def _pallas_detect_core(onsets, mask, available, fine, base, valid, perm,
         valid,
     )
 
-    tmax = tmax[:, 0, :nsamples]
-    targ = targ[:, 0, :nsamples]
-    tsum = tsum[:, 0, :nsamples]
-
-    # Cross-tile combine (XLA): max + first-tile tie-break + sum
-    best_tile = jnp.argmax(tmax, axis=0)
-    max_coa = jnp.take_along_axis(tmax, best_tile[None, :], axis=0)[0]
-    local = jnp.take_along_axis(targ, best_tile[None, :], axis=0)[0]
-    perm_idx = best_tile.astype(jnp.int32) * tile + local
-    max_idx = jnp.take(perm, perm_idx)
-    coa_sum = jnp.sum(tsum, axis=0)
-
+    max_coa, max_idx, coa_sum = _combine_tiles(
+        tmax, targ, tsum, perm, tile, nsamples
+    )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
 
@@ -260,8 +286,24 @@ class PallasDetect:
         self.fsmp = fsmp
         self.nsamples = nsamples
         self.interpret = interpret
+        self._max_shift = int(np.maximum(np.asarray(traveltimes), 0).max())
+        # The VPU kernel stages the whole (n_tiles, n_onsets) base table
+        # as one SMEM block; ~1 MiB of SMEM caps that at a few hundred
+        # thousand nodes. (The MXU kernel stages per-tile row PAIRS and
+        # has no such limit -- use it, or the XLA path, at scale.)
+        smem_bytes = self.plan.n_tiles * self.plan.n_onsets * 4
+        if not interpret and smem_bytes > 2**20:
+            raise ValueError(
+                f"PallasDetect base table ({smem_bytes / 2**20:.1f} MiB "
+                f"for {self.plan.n_tiles} tiles x {self.plan.n_onsets} "
+                "onsets) exceeds the ~1 MiB SMEM. Use PallasDetectMXU or "
+                "the XLA migrate_detect kernel for grids this large."
+            )
 
     def __call__(self, onsets, mask, available):
+        _check_onset_length(
+            onsets, self.fsmp, self.nsamples, self._max_shift
+        )
         p = self.plan
         return _pallas_detect_core(
             onsets, mask, available, p.fine, p.base, p.valid, p.perm,
@@ -382,7 +424,10 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     ops.migrate.detect_reduce: returns (max_coa, max_idx, coa_sum). The
     plan arrays (fine_t/base/valid/perm) come from a PallasDetectMXU;
     ``r_spans`` is its per-onset residual-span tuple (a scalar is
-    broadcast for compatibility).
+    broadcast for compatibility). ``n_nodes_real`` is not used in the
+    body (padding validity comes from the plan's ``valid`` mask and the
+    caller computes the normalisation) -- it is kept for signature
+    parity with ops.migrate.detect_reduce.
 
     """
 
@@ -457,18 +502,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         lo,
     )
 
-    tmax = tmax[:, 0, :nsamples]
-    targ = targ[:, 0, :nsamples]
-    tsum = tsum[:, 0, :nsamples]
-
-    best_tile = jnp.argmax(tmax, axis=0)
-    max_coa = jnp.take_along_axis(tmax, best_tile[None, :], axis=0)[0]
-    local = jnp.take_along_axis(targ, best_tile[None, :], axis=0)[0]
-    perm_idx = best_tile.astype(jnp.int32) * tile + local
-    max_idx = jnp.take(perm, perm_idx)
-    coa_sum = jnp.sum(tsum, axis=0)
-
-    return max_coa, max_idx, coa_sum
+    return _combine_tiles(tmax, targ, tsum, perm, tile, nsamples)
 
 
 @partial(
@@ -486,6 +520,28 @@ def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
 
+def _check_onset_length(onsets, fsmp, nsamples, max_shift):
+    """
+    The plans clamp traveltimes at 0 but (unlike the XLA path's d_max
+    clip) cannot clamp above: migration reads onsets[tt + fsmp + t], so
+    an onset block shorter than the plan's maximum shift would make the
+    one-hot select zero padding -- silently wrong values -- and, for
+    violations beyond the residual span, drive the MXU table-slice DMA
+    out of bounds. Fail loudly instead.
+
+    """
+
+    t_len = onsets.shape[-1]
+    if fsmp + nsamples + max_shift > t_len:
+        raise ValueError(
+            f"Onset block too short for this Pallas plan: migration reads "
+            f"up to sample {fsmp + nsamples + max_shift - 1} (fsmp {fsmp} "
+            f"+ nsamples {nsamples} + max traveltime shift {max_shift}) "
+            f"but the block has {t_len} samples. Rebuild the kernel for "
+            "this scan geometry or use the XLA kernel."
+        )
+
+
 class PallasDetectMXU:
     """
     MXU-formulated fused detect: one-hot selection matmul over per-tile
@@ -496,14 +552,20 @@ class PallasDetectMXU:
     def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=256,
                  brick_shape=(8, 8, 4), interpret=False):
         plan = PallasDetectPlan(
-            traveltimes, node_count, tile=tile, brick_shape=brick_shape
+            traveltimes, node_count, tile=tile, brick_shape=brick_shape,
+            vpu_fine=False,
         )
-        # Align each tile's base shift down to the 8-row sublane tiling so
-        # the table-slice DMA offsets are provably aligned; the remainder
-        # (0..7) moves into the fine residuals.
+        self._max_shift = int(np.maximum(np.asarray(traveltimes), 0).max())
+        # Align each tile's base shift down to the 16-row bf16 sublane
+        # tiling ((16, 128) memref tiles) so the table-slice DMA offsets
+        # are provably aligned; the remainder (0..15) moves into the
+        # fine residuals.
         remainder = plan.base % 16
         base8 = plan.base - remainder
-        fine8 = plan.fine[..., 0] + remainder[:, :, None]  # (n_tiles, O, tile)
+        fine8 = (
+            plan._fine_raw.transpose(0, 2, 1) + remainder[:, :, None]
+        )  # (n_tiles, O, tile)
+        plan._fine_raw = None
         # Residual span: bf16 memrefs tile as (16, 128), so bases and spans
         # align to 16 sublanes; the one-hot selector is built transposed,
         # with K on the sublane axis. The kernel supports per-onset spans
@@ -522,7 +584,6 @@ class PallasDetectMXU:
         # (make_mxu_detect) never touch the device.
         self._fine_host = np.ascontiguousarray(fine8)
         self._fine_dev = None
-        plan.fine = None
         plan.base = base8
         self.plan = plan
         self.fsmp = fsmp
@@ -550,6 +611,9 @@ class PallasDetectMXU:
         )
 
     def __call__(self, onsets, mask, available):
+        _check_onset_length(
+            onsets, self.fsmp, self.nsamples, self._max_shift
+        )
         fine_t = self.fine_t  # triggers the deferred device upload
         p = self.plan
         return _pallas_mxu_detect_core(
@@ -572,8 +636,16 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
     """
     Approximate VMEM footprint of the MXU kernel: table-slice slots
     (double-buffered bf16 hi/lo), the one-hot selector, the f32
-    accumulator, and the pipelined input/output blocks. ``k_dim`` is the
+    accumulator, the pipelined input/output blocks, PLUS the Mosaic
+    stack temporaries that live across the kernel body -- the second
+    dot_general's result (alive during the hi+lo add) and the one-hot
+    build's broadcasted-iota/comparison block. ``k_dim`` is the
     selector's contraction size (the sum of per-onset residual spans).
+
+    The matching ``VMEM_BUDGET`` is calibrated against on-hardware
+    compile outcomes (v5e): omitting the stack terms previously let
+    configs through that died at compile with a scoped-vmem stack
+    overflow (e.g. 52 onsets x 1000 samples at tile=1024).
 
     """
 
@@ -582,7 +654,11 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
     onehot = k_dim * tile * 2
     accumulator = tile * s_pad * 4
     blocks = 2 * (n_onsets * tile * 4 + tile * LANE * 4 + 3 * s_pad * 4)
-    return slices + onehot + accumulator + blocks
+    second_dot = tile * s_pad * 4
+    onehot_scratch = k_dim * tile * (4 + 2)  # int32 iota + bf16 block
+    return (
+        slices + onehot + accumulator + blocks + second_dot + onehot_scratch
+    )
 
 
 def _estimate_r_spans(traveltimes, node_count, brick_shape):

@@ -382,3 +382,90 @@ def test_mxu_detect_random_geometry_fuzz(seed):
     # under the bf16 hi/lo arithmetic
     agree = (got[2] == ref[2]).mean()
     assert agree > 0.9, agree
+
+
+def test_detect_reduce_mid_grid_slab_padding():
+    """
+    Tile padding appended to a MID-grid node slab must not alias real
+    global indices: rows beyond the slab's true length are invalid even
+    when their global index is < n_nodes_real (regression).
+
+    """
+
+    from quakemigrate_tpu.ops.migrate import detect_reduce
+
+    rng = np.random.default_rng(21)
+    n_nodes, n_onsets = 200, 4
+    fsmp, nsamples, lsmp = 8, 40, 20
+    onsets = rng.gamma(2.0, 1.5, size=(n_onsets, fsmp + nsamples + lsmp))
+    tt = rng.integers(0, lsmp, size=(n_nodes, n_onsets)).astype(np.int32)
+    mask = np.ones(n_onsets, dtype=np.float64)
+
+    # Whole grid in one call = ground truth
+    full = [np.asarray(v) for v in detect_reduce(
+        onsets, tt, mask, 4.0, fsmp, nsamples, n_nodes, tile=64,
+        node_offset=0,
+    )]
+
+    # Two slabs of 100 rows (not a multiple of tile=64): combine manually
+    parts = []
+    for off in (0, 100):
+        parts.append([np.asarray(v) for v in detect_reduce(
+            onsets, tt[off:off + 100], mask, 4.0, fsmp, nsamples, n_nodes,
+            tile=64, node_offset=off,
+        )])
+    (m0, i0, s0), (m1, i1, s1) = parts
+    better = m1 > m0
+    max_coa = np.where(better, m1, m0)
+    max_idx = np.where(better, i1, i0)
+    coa_sum = s0 + s1
+
+    np.testing.assert_allclose(max_coa, full[0], rtol=1e-12)
+    np.testing.assert_array_equal(max_idx, full[1])
+    np.testing.assert_allclose(coa_sum, full[2], rtol=1e-12)
+
+
+def test_pallas_kernels_reject_short_onset_blocks():
+    """Calling a Pallas kernel with an onset block shorter than the
+    plan's maximum shift raises instead of silently selecting padding
+    (regression)."""
+
+    from quakemigrate_tpu.ops.pallas_migrate import (
+        PallasDetect,
+        PallasDetectMXU,
+    )
+
+    rng = np.random.default_rng(22)
+    dims = (8, 8, 8)
+    n_onsets, fsmp, nsamples, lsmp = 4, 8, 40, 30
+    tt = rng.integers(0, lsmp, size=(512, n_onsets)).astype(np.int32)
+    mask = np.ones(n_onsets, dtype=np.float32)
+
+    short = rng.gamma(
+        2.0, 1.5, size=(n_onsets, fsmp + nsamples + int(tt.max()) - 5)
+    ).astype(np.float32)
+
+    for cls in (PallasDetect, PallasDetectMXU):
+        kernel = cls(tt, dims, fsmp, nsamples, tile=64,
+                     brick_shape=(4, 4, 4), interpret=True)
+        with pytest.raises(ValueError, match="too short"):
+            kernel(short, mask, float(mask.sum()))
+
+
+def test_mxu_vmem_budget_rejects_hardware_overflow_shape():
+    """The VMEM estimate accounts for Mosaic stack temporaries: the
+    52-onset x 1000-sample tile=1024 shape that died at compile on
+    hardware must be rejected (regression)."""
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+    x, y, z = np.meshgrid(*[np.arange(16)] * 3, indexing="ij")
+    tts = [
+        np.rint(np.sqrt((x - i % 16) ** 2 + y**2 + z**2)).astype(np.int32)
+        for i in range(52)
+    ]
+    tt = np.clip(np.stack(tts, -1).reshape(-1, 52), 0, 500)
+    k = PallasDetectMXU(tt, (16, 16, 16), 100, 1000, tile=1024,
+                        brick_shape=(16, 8, 8))
+    assert max(k.r_spans) <= 32  # smooth field, small spans
+    assert not k.fits_vmem()
