@@ -138,8 +138,15 @@ def read_scanmseed(run, starttime, endtime, pad, ucf):
     except util.MergeError as err:
         # Conflicting overlaps between day files: proceed with the
         # unmerged segments (the reference's ObsPy merge only warns
-        # here), rather than killing the trigger stage
-        logging.info(f"\t\tWarning: {err} -- using unmerged segments.")
+        # here), rather than killing the trigger stage. NOTE: like the
+        # reference, only the FIRST contiguous segment per channel is
+        # then analysed -- the coverage report below warns when that
+        # truncates the requested span.
+        logging.info(
+            f"\t\tWarning: {err} -- using unmerged segments (the span "
+            "after the first conflict will not be analysed; see the "
+            "coverage warnings below)."
+        )
 
     coa_trace = gathered.select(station="COA")[0]
     stats = coa_trace.stats

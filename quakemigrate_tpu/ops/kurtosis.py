@@ -49,7 +49,17 @@ def rolling_kurtosis(signal, nkurt):
         - 3 * mean**4
     )
     tiny = jnp.finfo(signal.dtype).tiny
-    kurt = m4 / jnp.maximum(m2**2, tiny) - 3.0
+    # Degenerate (near-constant) windows -- e.g. the sqrt(tiny) gap
+    # fill -- make m4/m2**2 numerically meaningless: the two moments
+    # underflow at different rates and the ratio can explode to ~1e180,
+    # which then overflows the RMS combine and corrupts the scanmseed
+    # output at every gap boundary. Kurtosis is scale-free, so gate on
+    # the RELATIVE variance (m2 vs the window's mean square) and flatten
+    # degenerate windows to 0 (no CF contribution).
+    power = s2 / n
+    m2f = jnp.maximum(m2, jnp.sqrt(tiny))
+    raw = m4 / (m2f * m2f) - 3.0
+    kurt = jnp.where(m2 > power * 1e-12, raw, 0.0)
 
     valid = jnp.arange(signal.shape[-1]) >= (nkurt - 1)
     return jnp.where(valid, kurt, 0.0)
@@ -111,7 +121,11 @@ def kurtosis_cf_rows(signal, nkurt_rows, nsmooth):
         - 3 * mean**4
     )
     tiny = jnp.finfo(signal.dtype).tiny
-    kurt = m4 / jnp.maximum(m2**2, tiny) - 3.0
+    # Same degenerate-window gating as rolling_kurtosis (see there)
+    power = s2 / n_col
+    m2f = jnp.maximum(m2, jnp.sqrt(tiny))
+    raw = m4 / (m2f * m2f) - 3.0
+    kurt = jnp.where(m2 > power * 1e-12, raw, 0.0)
     valid = idx[None, :] >= (nkurt_rows[:, None] - 1)
     kurt = jnp.where(valid, kurt, 0.0)
 

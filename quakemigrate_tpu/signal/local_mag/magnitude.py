@@ -287,24 +287,11 @@ class Magnitude:
             # their noise amplitude, but its `magnitudes.drop(labels=...)`
             # discards the result (ref magnitude.py:891 -- not inplace),
             # so the filter is a no-op and ALL structurally-passing rows
-            # enter the r² there. We reproduce the actual behaviour so
-            # ML_r2 matches the reference output; flip the constant
-            # below to True to enable the documented-intent filtering.
-            apply_noise_dominated_drop = False
-            if apply_noise_dominated_drop:
-                weak = table[~table["Noise_Filter"]]
-                if not weak.empty:
-                    noise = (
-                        weak["Noise_amp"].values
-                        * self.amp_multiplier
-                        * 10.0 ** weak["Station_Correction"].values
-                    )
-                    predicted = 10.0 ** (
-                        mean_mag - self._attenuation(weak["Dist"].values)
-                    )
-                    table = table.drop(
-                        index=weak.index[predicted / noise < 5]
-                    )
+            # enter the r² there. We reproduce that actual behaviour so
+            # ML_r2 matches the reference output; implementing the
+            # documented intent would drop
+            # weak.index[predicted_amp / corrected_noise_amp < 5] rows
+            # over table[~table["Noise_Filter"]].
 
         observed = (
             table[self.amp_feature].values

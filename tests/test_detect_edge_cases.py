@@ -255,11 +255,14 @@ def test_batch_mid_failure_keeps_chronological_appends(
     assert coa.data[40 * SPS:].max() > 0
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_kurtosis_allow_gaps(tmp_path, small_lut):
     """
     KurtosisOnset with allow_gaps=True must gap-fill via the shared
     availability helper instead of crashing on ragged trace segments
-    (regression: the kurtosis path skipped _fill_gaps).
+    (regression: the kurtosis path skipped _fill_gaps), and the filled
+    near-constant windows must not explode the kurtosis ratio into
+    overflowing coalescence (regression: degenerate-window gating).
 
     """
 
@@ -294,6 +297,15 @@ def test_kurtosis_allow_gaps(tmp_path, small_lut):
     # The gappy S0 stays available because gaps are tolerated and filled
     assert avail["S0_P"].iloc[1] == 1
     assert avail.iloc[1].sum() == 8
+
+    st = read(
+        str(tmp_path / "runs" / "kurtgap" / "detect" / "scanmseed"
+            / "2021_071.scanmseed")
+    )
+    coa = st.select(station="COA")[0].data
+    # Sane coalescence: no ceiling-clamped garbage at gap boundaries
+    assert coa.min() >= 0
+    assert coa.max() < 21474000  # well below the int32 scaling ceiling
 
 
 def test_archive_glob_matching_directory_is_skipped(tmp_path, small_lut):
