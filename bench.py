@@ -212,6 +212,74 @@ def bench_regional(nx=142, ny=128, nz=114):
     }
 
 
+def _fold_artifact(report, path, prefix, keys):
+    """Fold a sibling JSON artifact (on-hardware test tier, day-scale e2e
+    run) into the bench record, so each round's BENCH json carries them."""
+
+    import pathlib
+
+    f = pathlib.Path(__file__).parent / path
+    if not f.is_file():
+        return
+    try:
+        data = json.loads(f.read_text())
+    except (OSError, ValueError):
+        return
+    for k in keys:
+        if k in data:
+            report[f"{prefix}{k}"] = data[k]
+
+
+def bench_long_window(nsamples=30_000):
+    """
+    Day-scale window (timestep=120 s at 250 Hz) on the Icequake grid: the
+    auto-selected kernel must stay on the (sample-axis-blocked) MXU path
+    and is timed like bench_device. Round 2 silently fell back to XLA
+    here -- this records that the recommended long-timestep configuration
+    keeps the MXU win.
+
+    """
+
+    import jax
+
+    from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
+
+    rng = np.random.default_rng(5)
+    _, tt4d = make_workload()
+    tt = np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS))
+    t_samples = FSMP + nsamples + LSMP
+    mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
+
+    kernel = make_mxu_detect(tt, (NX, NY, NZ), FSMP, nsamples)
+    blocks = [
+        jax.device_put(
+            rng.gamma(2.0, 1.5, size=(N_ONSETS, t_samples)).astype(np.float32)
+        )
+        for _ in range(3)
+    ]
+
+    def run(block):
+        return float(
+            np.asarray(kernel(block, mask_dev, float(N_ONSETS))[0]).sum()
+        )
+
+    run(blocks[0])
+    times = []
+    for block in blocks:
+        t0 = time.perf_counter()
+        run(block)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    work = NX * NY * NZ * N_ONSETS * nsamples
+    return {
+        "long_window_nsamples": nsamples,
+        "long_window_kernel_is_mxu": bool(kernel.fits_vmem()),
+        "long_window_sblk": int(kernel.sblk),
+        "long_window_gsps": round(work / elapsed / 1e9, 1),
+        "long_window_seconds": round(elapsed, 4),
+    }
+
+
 def main():
     import jax
 
@@ -268,6 +336,27 @@ def main():
             report.update(bench_regional())
         except Exception as err:  # tunnel hiccups should not kill the bench
             report["regional_error"] = f"{type(err).__name__}: {err}"[:200]
+
+    # Long-window (day-scale detect, timestep=120 s at 250 Hz) sample:
+    # validates that kernel selection keeps the MXU at the documented
+    # day-scale configuration (sample-axis blocking) and records its win.
+    if os.environ.get("QM_BENCH_SKIP_LONGWINDOW") != "1":
+        try:
+            report.update(bench_long_window())
+        except Exception as err:
+            report["long_window_error"] = f"{type(err).__name__}: {err}"[:200]
+
+    # On-hardware pytest tier + day-scale e2e artifacts (written by
+    # tools/run_tpu_tests.py and tools/day_e2e.py when run this round).
+    _fold_artifact(
+        report, "TPU_TESTS.json", "tpu_tests_",
+        ("ok", "passed", "failed", "timestamp"),
+    )
+    _fold_artifact(
+        report, "DAY_E2E.json", "e2e_",
+        ("realtime_factor", "ms_per_window", "hours", "timestep_s",
+         "kernel", "timestamp"),
+    )
 
     if best is None:
         # Every kernel failed its parity gate: still emit the JSON line --

@@ -53,15 +53,26 @@ def _read_one_day(path, permanent_conversion=False):
 
     table = pd.read_csv(path, index_col=0)
 
-    # New-format columns are {station}_{phase}: the suffix after the LAST
-    # underscore is a short alphabetic phase label. Station names may
-    # themselves contain underscores (e.g. "ST_01"), so a plain
-    # split("_") cannot distinguish the formats.
+    # Files written by this package carry an explicit new-format marker
+    # (the index column is named "DT"), so they are never misclassified
+    # regardless of station naming or exotic phase labels.
+    if table.index.name == "DT":
+        return table
+
+    # Unmarked files (reference-written, or written by older versions of
+    # this package): new-format columns are {station}_{phase} where the
+    # suffix after the LAST underscore is a SINGLE uppercase phase letter
+    # (the set this package and the reference converter actually write,
+    # e.g. P/S -- reference availability.py:112 hardcodes "PS"). Station
+    # names may themselves contain underscores (e.g. "ST_01"), and a
+    # looser <=2-letter test misreads old-format files whose stations all
+    # end in a two-letter suffix (e.g. "ST_NE"/"ST_SW").
     def _phase_suffix(name):
         parts = str(name).rsplit("_", 1)
         return (
             parts[1]
-            if len(parts) == 2 and parts[1].isalpha() and len(parts[1]) <= 2
+            if len(parts) == 2 and len(parts[1]) == 1
+            and parts[1].isalpha() and parts[1].isupper()
             else None
         )
 
@@ -109,4 +120,5 @@ def write_availability(run, availability):
             keep = prior[~prior.index.isin(day_rows.index)]
             if len(keep):
                 day_rows = pd.concat([keep, day_rows]).sort_index()
-        day_rows.to_csv(target)
+        # "DT" index name = explicit new-format marker (see _read_one_day)
+        day_rows.rename_axis("DT").to_csv(target)

@@ -22,6 +22,7 @@ rather than flat-grid order).
 
 """
 
+import logging
 from functools import partial
 
 import jax
@@ -34,14 +35,16 @@ from .migrate import _prepare_onsets
 
 LANE = 128
 
-# MXU-kernel scratch budget: the ~16 MB of VMEM less pipelining slack.
-# Effective scoped-VMEM budget under _mxu_vmem_bytes' accounting, which
-# includes Mosaic stack temporaries that the compiler partially reuses --
-# so the constant exceeds the physical 16 MiB. Calibrated on v5e: the
-# regional tile=1024 config (new-accounting estimate ~18.4 MiB) compiles
-# and is the measured optimum; a 52-onset x 1000-sample tile=1024 config
-# (~22.8 MiB) dies at compile with a scoped-vmem stack overflow.
-VMEM_BUDGET = 20 * 2**20
+# MXU-kernel scratch budget under _mxu_vmem_bytes' accounting. Mosaic's
+# default scoped-VMEM limit (16 MiB) is raised per-kernel to
+# estimate + 8 MiB via CompilerParams(vmem_limit_bytes), so this budget
+# is no longer a compile ceiling -- it caps how much VMEM the config
+# selection lets a kernel claim, for performance. Calibrated on v5e
+# (experiments/exp_vmem_sweep.py, day-scale 30k-sample window): configs
+# up to ~40 MiB estimate are the measured optimum (tile=512/sblk=2048 at
+# 432 G/s); pushing to ~60-71 MiB (sblk=4096) compiled fine but measured
+# 10-15% SLOWER -- too little VMEM left for DMA overlap.
+VMEM_BUDGET = 40 * 2**20
 
 
 def _round_up(x, m):
@@ -331,9 +334,11 @@ class PallasDetect:
 def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
                        hi_ref, lo_ref, max_ref, arg_ref, sum_ref,
                        a_slots, onehot, sems, *, r_spans, n_onsets, tile,
-                       n_tiles):
-    i = pl.program_id(0)
-    slot = jax.lax.rem(i, jnp.int32(2))
+                       n_tiles, sblk, n_sblocks):
+    i = pl.program_id(0)  # node tile
+    j = pl.program_id(1)  # sample block (minor: full sweep per tile)
+    step = i * n_sblocks + j
+    slot = jax.lax.rem(step, jnp.int32(2))
 
     # Per-onset residual spans: each onset's K rows start at its static
     # offset (all 16-aligned). Sized per onset because e.g. P onsets
@@ -343,59 +348,77 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     for r in r_spans:
         k_off.append(k_off[-1] + r)
 
-    # Table-slice DMAs (rows base..base+R_o of each onset's Hankel block)
-    # are double-buffered across tiles: tile i computes from slot i%2 while
-    # tile i+1's slices stream into the other slot. Bases are pre-aligned
-    # to the sublane tiling (the remainder is folded into the fine
-    # residuals). base_ref is a (1, 2, O) SMEM block holding rows [i, i+1]
-    # of the base table (SMEM cannot hold the whole table on large grids).
-    def slice_dmas(local_row, into_slot):
+    # Table-slice DMAs (rows base..base+R_o, sample columns
+    # col0..col0+sblk of each onset's Hankel block) are double-buffered
+    # across grid steps: step (i, j) computes from slot step%2 while the
+    # next step's slices stream into the other slot. Blocking the sample
+    # axis bounds every VMEM term by ``sblk`` instead of the window
+    # length, so day-scale windows (e.g. timestep=120 s at 250 Hz) stay
+    # on the MXU path. Bases are pre-aligned to the sublane tiling (the
+    # remainder is folded into the fine residuals). base_ref is a
+    # (1, 2, O) SMEM block holding rows [i, i+1] of the base table (SMEM
+    # cannot hold the whole table on large grids).
+    def slice_dmas(local_row, col0, into_slot):
         for o in range(n_onsets):
             row0 = pl.multiple_of(base_ref[0, local_row, o], 16)
             for half, table in enumerate((hi_ref, lo_ref)):
                 yield pltpu.make_async_copy(
-                    table.at[o, pl.ds(row0, r_spans[o]), :],
+                    table.at[o, pl.ds(row0, r_spans[o]), pl.ds(col0, sblk)],
                     a_slots.at[
                         into_slot, half, pl.ds(k_off[o], r_spans[o]), :
                     ],
                     sems.at[into_slot, half, o],
                 )
 
-    @pl.when(i == 0)
+    @pl.when(step == 0)
     def _():
-        for dma in slice_dmas(0, 0):
+        for dma in slice_dmas(0, 0, 0):
             dma.start()
 
-    @pl.when(i + 1 < n_tiles)
+    # Prefetch the NEXT step's slices: (i, j+1) while sweeping this
+    # tile's sample blocks, or (i+1, 0) at the end of the sweep.
+    last_j = j == n_sblocks - 1
+    next_row = jnp.where(last_j, 1, 0)
+    next_col = pl.multiple_of(jnp.where(last_j, 0, (j + 1) * sblk), LANE)
+
+    @pl.when(jnp.logical_or(jnp.logical_not(last_j), i + 1 < n_tiles))
     def _():
-        for dma in slice_dmas(1, 1 - slot):
+        for dma in slice_dmas(next_row, next_col, 1 - slot):
             dma.start()
 
-    # Build the (transposed) one-hot selector while the DMAs are in flight:
-    # onehot[k_off[o] + r, n] = (fine[o, n] == r). The K axis sits on
-    # sublanes so spans only need 16-alignment, not full lanes. Onsets are
-    # grouped into runs of equal span (typically two: the P block and the
-    # S block) and each run is built with ONE broadcast comparison -- a
-    # separate compare/store per onset leaves ~24 unshared (r, tile)
-    # stack temporaries and blows the 16 MB scoped-VMEM budget at
-    # tile=1024.
+    # Build the (transposed) one-hot selector while the DMAs are in
+    # flight: onehot[k_off[o] + r, n] = (fine[o, n] == r). It depends only
+    # on the tile, so it is built once per tile (j == 0) and reused across
+    # the tile's sample blocks (scratch persists across grid steps). The K
+    # axis sits on sublanes so spans only need 16-alignment, not full
+    # lanes. Onsets are grouped into runs of equal span (typically two:
+    # the P block and the S block) and each run is built with ONE
+    # broadcast comparison -- a separate compare/store per onset leaves
+    # ~24 unshared (r, tile) stack temporaries and blows the 16 MB
+    # scoped-VMEM budget at tile=1024.
     runs = []  # (first_onset, count, span)
     for o, r in enumerate(r_spans):
         if runs and runs[-1][2] == r:
             runs[-1][1] += 1
         else:
             runs.append([o, 1, r])
-    for o0, count, r in runs:
-        # (count, r, tile): fine rows broadcast over the residue axis
-        residues = jax.lax.broadcasted_iota(jnp.int32, (count, r, tile), 1)
-        block = (
-            fine_ref[0, o0:o0 + count, :][:, None, :] == residues
-        ).astype(jnp.bfloat16)
-        onehot[k_off[o0]:k_off[o0] + count * r, :] = block.reshape(
-            count * r, tile
-        )
 
-    for dma in slice_dmas(0, slot):
+    @pl.when(j == 0)
+    def _():
+        for o0, count, r in runs:
+            # (count, r, tile): fine rows broadcast over the residue axis
+            residues = jax.lax.broadcasted_iota(
+                jnp.int32, (count, r, tile), 1
+            )
+            block = (
+                fine_ref[0, o0:o0 + count, :][:, None, :] == residues
+            ).astype(jnp.bfloat16)
+            onehot[k_off[o0]:k_off[o0] + count * r, :] = block.reshape(
+                count * r, tile
+            )
+
+    cur_col = pl.multiple_of(j * sblk, LANE)
+    for dma in slice_dmas(0, cur_col, slot):
         dma.wait()
 
     # coa[n, t] = sum_k onehot[k, n] * A[k, t] -- contract the K (sublane)
@@ -418,16 +441,21 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
 
 def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
                       fsmp, nsamples, tile, r_spans, n_nodes_real,
-                      interpret=False):
+                      sblk=None, interpret=False):
     """
     Traceable MXU fused migrate + reduce with the same contract as
     ops.migrate.detect_reduce: returns (max_coa, max_idx, coa_sum). The
     plan arrays (fine_t/base/valid/perm) come from a PallasDetectMXU;
     ``r_spans`` is its per-onset residual-span tuple (a scalar is
-    broadcast for compatibility). ``n_nodes_real`` is not used in the
-    body (padding validity comes from the plan's ``valid`` mask and the
-    caller computes the normalisation) -- it is kept for signature
-    parity with ops.migrate.detect_reduce.
+    broadcast for compatibility). ``sblk`` is the static sample-block
+    width (lane-aligned; default = the whole lane-padded window): the
+    kernel sweeps each tile's window in blocks of ``sblk`` samples so
+    its VMEM scratch is bounded by the block, not the window length --
+    this is what keeps day-scale windows (timestep=120 s at 250 Hz) on
+    the MXU path. ``n_nodes_real`` is not used in the body (padding
+    validity comes from the plan's ``valid`` mask and the caller
+    computes the normalisation) -- it is kept for signature parity with
+    ops.migrate.detect_reduce.
 
     """
 
@@ -437,16 +465,19 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     n_tiles, n_onsets = base.shape
     if not isinstance(r_spans, tuple):
         r_spans = (int(r_spans),) * n_onsets
+    if sblk is None:
+        sblk = _round_up(nsamples, LANE)
+    sblk = _round_up(int(sblk), LANE)
+    s_pad = _round_up(nsamples, sblk)
+    n_sblocks = s_pad // sblk
     # Row pairs [base[i], base[i+1]] per tile, so the kernel's SMEM block
     # carries this tile's slice offsets AND the next tile's (for the
     # double-buffered prefetch) without holding the whole table in SMEM.
     padded = jnp.pad(base, ((0, 1), (0, 0)))
     base_pairs = jnp.stack([padded[:-1], padded[1:]], axis=1)
 
-    s_pad = _round_up(nsamples, LANE)
-
     # Global Hankel table [O, D, S], padded so every base..base+R slice and
-    # the lane-aligned sample axis are in range.
+    # the block-aligned sample axis are in range.
     table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
     d_pad = _round_up(d_max + 1 + max(r_spans), 16)
     table = jnp.pad(
@@ -462,25 +493,25 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 
     kernel = partial(
         _mxu_detect_kernel, r_spans=r_spans, n_onsets=n_onsets, tile=tile,
-        n_tiles=n_tiles,
+        n_tiles=n_tiles, sblk=sblk, n_sblocks=n_sblocks,
     )
 
     tmax, targ, tsum = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_sblocks),
         in_specs=[
-            pl.BlockSpec((1, 2, n_onsets), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2, n_onsets), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_onsets, tile), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tile, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_onsets, tile), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sblk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, sblk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, sblk), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
@@ -488,10 +519,22 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
             jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, sum(r_spans), s_pad), jnp.bfloat16),
+            pltpu.VMEM((2, 2, sum(r_spans), sblk), jnp.bfloat16),
             pltpu.VMEM((sum(r_spans), tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2, n_onsets)),
         ],
+        # Mosaic's default scoped-VMEM limit (16 MiB) is conservative;
+        # v5e has far more physical VMEM. Raising the limit to our own
+        # accounting (plus slack for Mosaic stack temporaries the
+        # accounting cannot see) lets the selection logic -- not the
+        # compiler default -- decide how much VMEM a config may use.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                112 * 2**20,
+                _mxu_vmem_bytes(tile, sum(r_spans), n_onsets, sblk)
+                + 8 * 2**20,
+            ),
+        ),
         interpret=interpret,
     )(
         base_pairs,
@@ -508,14 +551,15 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 @partial(
     jax.jit,
     static_argnames=("fsmp", "nsamples", "tile", "r_spans", "n_nodes_real",
-                     "interpret"),
+                     "sblk", "interpret"),
 )
 def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
                             perm, fsmp, nsamples, tile, r_spans, n_nodes_real,
-                            interpret=False):
+                            sblk=None, interpret=False):
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         onsets, mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
+        interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -550,7 +594,7 @@ class PallasDetectMXU:
     """
 
     def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=256,
-                 brick_shape=(8, 8, 4), interpret=False):
+                 brick_shape=(8, 8, 4), sblk=None, interpret=False):
         plan = PallasDetectPlan(
             traveltimes, node_count, tile=tile, brick_shape=brick_shape,
             vpu_fine=False,
@@ -588,6 +632,13 @@ class PallasDetectMXU:
         self.plan = plan
         self.fsmp = fsmp
         self.nsamples = nsamples
+        # Sample-block width: the kernel sweeps the window in lane-aligned
+        # blocks of ``sblk`` samples (default: the whole window in one
+        # block). make_mxu_detect picks the largest block whose scratch
+        # fits VMEM, so long windows block instead of losing the MXU.
+        self.sblk = _round_up(
+            int(sblk) if sblk else _round_up(nsamples, LANE), LANE
+        )
         self.interpret = interpret
 
     @property
@@ -600,7 +651,7 @@ class PallasDetectMXU:
     def estimated_vmem_bytes(self):
         p = self.plan
         return _mxu_vmem_bytes(
-            p.tile, sum(self.r_spans), p.n_onsets, self.nsamples
+            p.tile, sum(self.r_spans), p.n_onsets, self.sblk
         )
 
     def fits_vmem(self, budget=None):
@@ -619,20 +670,24 @@ class PallasDetectMXU:
         return _pallas_mxu_detect_core(
             onsets, mask, available, fine_t, p.base, p.valid, p.perm,
             self.fsmp, self.nsamples, p.tile, self.r_spans, p.n_nodes,
-            interpret=self.interpret,
+            sblk=self.sblk, interpret=self.interpret,
         )
 
 
-# Candidate (tile, brick_shape) configs, largest tile first. One brick per
-# tile keeps the residual span tight (a tile spanning two bricks pays the
-# union of their shift ranges); larger tiles amortise grid-step sequencing
-# and halve/quarter the per-node table-slice DMA bytes, at the price of a
-# bigger VMEM footprint -- measured sweep in experiments/exp_mxu_tile.py
-# (regional 2.1M-node grid: 475 / 456 / 430 G/s top to bottom).
+# Candidate (tile, brick_shape) configs. One brick per tile keeps the
+# residual span tight (a tile spanning two bricks pays the union of their
+# shift ranges); larger tiles amortise grid-step sequencing and halve/
+# quarter the per-node table-slice DMA bytes, but their bigger bricks can
+# widen the span (more redundant MXU FLOPs). make_mxu_detect scores the
+# candidates with the measured cost model (_config_score) instead of a
+# fixed order -- at equal spans the largest tile wins (regional sweep,
+# experiments/exp_mxu_tile.py: 475/456/430 G/s), at unequal spans the
+# tighter span wins (day-scale sweep, experiments/exp_vmem_sweep.py:
+# tile=512/span=64 at 432 G/s vs tile=1024/span=80 at 329 G/s).
 MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
 
 
-def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
+def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk):
     """
     Approximate VMEM footprint of the MXU kernel: table-slice slots
     (double-buffered bf16 hi/lo), the one-hot selector, the f32
@@ -640,7 +695,9 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
     stack temporaries that live across the kernel body -- the second
     dot_general's result (alive during the hi+lo add) and the one-hot
     build's broadcasted-iota/comparison block. ``k_dim`` is the
-    selector's contraction size (the sum of per-onset residual spans).
+    selector's contraction size (the sum of per-onset residual spans);
+    ``sblk`` the sample-block width (every sample-axis term scales with
+    the block, not the window -- the point of sample-axis blocking).
 
     The matching ``VMEM_BUDGET`` is calibrated against on-hardware
     compile outcomes (v5e): omitting the stack terms previously let
@@ -649,7 +706,7 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, nsamples):
 
     """
 
-    s_pad = _round_up(nsamples, LANE)
+    s_pad = _round_up(sblk, LANE)
     slices = 2 * 2 * k_dim * s_pad * 2
     onehot = k_dim * tile * 2
     accumulator = tile * s_pad * 4
@@ -693,28 +750,106 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
     return (span,) * n_onsets
 
 
+# Sample-block width candidates (lanes). The full lane-padded window is
+# always tried first (one block, no re-sweep overhead); long windows then
+# fall down this ladder until the scratch fits. Capped at 2048: the
+# on-hardware sweep (exp_vmem_sweep) measured sblk=4096 SLOWER at every
+# tile (501 vs 432 ms at tile=512) -- oversized blocks starve DMA overlap.
+SBLK_CANDIDATES = (2048, 1024, 512, 256, LANE)
+
+
+def _pick_sblk(tile, k_dim, n_onsets, nsamples, budget=None):
+    """
+    Largest sample-block width whose MXU scratch fits the VMEM budget for
+    this (tile, contraction size) -- the whole lane-padded window if it
+    fits, else the first fitting rung of SBLK_CANDIDATES. None if even a
+    single-lane block does not fit (pathologically wide residual spans).
+
+    """
+
+    budget = VMEM_BUDGET if budget is None else budget
+    s_full = _round_up(nsamples, LANE)
+    for sblk in (s_full,) + tuple(c for c in SBLK_CANDIDATES if c < s_full):
+        if _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk) <= budget:
+            return sblk
+    return None
+
+
+def _config_score(span_sum, sblk, tile, nsamples):
+    """
+    Predicted relative cost of a candidate (tile, sblk) config, from the
+    on-hardware sweep (experiments/exp_vmem_sweep.py, v5e):
+
+    - MXU FLOPs scale with the residual-span sum (the one-hot matmul does
+      span-many mostly-zero MACs per node*sample), the dominant term
+      (measured: tile=1024/span=80 runs ~1.28x slower than
+      tile=512/span=64 at the day-scale window).
+    - Small sample blocks pay a re-sweep penalty (sblk=128 measured +35%
+      over sblk>=512 at the same tile); >=512 is flat.
+    - Larger tiles amortise table-slice DMA and grid-step sequencing
+      (round-2 regional sweep: 475/456/430 G/s for 1024/512/256 at equal
+      spans), worth ~4% per halving.
+
+    """
+
+    s_full = _round_up(nsamples, LANE)
+    if sblk >= min(512, s_full):
+        block_penalty = 1.0
+    elif sblk >= 256:
+        block_penalty = 1.15
+    else:
+        block_penalty = 1.35
+    tile_penalty = 1.0 + 0.04 * (MXU_CONFIGS[0][0] / tile - 1.0)
+    return span_sum * block_penalty * tile_penalty
+
+
 def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
     """
-    Build the MXU detect kernel with the largest-tile config whose scratch
-    fits VMEM for this (LUT, scan geometry). Candidates are vetted with a
-    cheap per-brick span estimate (no plan arrays are materialised for
-    rejected configs, and nothing touches the device until first use). If
-    no config fits (long windows / wide residual spans), the smallest-tile
-    kernel is returned and the caller's ``fits_vmem()`` check routes to
-    the XLA shift-table path.
+    Build the MXU detect kernel with the measured-cheapest (tile,
+    sample-block) config whose scratch fits the VMEM budget for this
+    (LUT, scan geometry) -- see :func:`_config_score`. Candidates are
+    vetted with a cheap per-brick span estimate (no plan arrays are
+    materialised for rejected configs, and nothing touches the device
+    until first use). Long windows block the sample axis rather than
+    losing the MXU path; only pathologically wide residual spans (no
+    config fits even at a single-lane block) return a kernel whose
+    ``fits_vmem()`` is False, routing the caller to the XLA shift-table
+    path.
 
     """
 
     n_onsets = np.asarray(traveltimes).shape[-1]
-    for i, (tile, brick_shape) in enumerate(MXU_CONFIGS):
-        last = i == len(MXU_CONFIGS) - 1
-        r_spans = _estimate_r_spans(traveltimes, node_count, brick_shape)
-        if last or _mxu_vmem_bytes(
-            tile, sum(r_spans), n_onsets, nsamples
-        ) <= VMEM_BUDGET:
-            kernel = PallasDetectMXU(
-                traveltimes, node_count, fsmp, nsamples,
-                tile=tile, brick_shape=brick_shape, interpret=interpret,
-            )
-            assert kernel.r_spans == r_spans, (kernel.r_spans, r_spans)
-            return kernel
+    best = None  # (score, tile, brick, sblk, est_spans)
+    for cand_tile, cand_brick in MXU_CONFIGS:
+        cand_spans = _estimate_r_spans(traveltimes, node_count, cand_brick)
+        cand_sblk = _pick_sblk(cand_tile, sum(cand_spans), n_onsets, nsamples)
+        if cand_sblk is None:
+            continue
+        score = _config_score(sum(cand_spans), cand_sblk, cand_tile, nsamples)
+        if best is None or score < best[0]:
+            best = (score, cand_tile, cand_brick, cand_sblk, cand_spans)
+
+    if best is None:
+        tile, brick_shape = MXU_CONFIGS[-1]
+        sblk, est_spans = None, None
+    else:
+        _, tile, brick_shape, sblk, est_spans = best
+
+    kernel = PallasDetectMXU(
+        traveltimes, node_count, fsmp, nsamples,
+        tile=tile, brick_shape=brick_shape, sblk=sblk, interpret=interpret,
+    )
+    if sblk is not None and not kernel.fits_vmem():
+        # The cheap per-brick estimate diverged from the built plan (the
+        # plan's r_spans are authoritative): re-pick the sample block for
+        # the actual spans. If nothing fits, leave the kernel oversized
+        # so the caller's fits_vmem() check routes to the XLA path.
+        logging.warning(
+            "MXU span estimate (%s) disagrees with the built plan (%s); "
+            "re-selecting the sample-block width from the plan.",
+            est_spans, kernel.r_spans,
+        )
+        actual = _pick_sblk(tile, sum(kernel.r_spans), n_onsets, nsamples)
+        if actual is not None:
+            kernel.sblk = actual
+    return kernel

@@ -263,14 +263,14 @@ def detect_window_fused(
     jax.jit,
     static_argnames=(
         "position", "transform", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_spans", "n_nodes_real", "interpret",
+        "tile", "r_spans", "n_nodes_real", "sblk", "interpret",
     ),
 )
 def detect_window_fused_mxu(
     channels, chan_mask, slot_mask, nsta, nlta,
     fine_t, base, valid, perm,
     position, transform, min_onset_value, fsmp, nsamples,
-    tile, r_spans, n_nodes_real, interpret=False,
+    tile, r_spans, n_nodes_real, sblk=None, interpret=False,
 ):
     """
     Fully-fused detect window with the Pallas MXU migration kernel
@@ -287,7 +287,8 @@ def detect_window_fused_mxu(
     )
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
+        interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -296,14 +297,14 @@ def detect_window_fused_mxu(
     jax.jit,
     static_argnames=(
         "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_spans", "n_nodes_real", "interpret",
+        "tile", "r_spans", "n_nodes_real", "sblk", "interpret",
     ),
 )
 def detect_window_fused_kurtosis_mxu(
     channels, chan_mask, slot_mask, nkurt,
     fine_t, base, valid, perm,
     nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
-    tile, r_spans, n_nodes_real, interpret=False,
+    tile, r_spans, n_nodes_real, sblk=None, interpret=False,
 ):
     """Kurtosis twin of detect_window_fused_mxu."""
 
@@ -315,6 +316,7 @@ def detect_window_fused_kurtosis_mxu(
     )
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
+        interpret=interpret,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx

@@ -223,7 +223,7 @@ def pad_mxu_plan_for_mesh(kernel, n_shards):
 
 def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
                        perm, fsmp, nsamples, n_nodes_real, tile, r_spans,
-                       grid_axis, interpret):
+                       sblk, grid_axis, interpret):
     """Per-shard MXU fused reduce + ICI collective combine. The plan's
     ``perm`` stores GLOBAL flat node indices, so no shard offset is
     needed before the cross-shard argmax."""
@@ -232,14 +232,16 @@ def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
 
     mx, idx, sm = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
-        fsmp, nsamples, tile, r_spans, n_nodes_real, interpret=interpret,
+        fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
+        interpret=interpret,
     )
     return _ici_combine(mx, idx, sm, n_nodes_real, grid_axis)
 
 
 def make_sharded_detect_fused_mxu(
     mesh, position, transform, min_onset_value, fsmp, nsamples,
-    n_nodes_real, tile, r_spans, grid_axis="grid", interpret=False,
+    n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
+    interpret=False,
 ):
     """
     Mesh-sharded MXU twin of :func:`make_sharded_detect_fused`: each device
@@ -262,7 +264,7 @@ def make_sharded_detect_fused_mxu(
         )
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
-            fsmp, nsamples, n_nodes_real, tile, r_spans, grid_axis,
+            fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
             interpret,
         )
 
@@ -282,7 +284,8 @@ def make_sharded_detect_fused_mxu(
 
 def make_sharded_detect_fused_kurtosis_mxu(
     mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
-    n_nodes_real, tile, r_spans, grid_axis="grid", interpret=False,
+    n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
+    interpret=False,
 ):
     """Kurtosis twin of :func:`make_sharded_detect_fused_mxu`. Signature:
     ``f(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
@@ -298,7 +301,7 @@ def make_sharded_detect_fused_kurtosis_mxu(
         )
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
-            fsmp, nsamples, n_nodes_real, tile, r_spans, grid_axis,
+            fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
             interpret,
         )
 

@@ -372,7 +372,8 @@ class QuakeScan:
                 common = dict(
                     fsmp=fsmp, nsamples=nsamples,
                     n_nodes_real=self._n_nodes, tile=kernel.plan.tile,
-                    r_spans=kernel.r_spans, interpret=interpret,
+                    r_spans=kernel.r_spans, sblk=kernel.sblk,
+                    interpret=interpret,
                 )
                 if kind == "kurtosis":
                     nsmooth, taper_pad, min_onset = (
@@ -1025,7 +1026,8 @@ class QuakeScan:
                                 k.fine_t, k.plan.base, k.plan.valid,
                                 k.plan.perm, nsmooth, taper_pad, min_onset,
                                 fsmp, nsamples, k.plan.tile, k.r_spans,
-                                self._n_nodes, interpret=k.interpret,
+                                self._n_nodes, sblk=k.sblk,
+                                interpret=k.interpret,
                             )
                         else:
                             out = detect_window_fused_kurtosis(
@@ -1052,7 +1054,8 @@ class QuakeScan:
                                 self.onset.signal_transform,
                                 float(self.onset.min_onset_value),
                                 fsmp, nsamples, k.plan.tile, k.r_spans,
-                                self._n_nodes, interpret=k.interpret,
+                                self._n_nodes, sblk=k.sblk,
+                                interpret=k.interpret,
                             )
                         else:
                             out = detect_window_fused(

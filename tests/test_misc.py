@@ -400,6 +400,26 @@ def test_availability_underscore_station_names(tmp_path):
     table = _read_one_day(old)
     assert sorted(table.columns) == ["ST_01_P", "ST_01_S"]
 
+    # Old-format file whose station names all end in a two-letter
+    # alphabetic suffix (e.g. compass directions) must still be expanded
+    # (regression: a <=2-letter suffix test misread these as new-format)
+    compass = tmp_path / "compass.csv"
+    pd.DataFrame(
+        {"ST_NE": [1], "ST_SW": [0]}, index=["2021-01-01T00:00:00"]
+    ).to_csv(compass)
+    table = _read_one_day(compass)
+    assert sorted(table.columns) == [
+        "ST_NE_P", "ST_NE_S", "ST_SW_P", "ST_SW_S"
+    ]
+
+    # A marker-bearing file (index named DT, as written by this package)
+    # is new-format regardless of column naming.
+    marked = tmp_path / "marked.csv"
+    pd.DataFrame(
+        {"ST_NE": [1]}, index=pd.Index(["2021-01-01T00:00:00"], name="DT")
+    ).to_csv(marked)
+    assert list(_read_one_day(marked).columns) == ["ST_NE"]
+
 
 def test_lut_serve_traveltimes_underscore_station():
     """serve_traveltimes availability masking rsplits keys so underscore
