@@ -249,11 +249,9 @@ class QuakeScan:
             axis=-1,
         )  # [n_nodes, n_slots]
 
-        if self._mxu_active or self.kernel == "mxu":
-            # Kept for the MXU plan builder. With a mesh, kernel="auto"
-            # stays on the XLA shift-table path (validated everywhere);
-            # kernel="mxu" opts the sharded fused window into the Pallas
-            # MXU kernel, one plan slab per device.
+        if self._mxu_active or self._mxu_mesh_active or self.kernel == "mxu":
+            # Kept for the MXU plan builder (single-device or one plan
+            # slab per mesh device).
             self._tt_host = tt
             if self.kernel == "mxu":
                 # A forced MXU request can still be downgraded -- say so.
@@ -290,6 +288,34 @@ class QuakeScan:
 
             return jax.default_backend() == "tpu"
         return self.kernel == "mxu"
+
+    @property
+    def _mxu_mesh_active(self):
+        """
+        Mesh-sharded Pallas MXU migration (one plan slab per device, ICI
+        combine unchanged) -- the default for kernel="auto" on real TPU
+        meshes now that the compiled shard_map+Pallas path is
+        hardware-validated (tests_tpu/test_mxu_hardware.py::
+        test_sharded_mxu_compiled_one_device_mesh). Only the fused detect
+        window has a sharded MXU variant; "auto" on a virtual CPU mesh
+        keeps XLA (interpret-mode MXU is validation-only -- forcing
+        kernel="mxu" still opts in); an explicit double-precision request
+        stays on the XLA kernel (the MXU computes in bf16-hi/lo, ~f32).
+
+        """
+
+        if (
+            self.mesh is None or self.precision == "double"
+            or not self.fused_detect
+        ):
+            return False
+        if self.kernel == "mxu":
+            return True
+        if self.kernel == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return False
 
     def _mxu_kernel(self, fsmp, nsamples):
         """
@@ -331,17 +357,18 @@ class QuakeScan:
 
     def _build_sharded_detect_fused(self, kind, fsmp, nsamples):
         """
-        Build the mesh-sharded fused detect window. kernel="mxu" opts into
-        the Pallas MXU migration, one plan slab per device (interpret mode
-        off-TPU so the virtual CPU mesh can validate it); otherwise -- and
-        whenever the MXU scratch would not fit VMEM -- the XLA shift-table
-        kernel is used, the default validated everywhere.
+        Build the mesh-sharded fused detect window. On real TPU meshes
+        kernel="auto" uses the Pallas MXU migration (one plan slab per
+        device; see ``_mxu_mesh_active``); kernel="mxu" forces it even on
+        virtual CPU meshes (interpret mode, validation only). Otherwise
+        -- and whenever the MXU scratch would not fit VMEM -- the XLA
+        shift-table kernel is used.
 
         """
 
         import jax
 
-        use_mxu = self.kernel == "mxu" and self.precision != "double"
+        use_mxu = self._mxu_mesh_active
         if use_mxu:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

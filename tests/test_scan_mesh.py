@@ -549,3 +549,41 @@ def test_mesh_kernel_cache_rekeys_on_geometry_change(setup):
         want = (root / "runs" / f"rekey_{tag}_c" / "detect" / "scanmseed"
                 / "2021_049.scanmseed")
         assert got.read_bytes() == want.read_bytes(), f"fused={fused}"
+
+
+def test_mesh_kernel_auto_default_selection(setup, monkeypatch):
+    """kernel="auto" + mesh uses the sharded MXU fused window on real TPU
+    backends (hardware-validated in tests_tpu/) and stays on XLA for
+    virtual CPU meshes and explicit double precision."""
+
+    root, archive, lut = setup
+
+    def make_scan(**kwargs):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        defaults = dict(
+            mesh=make_mesh(jax.devices()), tile=64, fused_detect=True,
+        )
+        defaults.update(kwargs)
+        return QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name="autosel", marginal_window=1.0, timestep=5.0,
+            **defaults,
+        )
+
+    # Virtual CPU mesh: auto keeps XLA; forced mxu opts in (interpret).
+    assert not make_scan()._mxu_mesh_active
+    assert make_scan(kernel="mxu")._mxu_mesh_active
+
+    # Pretend-TPU backend: auto flips to the sharded MXU...
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert make_scan()._mxu_mesh_active
+    # ...except for double precision, non-fused meshes, or forced xla.
+    assert not make_scan(precision="double")._mxu_mesh_active
+    assert not make_scan(fused_detect=False)._mxu_mesh_active
+    assert not make_scan(kernel="xla")._mxu_mesh_active
+    # No mesh at all: the single-device property governs instead.
+    assert not make_scan(mesh=None)._mxu_mesh_active
+    assert make_scan(mesh=None)._mxu_active
