@@ -112,6 +112,14 @@ def _read_record_header(buf, offset):
         sampling_rate = 1.0 / (srfactor * srmult)
     else:
         sampling_rate = 1.0
+    # Corrupt factor/multiplier pairs can yield rates so small the
+    # record's time span overflows int64 nanoseconds downstream (fuzz
+    # finding). A data record claiming to span more than ~a year is
+    # garbage regardless.
+    if sampling_rate <= 0 or npts / sampling_rate > 366 * 86400:
+        raise MSEEDError(
+            f"Implausible sampling rate {sampling_rate} for {npts} samples."
+        )
 
     # Integer-nanosecond record start (hot path: avoid building UTCDateTime
     # objects per record; files can hold hundreds of thousands of records)
@@ -211,20 +219,48 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
 
     import os
 
-    with open(path, "rb") as f:
-        st = os.fstat(f.fileno())
-        stat_key = (st.st_mtime_ns, st.st_size)
-        buf = f.read()
-
     start_ns = None if starttime is None else UTCDateTime(starttime).ns
     end_ns = None if endtime is None else UTCDateTime(endtime).ns
 
-    index = _file_index(path, stat_key)
-    if index is not None:
-        return _read_indexed(
-            path, buf, index, start_ns, end_ns, starttime, endtime,
-            nearest_sample,
-        )
+    with open(path, "rb") as f:
+        st = os.fstat(f.fileno())
+        stat_key = (st.st_mtime_ns, st.st_size)
+
+        index = _file_index(path, stat_key)
+        if index is not None:
+            # Windowed + indexed: read ONLY the byte span covering the
+            # in-window records instead of the whole file. Day-long
+            # archive files make this the detect hot path: a 120 s
+            # window touches ~1% of a 250 Hz day file, and re-reading
+            # the full file every window made file I/O dominate the
+            # whole pipeline (measured: 816 MB of page-cache reads per
+            # window across a 24-file day archive).
+            offsets, starts, ends, halves = index
+            mask = np.ones(offsets.shape, dtype=bool)
+            if start_ns is not None:
+                mask &= ends >= start_ns - halves
+            if end_ns is not None:
+                mask &= starts <= end_ns + halves
+            sel = np.flatnonzero(mask)
+            if sel.size == 0:
+                return Stream()
+            lo = int(offsets[sel[0]])
+            last = int(sel[-1])
+            hi = (
+                int(offsets[last + 1])
+                if last + 1 < len(offsets)
+                else st.st_size
+            )
+            f.seek(lo)
+            buf = f.read(hi - lo)
+            return _read_indexed(
+                path, buf, lo, (offsets[sel], starts, ends, halves),
+                None, None, starttime, endtime, nearest_sample,
+            )
+
+        # Unindexed (first read of the file) or full-file read: fall
+        # through to the record walk below, which builds the index.
+        buf = f.read()
 
     idx_offsets, idx_starts, idx_ends, idx_halves = [], [], [], []
     walk_complete = True
@@ -311,9 +347,12 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
 
 
 def _read_indexed(
-    path, buf, index, start_ns, end_ns, starttime, endtime, nearest_sample
+    path, buf, base, index, start_ns, end_ns, starttime, endtime,
+    nearest_sample,
 ):
-    """Read only the in-window records using a cached file index."""
+    """Read only the in-window records using a cached file index.
+    ``buf`` holds the file content from byte ``base`` onward (the caller
+    may have read just the relevant span)."""
 
     offsets, starts, ends, halves = index
     mask = np.ones(offsets.shape, dtype=bool)
@@ -324,7 +363,7 @@ def _read_indexed(
 
     segments = {}
     for offset in offsets[mask]:
-        offset = int(offset)
+        offset = int(offset) - base
         try:
             hdr = _read_record_header(buf, offset)
         except (MSEEDError, struct.error):

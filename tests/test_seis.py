@@ -768,3 +768,45 @@ def test_write_mseed_rejects_tiny_reclen_and_overflow(tmp_path):
     with pytest.raises(MSEEDError, match="overflows"):
         Stream([big]).write(str(tmp_path / "b.m"), format="MSEED",
                             encoding="INT16")
+
+
+def test_indexed_windowed_read_spans(tmp_path):
+    """The indexed (second) read of a time window must equal the
+    unindexed (first) read at every window position -- including windows
+    at the file edges, spanning record boundaries, and fully outside the
+    data. The indexed path reads only the needed byte span of the file
+    (day-long archive files made whole-file re-reads the detect
+    bottleneck), so record selection and offset rebasing must agree
+    exactly with the full walk."""
+
+    from quakemigrate_tpu.seis.mseed import _INDEX_CACHE
+
+    rng = np.random.default_rng(5)
+    sr = 100.0
+    t0 = UTCDateTime("2021-03-01T00:00:00.0")
+    # Multi-record file: ~40 STEIM2 records of varying compressibility
+    data = np.cumsum(rng.integers(-1000, 1000, 20_000)).astype(np.int32)
+    f = tmp_path / "span.m"
+    Trace(
+        data, {"station": "SP", "channel": "BHZ", "sampling_rate": sr,
+               "starttime": t0},
+    ).write(str(f), format="MSEED")
+
+    windows = [
+        (t0 + 10, t0 + 30),           # interior
+        (t0 - 5, t0 + 1),             # overlapping the start
+        (t0 + 195, t0 + 250),         # overlapping the end
+        (t0 - 10, t0 - 1),            # fully before
+        (t0 + 500, t0 + 600),         # fully after
+        (t0, t0 + 199.99),            # whole span
+        (t0 + 50.005, t0 + 50.015),   # sub-record window
+    ]
+    for w0, w1 in windows:
+        _INDEX_CACHE.clear()
+        fresh = read(str(f), starttime=w0, endtime=w1)     # builds index
+        indexed = read(str(f), starttime=w0, endtime=w1)   # uses index
+        assert len(fresh) == len(indexed), (str(w0), str(w1))
+        for a, b in zip(fresh, indexed):
+            assert a.stats.starttime == b.stats.starttime
+            assert a.stats.npts == b.stats.npts
+            np.testing.assert_array_equal(a.data, b.data)
