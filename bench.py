@@ -355,7 +355,12 @@ def main():
     _fold_artifact(
         report, "DAY_E2E.json", "e2e_",
         ("realtime_factor", "ms_per_window", "hours", "timestep_s",
-         "kernel", "timestamp"),
+         "kernel", "locate_seconds_per_event", "timestamp"),
+    )
+    _fold_artifact(
+        report, "CATALOGUE_SCALE.json", "catalogue_",
+        ("days", "events_triggered", "trigger_seconds_per_day",
+         "peak_rss_mb"),
     )
 
     if best is None:

@@ -1171,7 +1171,18 @@ class QuakeScan:
             map_bytes = (
                 self._n_nodes * nsamples * np.dtype(self._dtype).itemsize
             )
-            retain_map = map_bytes <= self.locate_map_memory_limit
+            # The full 4-D map is materialised on device AND fetched to
+            # host only when the user asked to save it: everything else
+            # locate needs (argmax traces + the marginalised 3-D map)
+            # comes from the two-pass on-device path, which fetches
+            # O(n_nodes) bytes instead of O(n_nodes x nsamples) -- at
+            # regional grids the map4d fetch alone can dominate the
+            # whole locate (hundreds of MB per event over the host
+            # link; measured 461 s for 518 MB through the dev relay).
+            retain_map = (
+                (self.write_coalescence or self.plot_event_video)
+                and map_bytes <= self.locate_map_memory_limit
+            )
             if retain_map:
                 with jax.profiler.TraceAnnotation("qm_migrate_map"):
                     map4d_flat = migrate_map(
@@ -1183,10 +1194,12 @@ class QuakeScan:
                     tuple(self.lut.node_count) + (nsamples,)
                 )
             else:
-                logging.info(
-                    f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > limit; "
-                    "using two-pass map-free locate."
-                )
+                if self.write_coalescence:
+                    logging.info(
+                        f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > "
+                        "locate_map_memory_limit; using two-pass map-free "
+                        "locate (no full map will be written)."
+                    )
                 with jax.profiler.TraceAnnotation("qm_migrate_detect"):
                     # Same kernel routing as detect (Pallas MXU on TPU
                     # when the plan fits VMEM, XLA otherwise).

@@ -267,7 +267,13 @@ def test_event_video(run_outputs, workspace):
 
 
 def test_two_pass_locate_matches_full_map(run_outputs, workspace):
-    """Map-free (two-pass) locate must reproduce the full-map results."""
+    """Map-free (two-pass) locate must reproduce the full-map results.
+
+    The map-retaining path now engages only when the full map is
+    actually consumed on host (write_coalescence / plot_event_video):
+    fetching O(nodes x samples) bytes per event otherwise dominated
+    locate at regional grids. So the full-map reference run here forces
+    retention via write_coalescence."""
 
     root, stations, archive_path, lut_file = workspace
     run_path = root / "runs"
@@ -277,24 +283,34 @@ def test_two_pass_locate_matches_full_map(run_outputs, workspace):
         archive_format="YEAR/JD/STATION",
     )
     lut = read_lut(lut_file=str(lut_file))
-    onset = STALTAOnset(position="classic", sampling_rate=SPS)
-    onset.phases = ["P", "S"]
-    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
-    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
 
-    scan = QuakeScan(
-        archive, lut, onset=onset, run_path=str(run_path),
-        run_name="twopass", marginal_window=1.0, timestep=5.0,
-        plot_event_summary=False, locate_map_memory_limit=0,
-    )
+    def make_scan(name, **kwargs):
+        onset = STALTAOnset(position="classic", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        return QuakeScan(
+            archive, lut, onset=onset, run_path=str(run_path),
+            run_name=name, marginal_window=1.0, timestep=5.0,
+            plot_event_summary=False, **kwargs,
+        )
+
     trigger_file = (
         run_path / "synthetic_run" / "trigger" / "events"
         / "synthetic_run_2021_049_TriggeredEvents.csv"
     )
+    scan_full = make_scan("fullmap", write_coalescence=True)
+    scan_full.locate(trigger_file=str(trigger_file))
+    # The full map must actually have been written (retention engaged)
+    assert list(
+        (run_path / "fullmap" / "locate" / "coalescence_maps").glob("*.npy")
+    ), "full-map run did not retain/write the coalescence map"
+
+    scan = make_scan("twopass", locate_map_memory_limit=0)
     scan.locate(trigger_file=str(trigger_file))
 
     full = pd.read_csv(
-        next((run_path / "synthetic_run" / "locate" / "events").glob("*.event"))
+        next((run_path / "fullmap" / "locate" / "events").glob("*.event"))
     ).iloc[0]
     twopass = pd.read_csv(
         next((run_path / "twopass" / "locate" / "events").glob("*.event"))

@@ -123,9 +123,22 @@ def main():
     from quakemigrate_tpu.io import Archive
     from quakemigrate_tpu.signal.onsets import STALTAOnset
 
+    import os
+
     rng = np.random.default_rng(42)
     lut, stations = build_lut()
-    planted = build_archive(lut, stations, rng)
+    day_dir = WORLD / "mSEED" / "2014" / JULDAY
+    if (
+        os.environ.get("QM_DAY_E2E_REUSE") == "1"
+        and len(list(day_dir.glob("*.m"))) == 3 * N_STATIONS
+    ):
+        # Archive generation takes ~15 min on one core; reuse it when
+        # only the scan side changed. The seeded rng makes the planted
+        # catalogue deterministic, so the count is still correct.
+        shutil.rmtree(WORLD / "runs", ignore_errors=True)
+        planted = [(None, None)] * 24
+    else:
+        planted = build_archive(lut, stations, rng)
 
     archive = Archive(
         archive_path=WORLD / "mSEED", stations=stations,
