@@ -226,3 +226,88 @@ def test_sharded_mxu_compiled_one_device_mesh(workload):
         )
     ]
     _assert_parity(out, ref)
+
+
+def test_scan_level_mesh_auto_uses_compiled_mxu(tmp_path):
+    """QuakeScan(mesh=1-device TPU mesh, kernel='auto') engages the
+    sharded MXU fused window in COMPILED mode (the flipped product
+    default) and its scanmseed matches the single-device XLA run."""
+
+    import pandas as pd
+    import jax
+
+    from quakemigrate_tpu import QuakeScan, compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.parallel import make_mesh
+    from quakemigrate_tpu.seis import Trace, UTCDateTime, read
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+    from quakemigrate_tpu.synthetics import (
+        GaussianDerivativeWavelet,
+        simulate_waveforms,
+    )
+
+    sps = 100
+    gproj = Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0)
+    cproj = Proj(proj="longlat")
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    stations = pd.DataFrame({
+        "Name": [f"HT{i:02d}" for i in range(8)],
+        "Longitude": 0.045 * np.cos(angles),
+        "Latitude": 0.045 * np.sin(angles),
+        "Elevation": np.zeros(8),
+    })
+    lut = compute_traveltimes(
+        dict(ll_corner=[-0.06, -0.06, 0.0], ur_corner=[0.06, 0.06, 20.0],
+             node_spacing=[2.0, 2.0, 2.0], grid_proj=gproj,
+             coord_proj=cproj),
+        stations, method="homogeneous", phases=["P", "S"], vp=5.0, vs=3.0,
+    )
+    wavelet = GaussianDerivativeWavelet(4.0, sps, 30.0)
+    stream = simulate_waveforms(
+        wavelet, [0.0, 0.0, 12.0], lut, magnitude=2.0,
+        rng=np.random.default_rng(7),
+    )
+    day_dir = tmp_path / "mSEED" / "2021" / "049"
+    day_dir.mkdir(parents=True)
+    for tr in stream:
+        tr.write(
+            str(day_dir / f"{tr.stats.station}_{tr.stats.channel[-1]}.m"),
+            format="MSEED",
+        )
+    archive = Archive(archive_path=tmp_path / "mSEED", stations=stations,
+                      archive_format="YEAR/JD/STATION")
+
+    def run(name, mesh, kernel):
+        onset = STALTAOnset(position="classic", sampling_rate=sps)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+            run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
+            tile=64, fused_detect=True, kernel=kernel,
+        )
+        if mesh is not None:
+            assert scan._mxu_mesh_active == (kernel == "auto"), (
+                "auto + TPU mesh must engage the sharded MXU"
+            )
+        scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
+        return (tmp_path / "runs" / name / "detect" / "scanmseed"
+                / "2021_049.scanmseed")
+
+    single = run("hw_single_xla", None, "xla")
+    mesh = make_mesh(jax.devices()[:1], axis_names=("grid",))
+    sharded = run("hw_mesh_auto", mesh, "auto")
+
+    st_s, st_m = read(str(single)), read(str(sharded))
+    for station in ("X", "Y", "Z"):
+        np.testing.assert_array_equal(
+            st_s.select(station=station)[0].data,
+            st_m.select(station=station)[0].data,
+            err_msg=station,
+        )
+    for station in ("COA", "COA_N"):
+        a = st_s.select(station=station)[0].data.astype(np.int64)
+        b = st_m.select(station=station)[0].data.astype(np.int64)
+        assert np.abs(a - b).max() <= 1, station
