@@ -100,6 +100,17 @@ if _lib is not None:
             ctypes.POINTER(c_i64),
         ]
         fn.restype = c_i64
+    _lib.steim_decode_records.argtypes = [
+        c_u8p, clib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+        clib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"), c_u8p,
+        c_i64, c_i64, c_i64, ctypes.c_int, c_i32p,
+    ]
+    _lib.steim_decode_records.restype = c_i64
+    _lib.steim_encode_records.argtypes = [
+        c_i32p, c_i64, c_i64, ctypes.c_int, c_u8p, c_i64,
+        clib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"), c_u8p,
+    ]
+    _lib.steim_encode_records.restype = c_i64
     _lib.fast_marching.argtypes = [
         c_f64p,
         c_i64,
@@ -175,6 +186,94 @@ def steim_encode(samples, prev, nframes, encoding):
     if n < 0:
         raise ValueError("STEIM2 difference overflow; fall back to STEIM1.")
     return int(n), out[: nframes_used * 64].tobytes()
+
+
+def steim_decode_records(buf, offsets, npts, enc, data_offset, reclen,
+                         little_endian=False):
+    """
+    Decode a batch of same-geometry miniSEED records in ONE native call
+    (the per-record Python/ctypes round-trip dominates day-file reads).
+    ``buf`` is the raw file bytes; ``offsets``/``npts``/``enc`` are
+    per-record arrays (enc: SEED code 10/11 per record — STEIM2 files may
+    contain per-record STEIM1 fallbacks). Returns the concatenated int32
+    samples. Raises ValueError naming the failing record if any record is
+    malformed or under-produces (callers fall back to the per-record
+    path, which logs and skips it).
+
+    """
+
+    buf = np.frombuffer(buf, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    npts = np.ascontiguousarray(npts, dtype=np.int64)
+    enc = np.ascontiguousarray(enc, dtype=np.uint8)
+    out = np.empty(int(npts.sum()), dtype=np.int32)
+    if _lib is not None:
+        n = _lib.steim_decode_records(
+            buf, offsets, npts, enc, len(offsets), int(data_offset),
+            int(reclen), 1 if little_endian else 0, out,
+        )
+        if n < 0:
+            raise ValueError(f"Malformed STEIM data in record {-n - 1}.")
+    else:
+        pos = 0
+        for r in range(len(offsets)):
+            lo = int(offsets[r]) + int(data_offset)
+            want = int(npts[r])
+            out[pos:pos + want] = steim_decode(
+                buf[lo:int(offsets[r]) + int(reclen)].tobytes(), want,
+                int(enc[r]), little_endian=little_endian,
+            )
+            pos += want
+    return out
+
+
+def steim_encode_records(samples, nframes, encoding):
+    """
+    Pack a whole int32 array into consecutive records' frame payloads in
+    ONE native call. Returns (payloads [n_records, nframes*64] uint8,
+    consumed [n_records] int64, rec_enc [n_records] uint8) — rec_enc
+    holds 10 where a STEIM2 record fell back to STEIM1.
+
+    """
+
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    frame_bytes = int(nframes) * 64
+    # Worst case one sample per data word: 13 words in frame 0 (words
+    # 0-2 are ctrl + integration constants), 15 in every later frame.
+    min_per_record = 13 + (int(nframes) - 1) * 15
+    max_records = max(1, -(-len(samples) // min_per_record))
+    out = np.zeros(max_records * frame_bytes, dtype=np.uint8)
+    consumed = np.zeros(max_records, dtype=np.int64)
+    rec_enc = np.zeros(max_records, dtype=np.uint8)
+    if _lib is not None:
+        n = _lib.steim_encode_records(
+            samples, len(samples), int(nframes), int(encoding), out,
+            max_records, consumed, rec_enc,
+        )
+        if n < 0:
+            raise ValueError("steim_encode_records: record budget exceeded")
+    else:
+        pos, n = 0, 0
+        while pos < len(samples):
+            prev = samples[pos - 1] if pos else samples[pos]
+            try:
+                c, payload = steim_encode(
+                    samples[pos:], prev, int(nframes), encoding
+                )
+                e = encoding
+            except ValueError:
+                c, payload = steim_encode(samples[pos:], prev, int(nframes), 10)
+                e = 10
+            row = np.frombuffer(payload, dtype=np.uint8)
+            out[n * frame_bytes : n * frame_bytes + len(row)] = row
+            consumed[n], rec_enc[n] = c, e
+            pos += c
+            n += 1
+    return (
+        out[: n * frame_bytes].reshape(n, frame_bytes),
+        consumed[:n],
+        rec_enc[:n],
+    )
 
 
 def fast_marching(velocity, spacing, source_index, order=2):

@@ -312,3 +312,82 @@ int64_t steim1_encode(const int32_t *samples, int64_t nsamples, int32_t prev,
     *frames_used = f;
     return pos;
 }
+
+/*
+ * steim_decode_records: decode a batch of same-geometry records in one
+ * call (the per-record ctypes round-trip dominates day-file reads from
+ * Python). Record r's frames start at buf + offsets[r] + data_offset and
+ * span (reclen - data_offset) bytes; enc[r] is the SEED encoding code
+ * (10 = STEIM1, 11 = STEIM2; a STEIM2 file may contain per-record STEIM1
+ * fallbacks). Exactly npts[r] samples are appended to `out` per record.
+ *
+ * Returns the total samples written, or -(r+1) if record r was malformed
+ * or yielded fewer than npts[r] samples (caller falls back to the
+ * per-record path, which logs and skips the bad record).
+ */
+int64_t steim_decode_records(const uint8_t *buf, const int64_t *offsets,
+                             const int64_t *npts, const uint8_t *enc,
+                             int64_t n_records, int64_t data_offset,
+                             int64_t reclen, int swapflag, int32_t *out) {
+    int64_t nframes = (reclen - data_offset) / 64;
+    int64_t total = 0;
+    for (int64_t r = 0; r < n_records; ++r) {
+        const uint8_t *frames = buf + offsets[r] + data_offset;
+        int64_t n;
+        if (enc[r] == 11) {
+            n = steim2_decode(frames, nframes, npts[r], out + total,
+                              swapflag);
+        } else if (enc[r] == 10) {
+            n = steim1_decode(frames, nframes, npts[r], out + total,
+                              swapflag);
+        } else {
+            return -(r + 1);
+        }
+        if (n != npts[r]) return -(r + 1);
+        total += n;
+    }
+    return total;
+}
+
+/*
+ * steim_encode_records: pack a whole sample array into consecutive
+ * records' frame payloads in one call. out_frames holds max_records
+ * payloads of nframes*64 bytes each. encoding 11 tries STEIM2 per record
+ * and falls back to STEIM1 when a difference overflows 30 bits;
+ * encoding 10 is pure STEIM1. consumed[r] / rec_enc[r] receive each
+ * record's sample count and actual encoding.
+ *
+ * Returns the number of records produced (all samples consumed), or -1
+ * if max_records was too small.
+ */
+int64_t steim_encode_records(const int32_t *samples, int64_t nsamples,
+                             int64_t nframes, int encoding,
+                             uint8_t *out_frames, int64_t max_records,
+                             int64_t *consumed, uint8_t *rec_enc) {
+    int64_t pos = 0;
+    int64_t r = 0;
+    int64_t frame_bytes = nframes * 64;
+    while (pos < nsamples) {
+        if (r >= max_records) return -1;
+        uint8_t *dst = out_frames + r * frame_bytes;
+        int32_t prev = pos > 0 ? samples[pos - 1] : samples[pos];
+        int64_t used;
+        int64_t n = -1;
+        uint8_t e = (uint8_t)(encoding == 11 ? 11 : 10);
+        if (e == 11) {
+            n = steim2_encode(samples + pos, nsamples - pos, prev, dst,
+                              nframes, &used);
+        }
+        if (n < 0 || e == 10) {
+            e = 10;
+            n = steim1_encode(samples + pos, nsamples - pos, prev, dst,
+                              nframes, &used);
+        }
+        if (n <= 0) return -1; /* cannot happen: steim1 always advances */
+        consumed[r] = n;
+        rec_enc[r] = e;
+        pos += n;
+        ++r;
+    }
+    return r;
+}

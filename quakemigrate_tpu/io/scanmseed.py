@@ -151,7 +151,16 @@ def read_scanmseed(run, starttime, endtime, pad, ucf):
     coa_trace = gathered.select(station="COA")[0]
     stats = coa_trace.stats
 
-    table = {"DT": coa_trace.times(type="utcdatetime")}
+    # Vectorised datetime64[ns] sample times: building per-sample
+    # UTCDateTime objects cost ~30 s per scanned day (4.3M Python
+    # objects); consumers that need UTCDateTime semantics (the few
+    # above-threshold rows in Trigger) convert individually.
+    delta_ns = round(1e9 / stats.sampling_rate)
+    dt_ns = (
+        np.int64(stats.starttime.ns)
+        + np.arange(stats.npts, dtype=np.int64) * np.int64(delta_ns)
+    )
+    table = {"DT": dt_ns.view("datetime64[ns]")}
     for name, scale in _SCALES.items():
         divisor = scale * (ucf if name == "Z" else 1.0)
         table[name] = gathered.select(station=name)[0].data / divisor

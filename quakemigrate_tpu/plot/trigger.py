@@ -49,7 +49,11 @@ def trigger_summary(
     ax_avail = fig.add_subplot(gs[2], sharex=ax_coa)
     ax_map = fig.add_subplot(gs[3])
 
-    times = [t.matplotlib_date for t in data["DT"]]
+    # DT is datetime64[ns] (vectorised scanmseed read); date2num handles
+    # the whole array at once.
+    import matplotlib.dates as mdates
+
+    times = mdates.date2num(data["DT"].to_numpy())
 
     # --- Coalescence traces ---
     # Sub-second tick labels for short trigger windows (ref

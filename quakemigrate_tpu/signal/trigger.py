@@ -271,8 +271,14 @@ class Trigger:
             # The peak is always read from the raw COA trace, matching the
             # origin-time determination in locate.
             peak = run.loc[run["COA"].idxmax()]
+            # DT arrives as datetime64[ns] (vectorised scanmseed read);
+            # convert just these rows to UTCDateTime for the window
+            # arithmetic and the downstream CSV/UID formatting.
             t_first, t_last, t_peak = (
-                run["DT"].iloc[0], run["DT"].iloc[-1], peak["DT"]
+                UTCDateTime(ns=int(pd.Timestamp(t).value))
+                for t in (
+                    run["DT"].iloc[0], run["DT"].iloc[-1], peak["DT"]
+                )
             )
 
             if t_peak - t_first < self.marginal_window:

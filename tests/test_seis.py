@@ -810,3 +810,77 @@ def test_indexed_windowed_read_spans(tmp_path):
             assert a.stats.starttime == b.stats.starttime
             assert a.stats.npts == b.stats.npts
             np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_uniform_fast_walk_matches_general(tmp_path):
+    """The vectorised uniform-file walk + native batch decode must equal
+    the general per-record walk on every window, for contiguous, gappy,
+    and STEIM1-fallback files -- and must decline files that violate
+    uniformity (multiplexed channels) so the general walk handles them."""
+
+    import quakemigrate_tpu.seis.mseed as M
+    from quakemigrate_tpu.seis.mseed import _INDEX_CACHE, _try_uniform_walk
+
+    rng = np.random.default_rng(11)
+    t0 = UTCDateTime("2020-06-01T00:00:00")
+
+    def both(path, w0, w1):
+        _INDEX_CACHE.clear()
+        fast = read(str(path), starttime=w0, endtime=w1)
+        _INDEX_CACHE.clear()
+        orig = M._try_uniform_walk
+        M._try_uniform_walk = lambda buf: None
+        try:
+            slow = read(str(path), starttime=w0, endtime=w1)
+        finally:
+            M._try_uniform_walk = orig
+        assert len(fast) == len(slow)
+        for a, b in zip(fast, slow):
+            assert a.stats.starttime == b.stats.starttime
+            assert a.stats.sampling_rate == b.stats.sampling_rate
+            np.testing.assert_array_equal(a.data, b.data)
+        return fast
+
+    # Gappy single-channel file, incl. a huge-difference segment that
+    # forces per-record STEIM1 fallback inside the STEIM2 file.
+    smooth = np.cumsum(rng.integers(-300, 300, 6000)).astype(np.int32)
+    wild = (rng.integers(-2, 2, 3000) * 1_500_000_000).astype(np.int32)
+    f = tmp_path / "mix.m"
+    Stream([
+        Trace(smooth, {"station": "FW", "channel": "BHZ",
+                       "sampling_rate": 100.0, "starttime": t0}),
+        Trace(wild, {"station": "FW", "channel": "BHZ",
+                     "sampling_rate": 100.0, "starttime": t0 + 90}),
+    ]).write(str(f), format="MSEED")
+    # The fast path must actually engage for this file
+    assert _try_uniform_walk(f.read_bytes()) is not None
+    for w in [(None, None), (t0 + 10, t0 + 20), (t0 + 50, t0 + 100),
+              (t0 + 95, t0 + 100), (t0 - 10, t0 - 1)]:
+        both(f, *w)
+
+    # Multiplexed (two channels, e.g. the 5-channel scanmseed day
+    # files): handled by the fast path via per-id grouping.
+    g = tmp_path / "multi.m"
+    Stream([
+        Trace(smooth[:2000], {"station": "FW", "channel": "BHZ",
+                              "sampling_rate": 100.0, "starttime": t0}),
+        Trace(smooth[:2000], {"station": "FW", "channel": "BHN",
+                              "sampling_rate": 100.0, "starttime": t0}),
+    ]).write(str(g), format="MSEED")
+    assert _try_uniform_walk(g.read_bytes()) is not None
+    st = both(g, None, None)
+    assert len(st) == 2
+    both(g, t0 + 2, t0 + 9)
+
+    # Mixed sampling rates DO violate uniformity: declined to the
+    # general walk.
+    h = tmp_path / "rates.m"
+    Stream([
+        Trace(smooth[:2000], {"station": "FW", "channel": "BHZ",
+                              "sampling_rate": 100.0, "starttime": t0}),
+        Trace(smooth[:2000], {"station": "FW", "channel": "BHZ",
+                              "sampling_rate": 50.0, "starttime": t0 + 30}),
+    ]).write(str(h), format="MSEED")
+    assert _try_uniform_walk(h.read_bytes()) is None
+    _INDEX_CACHE.clear()
+    assert len(read(str(h))) == 2
