@@ -212,9 +212,12 @@ def bench_regional(nx=142, ny=128, nz=114):
     }
 
 
-def _fold_artifact(report, path, prefix, keys):
+def _fold_artifact(report, path, prefix, keys, max_age_h=48):
     """Fold a sibling JSON artifact (on-hardware test tier, day-scale e2e
-    run) into the bench record, so each round's BENCH json carries them."""
+    run) into the bench record, so each round's BENCH json carries them.
+    Artifacts whose file mtime is older than ``max_age_h`` are tagged
+    stale instead of folded -- a re-reported last-round result would
+    otherwise mask a current-round regression (review finding)."""
 
     import pathlib
 
@@ -224,6 +227,10 @@ def _fold_artifact(report, path, prefix, keys):
     try:
         data = json.loads(f.read_text())
     except (OSError, ValueError):
+        return
+    age_h = (time.time() - f.stat().st_mtime) / 3600.0
+    if age_h > max_age_h:
+        report[f"{prefix}stale_hours"] = round(age_h, 1)
         return
     for k in keys:
         if k in data:
@@ -251,6 +258,7 @@ def bench_long_window(nsamples=30_000):
     mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
 
     kernel = make_mxu_detect(tt, (NX, NY, NZ), FSMP, nsamples)
+    is_mxu = kernel.fits_vmem()
     blocks = [
         jax.device_put(
             rng.gamma(2.0, 1.5, size=(N_ONSETS, t_samples)).astype(np.float32)
@@ -258,10 +266,23 @@ def bench_long_window(nsamples=30_000):
         for _ in range(3)
     ]
 
-    def run(block):
-        return float(
-            np.asarray(kernel(block, mask_dev, float(N_ONSETS))[0]).sum()
-        )
+    if is_mxu:
+        def run(block):
+            return float(
+                np.asarray(kernel(block, mask_dev, float(N_ONSETS))[0]).sum()
+            )
+    else:
+        # Mirror production routing: kernel="auto" would use the XLA
+        # shift-table path here, so that is what gets timed.
+        from quakemigrate_tpu.ops.migrate import migrate_detect
+
+        tt_dev = jax.device_put(tt)
+
+        def run(block):
+            out = migrate_detect(
+                block, tt_dev, mask_dev, float(N_ONSETS), FSMP, nsamples
+            )
+            return float(np.asarray(out[0]).sum())
 
     run(blocks[0])
     times = []
@@ -273,7 +294,7 @@ def bench_long_window(nsamples=30_000):
     work = NX * NY * NZ * N_ONSETS * nsamples
     return {
         "long_window_nsamples": nsamples,
-        "long_window_kernel_is_mxu": bool(kernel.fits_vmem()),
+        "long_window_kernel_is_mxu": bool(is_mxu),
         "long_window_sblk": int(kernel.sblk),
         "long_window_gsps": round(work / elapsed / 1e9, 1),
         "long_window_seconds": round(elapsed, 4),

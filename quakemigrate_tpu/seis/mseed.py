@@ -362,6 +362,15 @@ def _uniform_read(buf, path, hdr0, offsets, start_ns, npts, enc, ids,
             (enc_sel == enc_sel[0]).all()
             and int(enc_sel[0]) in _ENCODING_DTYPES
         ):
+            # A record claiming more samples than its payload can hold
+            # would silently under-produce here while the segment edges
+            # below assume the claimed npts -- misattributing later
+            # samples (review finding). Decline; the general walk logs
+            # and skips such records.
+            _, size = _ENCODING_DTYPES[int(enc_sel[0])]
+            capacity = (hdr0["reclen"] - hdr0["data_offset"]) // size
+            if int(npts[idx].max()) > capacity:
+                return None
             chunks = []
             for r in idx:
                 hdr_r = dict(hdr0, npts=int(npts[r]), encoding=int(enc[r]))
@@ -449,7 +458,8 @@ def read_mseed(path, starttime=None, endtime=None, nearest_sample=True):
             f.seek(lo)
             buf = f.read(hi - lo)
             return _read_indexed(
-                path, buf, lo, (offsets[sel], starts, ends, halves),
+                path, buf, lo,
+                (offsets[sel], starts[sel], ends[sel], halves[sel]),
                 None, None, starttime, endtime, nearest_sample,
             )
 

@@ -915,9 +915,15 @@ class QuakeScan:
                 xy_files=self.xy_files, plot_all_stns=self.plot_all_stns,
             )
         if self.plot_event_video:
-            from quakemigrate_tpu.plot.video import event_video
+            if event.map4d is None:
+                logging.info(
+                    "\tSkipping event video: map4d was not retained "
+                    "(its size exceeds locate_map_memory_limit)."
+                )
+            else:
+                from quakemigrate_tpu.plot.video import event_video
 
-            event_video(self.run, event, self.lut)
+                event_video(self.run, event, self.lut)
 
     def _write_event_waveforms(self, event):
         flavours = (
@@ -1194,11 +1200,12 @@ class QuakeScan:
                     tuple(self.lut.node_count) + (nsamples,)
                 )
             else:
-                if self.write_coalescence:
+                if self.write_coalescence or self.plot_event_video:
                     logging.info(
                         f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > "
                         "locate_map_memory_limit; using two-pass map-free "
-                        "locate (no full map will be written)."
+                        "locate (no full map / event video will be "
+                        "written)."
                     )
                 with jax.profiler.TraceAnnotation("qm_migrate_detect"):
                     # Same kernel routing as detect (Pallas MXU on TPU

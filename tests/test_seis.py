@@ -884,3 +884,45 @@ def test_uniform_fast_walk_matches_general(tmp_path):
     assert _try_uniform_walk(h.read_bytes()) is None
     _INDEX_CACHE.clear()
     assert len(read(str(h))) == 2
+
+
+def test_uniform_fast_walk_declines_npts_overflow(tmp_path):
+    """A non-STEIM record claiming more samples than its payload holds
+    must NOT be decoded by the uniform fast path (its segment edges
+    assume the claimed npts, misattributing later samples -- review
+    finding); it declines to the general walk, which logs and handles
+    the short record."""
+
+    import quakemigrate_tpu.seis.mseed as M
+    from quakemigrate_tpu.seis.mseed import _INDEX_CACHE, _try_uniform_walk
+
+    t0 = UTCDateTime("2020-06-01T00:00:00")
+    mk = lambda start: Trace(
+        np.arange(224, dtype=np.int32),
+        {"station": "NP", "channel": "BHZ", "sampling_rate": 1.0,
+         "starttime": start},
+    )
+    f = tmp_path / "npts.m"
+    Stream([mk(t0), mk(t0 + 300)]).write(
+        str(f), format="MSEED", encoding="INT32"
+    )
+    blob = bytearray(f.read_bytes())
+    # Record 1's npts field (offset 30 within the record) -> 400, far
+    # beyond the 112-sample INT32 payload capacity of a 512 B record.
+    blob[512 + 30 : 512 + 32] = int(400).to_bytes(2, "big")
+    f.write_bytes(bytes(blob))
+
+    assert _try_uniform_walk(bytes(blob)) is not None  # layout IS uniform
+    _INDEX_CACHE.clear()
+    fast = read(str(f))
+    _INDEX_CACHE.clear()
+    orig = M._try_uniform_walk
+    M._try_uniform_walk = lambda buf: None
+    try:
+        general = read(str(f))
+    finally:
+        M._try_uniform_walk = orig
+    assert len(fast) == len(general)
+    for a, b in zip(fast, general):
+        assert a.stats.starttime == b.stats.starttime
+        np.testing.assert_array_equal(a.data, b.data)
