@@ -93,6 +93,10 @@ class QuakeScan:
         "detect_batch": 1,
         "locate_map_memory_limit": 4e9,
         "fused_detect": True,
+        # Persistent XLA compilation cache: True (default location), a
+        # directory path, or False. First detect/locate compiles are
+        # 20-80 s on TPU; cached re-runs skip them.
+        "compilation_cache": True,
         # plotting
         "plot_event_summary": True,
         "plot_event_video": False,
@@ -152,6 +156,11 @@ class QuakeScan:
         for option, default in self._OPTION_DEFAULTS.items():
             setattr(self, option, kwargs.get(option, default))
         self.detect_batch = max(1, int(self.detect_batch))
+        if self.compilation_cache:
+            util.enable_compilation_cache(
+                None if self.compilation_cache is True
+                else self.compilation_cache
+            )
 
         self.pre_cut = self.post_cut = None
 

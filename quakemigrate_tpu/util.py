@@ -15,6 +15,8 @@ implementation.
 """
 
 import logging
+import os
+import pathlib
 import sys
 import warnings  # noqa: F401  (re-exported for callers that silence warnings)
 from datetime import datetime
@@ -122,6 +124,48 @@ def pairwise(iterable):
 
 
 # --- logging / timing --------------------------------------------------------
+
+
+def enable_compilation_cache(cache_dir=None):
+    """
+    Switch on JAX's persistent compilation cache and return the active
+    cache directory (or None when disabled).
+
+    First compiles of the fused detect window / locate migration are
+    20-80 s on TPU; with the cache, every later process that hits the
+    same program geometry loads the compiled executable from disk
+    instead. Resolution order for the directory: explicit ``cache_dir``
+    argument > a cache dir the user already configured on
+    ``jax.config`` > ``$JAX_COMPILATION_CACHE_DIR`` >
+    ``~/.cache/quakemigrate_tpu/jax_cache``. Set
+    ``QM_COMPILATION_CACHE=0`` to disable entirely. Idempotent.
+
+    """
+
+    if os.environ.get("QM_COMPILATION_CACHE", "1").lower() in (
+        "0", "false", "off",
+    ):
+        return None
+    import jax
+
+    configured = jax.config.jax_compilation_cache_dir
+    if configured and cache_dir is None:
+        return configured
+    if cache_dir is None:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
+            pathlib.Path.home() / ".cache" / "quakemigrate_tpu" / "jax_cache"
+        )
+    cache_dir = str(cache_dir)
+    try:
+        pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Persist anything that took real compile time; tiny programs
+        # recompile faster than they deserialise.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError) as e:  # unwritable dir / old jax
+        logging.debug(f"compilation cache unavailable: {e}")
+        return None
+    return cache_dir
 
 
 def logger(logstem, log, loglevel="info"):

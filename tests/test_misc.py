@@ -736,3 +736,78 @@ def test_quakeml_structural_validity(tmp_path):
     descs = [e.text for e in root.iter()
              if e.tag.endswith("preferredDescription")]
     assert descs == ["horizontal uncertainty"]
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-cache helper: explicit dir wins, later calls return the
+    configured dir (idempotent), QM_COMPILATION_CACHE=0 disables."""
+
+    import jax
+
+    from quakemigrate_tpu import util
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        target = tmp_path / "jc"
+        assert util.enable_compilation_cache(target) == str(target)
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # Default-arg call respects the already-configured dir rather
+        # than repointing at the home-directory default.
+        assert util.enable_compilation_cache() == str(target)
+        monkeypatch.setenv("QM_COMPILATION_CACHE", "0")
+        assert util.enable_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
+
+
+def test_scan_compilation_cache_option(tmp_path):
+    """QuakeScan(compilation_cache=<path>) routes through the helper;
+    =False leaves jax config untouched."""
+
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from quakemigrate_tpu import QuakeScan, compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+
+    stations = pd.DataFrame({
+        "Name": ["S0", "S1"], "Longitude": [0.0, 0.01],
+        "Latitude": [0.01, 0.0], "Elevation": [0.0, 0.0],
+    })
+    lut = compute_traveltimes(
+        dict(ll_corner=[-0.02, -0.02, 0.0], ur_corner=[0.02, 0.02, 4.0],
+             node_spacing=[2.0, 2.0, 2.0],
+             grid_proj=Proj(proj="tmerc", units="km", lon_0=0.0, lat_0=0.0),
+             coord_proj=Proj(proj="longlat")),
+        stations, method="homogeneous", phases=["P", "S"], vp=5.0, vs=3.0,
+    )
+    onset = STALTAOnset(position="classic", sampling_rate=50)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+    onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+    archive = Archive(
+        archive_path=tmp_path, stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+
+    def scan(**kw):
+        return QuakeScan(
+            archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
+            run_name="cc", **kw,
+        )
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        scan(compilation_cache=False)
+        assert jax.config.jax_compilation_cache_dir is None
+        cdir = tmp_path / "cache"
+        scan(compilation_cache=str(cdir))
+        assert jax.config.jax_compilation_cache_dir == str(cdir)
+        assert cdir.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
