@@ -692,23 +692,30 @@ class QuakeScan:
 
         # Archive reads double-buffer against device compute: windows are
         # fetched on a worker thread while the previous batch migrates.
+        # Result draining (device wait + host fetch + scanmseed append)
+        # runs on its own single worker so the main thread's
+        # read/prepare/dispatch, the device compute, and the result fetch
+        # pipeline as three overlapping stages; the single worker keeps
+        # appends chronological.
         reader = ThreadPoolExecutor(max_workers=1)
+        drainer = ThreadPoolExecutor(max_workers=1)
         batch_size = 1 if self.mesh is not None else self.detect_batch
         reads = {
             i: reader.submit(self.archive.read_waveform_data, *window(i))
             for i in range(min(2 * batch_size, n_steps))
         }
-        pending = []  # dispatched-but-unfetched device results
+        drains = []  # submitted-but-unfinished drain futures
 
         try:
             self._detect_loop(
-                reader, reads, pending, coalescence, availability,
+                reader, drainer, reads, drains, coalescence, availability,
                 availability_cols, starttime, n_steps, batch_size, window,
             )
         finally:
-            # On failure paths too: stop the reader thread fetching
-            # archive data behind the traceback.
+            # On failure paths too: stop the worker threads fetching
+            # archive data / device results behind the traceback.
             reader.shutdown(wait=False, cancel_futures=True)
+            drainer.shutdown(wait=False, cancel_futures=True)
 
         if not coalescence.written:
             coalescence.write()
@@ -717,11 +724,22 @@ class QuakeScan:
         ).fillna(0).astype(int)
         write_availability(self.run, availability_df)
 
-    def _detect_loop(self, reader, reads, pending, coalescence, availability,
-                     availability_cols, starttime, n_steps, batch_size,
-                     window):
+    def _detect_loop(self, reader, drainer, reads, drains, coalescence,
+                     availability, availability_cols, starttime, n_steps,
+                     batch_size, window):
         """The continuous-detect batch loop (split out so the caller can
         guarantee executor shutdown on every exit path)."""
+
+        def submit_drain(prepared, results):
+            drains.append(drainer.submit(
+                self._drain_detect_results, coalescence, availability,
+                starttime, prepared, results,
+            ))
+
+        def join_drains():
+            # Propagates the first drain exception, in submission order.
+            while drains:
+                drains.pop(0).result()
 
         for batch_start in range(0, n_steps, batch_size):
             steps = list(range(batch_start, min(batch_start + batch_size,
@@ -753,18 +771,12 @@ class QuakeScan:
                 ) as e:
                     # Keep the output stream chronological: dispatch any
                     # already-prepared earlier steps of THIS batch, then
-                    # flush everything pending before writing the empty
+                    # wait out the drain queue before writing the empty
                     # block.
                     if prepared:
-                        pending.append(
-                            (prepared, self._run_detect_batch(prepared))
-                        )
+                        submit_drain(prepared, self._run_detect_batch(prepared))
                         prepared = {}
-                    while pending:
-                        self._drain_detect_results(
-                            coalescence, availability, starttime,
-                            *pending.pop(0)
-                        )
+                    join_drains()
                     step_label = str(starttime + self.timestep * i)
                     coalescence.empty(
                         starttime, self.timestep, i, e.msg,
@@ -774,31 +786,27 @@ class QuakeScan:
                         availability_cols, 0
                     )
 
-            # Dispatch this batch's (async) device calls, then drain the
-            # PREVIOUS batch's results -- device compute overlaps the next
-            # batch's archive reads and host-side onset preprocessing.
+            # Dispatch this batch's (async) device calls and hand the
+            # results straight to the drain worker -- the fetch (device
+            # wait + relay transfer + scanmseed append) proceeds there
+            # while this thread moves on to the next batch's archive read
+            # and onset preprocessing, and the device computes the batch
+            # just dispatched.
             if prepared:
                 results = self._run_detect_batch(prepared)
                 for r in results.values():
-                    # Start the device->host copy now; the drain one batch
-                    # later then finds the data already local
+                    # Start the device->host copy now; the drain then
+                    # finds (some of) the data already local
                     if hasattr(r, "copy_to_host_async"):
                         r.copy_to_host_async()
-                pending.append((prepared, results))
-            # Keep exactly one batch in flight: drain only the OLDER
-            # entries so the batch just dispatched overlaps the next
-            # batch's reads and onset preprocessing (draining it too
-            # would block on device compute and serialise every other
-            # window); drain everything once the loop is done.
-            while len(pending) > 1:
-                self._drain_detect_results(
-                    coalescence, availability, starttime, *pending.pop(0)
-                )
+                submit_drain(prepared, results)
+            # Backpressure: keep at most two batches in the drain pipe so
+            # device-queue depth and host buffering stay bounded (and any
+            # drain failure surfaces within two batches).
+            while len(drains) > 2:
+                drains.pop(0).result()
             if batch_start + batch_size >= n_steps:
-                while pending:
-                    self._drain_detect_results(
-                        coalescence, availability, starttime, *pending.pop(0)
-                    )
+                join_drains()
 
     def _drain_detect_results(self, coalescence, availability, starttime,
                               prepared, results):

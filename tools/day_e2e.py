@@ -126,6 +126,14 @@ def main():
     import os
 
     rng = np.random.default_rng(42)
+    # Quick-iteration mode: QM_DAY_E2E_HOURS=N scans only the first N
+    # hours (with QM_DAY_E2E_REUSE=1 this gives a fast pipeline-change
+    # A/B); the full-day default is what DAY_E2E.json should record.
+    global SCAN_END
+    hours = float(os.environ.get("QM_DAY_E2E_HOURS", 0) or 0)
+    if hours > 0:
+        end_s = 120 + int(hours * 3600)
+        SCAN_END = f"{DAY}T{end_s // 3600:02d}:{end_s % 3600 // 60:02d}:00.0"
     lut, stations = build_lut()
     day_dir = WORLD / "mSEED" / "2014" / JULDAY
     if (
@@ -197,7 +205,8 @@ def main():
         "events_triggered": found,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    (ROOT / "DAY_E2E.json").write_text(json.dumps(record, indent=1))
+    if hours <= 0:  # partial (quick-iteration) runs never clobber the
+        (ROOT / "DAY_E2E.json").write_text(json.dumps(record, indent=1))
     print(json.dumps(record, indent=1))
 
 
