@@ -610,18 +610,22 @@ class PallasDetectMXU:
             plan._fine_raw.transpose(0, 2, 1) + remainder[:, :, None]
         )  # (n_tiles, O, tile)
         plan._fine_raw = None
-        # Residual span: bf16 memrefs tile as (16, 128), so bases and spans
-        # align to 16 sublanes; the one-hot selector is built transposed,
-        # with K on the sublane axis. The kernel supports per-onset spans
-        # (P onsets span ~half the shifts of S onsets; sizing each onset's
-        # K rows individually would trim 12-17% off the DMA and matmul),
-        # and that variant passes interpret-mode parity -- but on hardware
-        # MIXED spans trip a Mosaic scoped-VMEM anomaly (stack usage jumps
-        # from <16M to 17.6M at tile=1024 despite strictly smaller
-        # buffers) and measured no faster at the Icequake scale, so the
-        # shipped plan uses the uniform max span.
-        self.r_span = max(16, _round_up(int(fine8.max()) + 1, 16))
-        self.r_spans = (self.r_span,) * plan.n_onsets
+        # Residual spans: bf16 memrefs tile as (16, 128), so bases and
+        # spans align to 16 sublanes; the one-hot selector is built
+        # transposed, with K on the sublane axis. Spans are sized PER
+        # ONSET -- P onsets (faster velocity) span roughly half the
+        # shifts of S onsets, so a uniform max span pads their DMA and
+        # matmul K rows away. Round 2 shipped the uniform max because
+        # mixed spans tripped Mosaic's default 16 MiB scoped-VMEM limit;
+        # that limit is now raised per-kernel (CompilerParams in
+        # mxu_detect_reduce), and per-onset spans measure +7% at the
+        # day-scale window (exp_kernel_breakdown --pspan: K 1536 -> 1344,
+        # 491 -> 527 G/s, checksum-identical).
+        self.r_spans = tuple(
+            max(16, _round_up(int(fine8[:, o, :].max()) + 1, 16))
+            for o in range(plan.n_onsets)
+        )
+        self.r_span = max(self.r_spans)
         # (n_tiles, O, tile) selector input for the kernel. plan.fine is
         # superseded by fine_t here -- don't waste HBM uploading it. The
         # upload is deferred to first use so rejected candidate configs
@@ -722,10 +726,10 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
     """
     The exact r_spans tuple a PallasDetectMXU plan would land on, computed
     from per-brick traveltime min/max alone (no per-node plan arrays).
-    Valid when one tile == one brick (every MXU_CONFIGS entry): the
-    per-tile residual span after the 16-row base alignment is
-    ``max(tt) - 16 * (min(tt) // 16)`` over each (brick, onset), and the
-    plan ships the uniform max (see PallasDetectMXU on why not per-onset).
+    Valid when one tile == one brick (every MXU_CONFIGS entry): onset o's
+    residual span after the 16-row base alignment is
+    ``max(tt) - 16 * (min(tt) // 16)`` maximised over bricks, sized per
+    onset (P onsets span roughly half the shifts of S onsets).
 
     """
 
@@ -746,8 +750,11 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
     )
     lo = tt.min(axis=(1, 3, 5))
     hi = tt.max(axis=(1, 3, 5))
-    span = int(max(16, _round_up(int((hi - 16 * (lo // 16)).max()) + 1, 16)))
-    return (span,) * n_onsets
+    per_brick = hi - 16 * (lo // 16)  # (bx, by, bz, O)
+    return tuple(
+        int(max(16, _round_up(int(per_brick[..., o].max()) + 1, 16)))
+        for o in range(n_onsets)
+    )
 
 
 # Sample-block width candidates (lanes). The full lane-padded window is
