@@ -46,6 +46,37 @@ LANE = 128
 # 10-15% SLOWER -- too little VMEM left for DMA overlap.
 VMEM_BUDGET = 40 * 2**20
 
+# Fixed-point range of the 3-word int8 table encoding. Log onsets are
+# bounded below by the MIN_ONSET_CLIP floor (ln 0.01); the upper bound
+# is a generous static cap (an onset function value of 1e9) -- values
+# beyond it saturate, mirroring the existing lower clip. The worst-case
+# absolute encoding error is (vmax - vmin) / (2 * 127 * 254 * 254) ~
+# 1.5e-6 in log domain: ~13x tighter than the bf16 hi/lo pair.
+I8_VMIN = float(np.log(1e-2))
+I8_VMAX = float(np.log(1e9))
+
+
+def _i8_terms(n_onsets):
+    """Static (scales, constant) of the 3-word int8 decomposition."""
+
+    c = 0.5 * (I8_VMIN + I8_VMAX)
+    s1 = (I8_VMAX - I8_VMIN) / 254.0
+    return (s1, s1 / 254.0, s1 / 254.0 / 254.0), float(n_onsets) * c
+
+
+def _encode_i8(table):
+    """f32 table -> three int8 words: v ~ c + s1*w1 + s2*w2 + s3*w3."""
+
+    (s1, s2, s3), _ = _i8_terms(1)
+    c = 0.5 * (I8_VMIN + I8_VMAX)
+    u = jnp.clip(table, I8_VMIN, I8_VMAX) - c
+    w1 = jnp.round(u / s1)
+    r = u - w1 * s1
+    w2 = jnp.round(r / s2)
+    r = r - w2 * s2
+    w3 = jnp.round(r / s3)
+    return tuple(w.astype(jnp.int8) for w in (w1, w2, w3))
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -332,9 +363,15 @@ class PallasDetect:
 
 
 def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
-                       hi_ref, lo_ref, max_ref, arg_ref, sum_ref,
-                       a_slots, onehot, sems, *, r_spans, n_onsets, tile,
-                       n_tiles, sblk, n_sblocks):
+                       *rest, r_spans, n_onsets, tile,
+                       n_tiles, sblk, n_sblocks, i8_terms=None):
+    # rest = per-word table refs, then 3 output refs, then 3 scratch.
+    # ``i8_terms`` is None for the bf16 hi/lo pair, or the static
+    # (scales, constant) of the 3-word int8 fixed-point decomposition.
+    n_words = 2 if i8_terms is None else 3
+    tables = rest[:n_words]
+    max_ref, arg_ref, sum_ref = rest[n_words:n_words + 3]
+    a_slots, onehot, sems = rest[n_words + 3:]
     i = pl.program_id(0)  # node tile
     j = pl.program_id(1)  # sample block (minor: full sweep per tile)
     step = i * n_sblocks + j
@@ -361,13 +398,13 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     def slice_dmas(local_row, col0, into_slot):
         for o in range(n_onsets):
             row0 = pl.multiple_of(base_ref[0, local_row, o], 16)
-            for half, table in enumerate((hi_ref, lo_ref)):
+            for word, table in enumerate(tables):
                 yield pltpu.make_async_copy(
                     table.at[o, pl.ds(row0, r_spans[o]), pl.ds(col0, sblk)],
                     a_slots.at[
-                        into_slot, half, pl.ds(k_off[o], r_spans[o]), :
+                        into_slot, word, pl.ds(k_off[o], r_spans[o]), :
                     ],
-                    sems.at[into_slot, half, o],
+                    sems.at[into_slot, word, o],
                 )
 
     @pl.when(step == 0)
@@ -403,6 +440,8 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
         else:
             runs.append([o, 1, r])
 
+    oh_dtype = jnp.bfloat16 if i8_terms is None else jnp.int8
+
     @pl.when(j == 0)
     def _():
         for o0, count, r in runs:
@@ -412,7 +451,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
             )
             block = (
                 fine_ref[0, o0:o0 + count, :][:, None, :] == residues
-            ).astype(jnp.bfloat16)
+            ).astype(oh_dtype)
             onehot[k_off[o0]:k_off[o0] + count * r, :] = block.reshape(
                 count * r, tile
             )
@@ -422,16 +461,32 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
         dma.wait()
 
     # coa[n, t] = sum_k onehot[k, n] * A[k, t] -- contract the K (sublane)
-    # axis of both operands on the MXU, f32 accumulation.
+    # axis of both operands on the MXU. bf16 pair: f32 accumulation of
+    # hi + lo. int8: three int32 selections combined with the static
+    # fixed-point scales (v5e runs int8 matmuls at 2x the bf16 rate, so
+    # three int8 dots cost ~0.75x the bf16 pair at ~50x tighter error).
     contract_k = (((0,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(
-        onehot[...], a_slots[slot, 0],
-        dimension_numbers=contract_k, preferred_element_type=jnp.float32,
-    )
-    acc = acc + jax.lax.dot_general(
-        onehot[...], a_slots[slot, 1],
-        dimension_numbers=contract_k, preferred_element_type=jnp.float32,
-    )
+    if i8_terms is None:
+        acc = jax.lax.dot_general(
+            onehot[...], a_slots[slot, 0],
+            dimension_numbers=contract_k,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            onehot[...], a_slots[slot, 1],
+            dimension_numbers=contract_k,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scales, const = i8_terms
+        acc = jnp.full((tile, sblk), const, jnp.float32)
+        for word, scale in enumerate(scales):
+            sel = jax.lax.dot_general(
+                onehot[...], a_slots[slot, word],
+                dimension_numbers=contract_k,
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + sel.astype(jnp.float32) * scale
 
     coa = jnp.exp(acc * inv_avail_ref[0]) * valid_ref[0]
     max_ref[0] = jnp.max(coa, axis=0, keepdims=True)
@@ -441,7 +496,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
 
 def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
                       fsmp, nsamples, tile, r_spans, n_nodes_real,
-                      sblk=None, interpret=False):
+                      sblk=None, interpret=False, precision="i8x3"):
     """
     Traceable MXU fused migrate + reduce with the same contract as
     ops.migrate.detect_reduce: returns (max_coa, max_idx, coa_sum). The
@@ -478,24 +533,37 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 
     # Global Hankel table [O, D, S], padded so every base..base+R slice and
     # the block-aligned sample axis are in range.
+    i8 = precision == "i8x3"
     table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
     d_pad = _round_up(d_max + 1 + max(r_spans), 16)
     table = jnp.pad(
         table,
         ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples)),
     )
-    # reduce_precision guarantees the bf16 rounding actually happens -- a
-    # plain astype round-trip is elided under --xla_allow_excess_precision,
-    # which silently zeroes the lo half.
-    hi_exact = jax.lax.reduce_precision(table, exponent_bits=8, mantissa_bits=7)
-    hi = hi_exact.astype(jnp.bfloat16)
-    lo = (table - hi_exact).astype(jnp.bfloat16)
+    if i8:
+        words = _encode_i8(table)
+        i8_terms = _i8_terms(n_onsets)
+        w_dtype = jnp.int8
+    else:
+        # reduce_precision guarantees the bf16 rounding actually happens --
+        # a plain astype round-trip is elided under
+        # --xla_allow_excess_precision, which silently zeroes the lo half.
+        hi_exact = jax.lax.reduce_precision(
+            table, exponent_bits=8, mantissa_bits=7
+        )
+        words = (
+            hi_exact.astype(jnp.bfloat16),
+            (table - hi_exact).astype(jnp.bfloat16),
+        )
+        i8_terms = None
+        w_dtype = jnp.bfloat16
 
     kernel = partial(
         _mxu_detect_kernel, r_spans=r_spans, n_onsets=n_onsets, tile=tile,
-        n_tiles=n_tiles, sblk=sblk, n_sblocks=n_sblocks,
+        n_tiles=n_tiles, sblk=sblk, n_sblocks=n_sblocks, i8_terms=i8_terms,
     )
 
+    n_words = len(words)
     tmax, targ, tsum = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_sblocks),
@@ -505,8 +573,8 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
             pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_onsets, tile), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, tile, 1), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+        ] + [
+            pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_words)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, sblk), lambda i, j: (i, 0, j)),
@@ -519,9 +587,9 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
             jax.ShapeDtypeStruct((n_tiles, 1, s_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, sum(r_spans), sblk), jnp.bfloat16),
-            pltpu.VMEM((sum(r_spans), tile), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 2, n_onsets)),
+            pltpu.VMEM((2, n_words, sum(r_spans), sblk), w_dtype),
+            pltpu.VMEM((sum(r_spans), tile), w_dtype),
+            pltpu.SemaphoreType.DMA((2, n_words, n_onsets)),
         ],
         # Mosaic's default scoped-VMEM limit (16 MiB) is conservative;
         # v5e has far more physical VMEM. Raising the limit to our own
@@ -531,7 +599,8 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 112 * 2**20,
-                _mxu_vmem_bytes(tile, sum(r_spans), n_onsets, sblk)
+                _mxu_vmem_bytes(tile, sum(r_spans), n_onsets, sblk,
+                                precision)
                 + 8 * 2**20,
             ),
         ),
@@ -541,8 +610,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         jnp.asarray(1.0 / available, jnp.float32).reshape(1),
         fine_t,
         valid,
-        hi,
-        lo,
+        *words,
     )
 
     return _combine_tiles(tmax, targ, tsum, perm, tile, nsamples)
@@ -551,15 +619,15 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
 @partial(
     jax.jit,
     static_argnames=("fsmp", "nsamples", "tile", "r_spans", "n_nodes_real",
-                     "sblk", "interpret"),
+                     "sblk", "interpret", "precision"),
 )
 def _pallas_mxu_detect_core(onsets, mask, available, fine_t, base, valid,
                             perm, fsmp, nsamples, tile, r_spans, n_nodes_real,
-                            sblk=None, interpret=False):
+                            sblk=None, interpret=False, precision="i8x3"):
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         onsets, mask, available, fine_t, base, valid, perm,
         fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -594,17 +662,22 @@ class PallasDetectMXU:
     """
 
     def __init__(self, traveltimes, node_count, fsmp, nsamples, tile=256,
-                 brick_shape=(8, 8, 4), sblk=None, interpret=False):
+                 brick_shape=(8, 8, 4), sblk=None, interpret=False,
+                 precision="i8x3"):
         plan = PallasDetectPlan(
             traveltimes, node_count, tile=tile, brick_shape=brick_shape,
             vpu_fine=False,
         )
         self._max_shift = int(np.maximum(np.asarray(traveltimes), 0).max())
-        # Align each tile's base shift down to the 16-row bf16 sublane
-        # tiling ((16, 128) memref tiles) so the table-slice DMA offsets
-        # are provably aligned; the remainder (0..15) moves into the
-        # fine residuals.
-        remainder = plan.base % 16
+        self.precision = precision
+        # Align each tile's base shift down to 16 rows so the
+        # table-slice DMA offsets are provably aligned; the remainder
+        # moves into the fine residuals. 16 is the measured Mosaic DMA
+        # row granularity for BOTH bf16 and int8 tables (int8's memref
+        # tiling is (32, 128) but its copies accept 16-multiples --
+        # probed on hardware, see docs/performance.md).
+        align = 16
+        remainder = plan.base % align
         base8 = plan.base - remainder
         fine8 = (
             plan._fine_raw.transpose(0, 2, 1) + remainder[:, :, None]
@@ -622,7 +695,7 @@ class PallasDetectMXU:
         # day-scale window (exp_kernel_breakdown --pspan: K 1536 -> 1344,
         # 491 -> 527 G/s, checksum-identical).
         self.r_spans = tuple(
-            max(16, _round_up(int(fine8[:, o, :].max()) + 1, 16))
+            max(align, _round_up(int(fine8[:, o, :].max()) + 1, align))
             for o in range(plan.n_onsets)
         )
         self.r_span = max(self.r_spans)
@@ -655,7 +728,8 @@ class PallasDetectMXU:
     def estimated_vmem_bytes(self):
         p = self.plan
         return _mxu_vmem_bytes(
-            p.tile, sum(self.r_spans), p.n_onsets, self.sblk
+            p.tile, sum(self.r_spans), p.n_onsets, self.sblk,
+            self.precision,
         )
 
     def fits_vmem(self, budget=None):
@@ -675,6 +749,7 @@ class PallasDetectMXU:
             onsets, mask, available, fine_t, p.base, p.valid, p.perm,
             self.fsmp, self.nsamples, p.tile, self.r_spans, p.n_nodes,
             sblk=self.sblk, interpret=self.interpret,
+            precision=self.precision,
         )
 
 
@@ -691,7 +766,7 @@ class PallasDetectMXU:
 MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
 
 
-def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk):
+def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk, precision="i8x3"):
     """
     Approximate VMEM footprint of the MXU kernel: table-slice slots
     (double-buffered bf16 hi/lo), the one-hot selector, the f32
@@ -711,25 +786,30 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk):
     """
 
     s_pad = _round_up(sblk, LANE)
-    slices = 2 * 2 * k_dim * s_pad * 2
-    onehot = k_dim * tile * 2
+    if precision == "i8x3":
+        n_words, w_bytes = 3, 1
+    else:
+        n_words, w_bytes = 2, 2
+    slices = 2 * n_words * k_dim * s_pad * w_bytes
+    onehot = k_dim * tile * w_bytes
     accumulator = tile * s_pad * 4
     blocks = 2 * (n_onsets * tile * 4 + tile * LANE * 4 + 3 * s_pad * 4)
     second_dot = tile * s_pad * 4
-    onehot_scratch = k_dim * tile * (4 + 2)  # int32 iota + bf16 block
+    onehot_scratch = k_dim * tile * (4 + w_bytes)  # int32 iota + block
     return (
         slices + onehot + accumulator + blocks + second_dot + onehot_scratch
     )
 
 
-def _estimate_r_spans(traveltimes, node_count, brick_shape):
+def _estimate_r_spans(traveltimes, node_count, brick_shape, align=16):
     """
     The exact r_spans tuple a PallasDetectMXU plan would land on, computed
     from per-brick traveltime min/max alone (no per-node plan arrays).
     Valid when one tile == one brick (every MXU_CONFIGS entry): onset o's
-    residual span after the 16-row base alignment is
-    ``max(tt) - 16 * (min(tt) // 16)`` maximised over bricks, sized per
-    onset (P onsets span roughly half the shifts of S onsets).
+    residual span after the ``align``-row base alignment (the table
+    dtype's sublane tile: 16 for bf16, 32 for int8) is
+    ``max(tt) - align * (min(tt) // align)`` maximised over bricks, sized
+    per onset (P onsets span roughly half the shifts of S onsets).
 
     """
 
@@ -750,9 +830,9 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
     )
     lo = tt.min(axis=(1, 3, 5))
     hi = tt.max(axis=(1, 3, 5))
-    per_brick = hi - 16 * (lo // 16)  # (bx, by, bz, O)
+    per_brick = hi - align * (lo // align)  # (bx, by, bz, O)
     return tuple(
-        int(max(16, _round_up(int(per_brick[..., o].max()) + 1, 16)))
+        int(max(align, _round_up(int(per_brick[..., o].max()) + 1, align)))
         for o in range(n_onsets)
     )
 
@@ -765,7 +845,8 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
 SBLK_CANDIDATES = (2048, 1024, 512, 256, LANE)
 
 
-def _pick_sblk(tile, k_dim, n_onsets, nsamples, budget=None):
+def _pick_sblk(tile, k_dim, n_onsets, nsamples, budget=None,
+               precision="i8x3"):
     """
     Largest sample-block width whose MXU scratch fits the VMEM budget for
     this (tile, contraction size) -- the whole lane-padded window if it
@@ -777,7 +858,8 @@ def _pick_sblk(tile, k_dim, n_onsets, nsamples, budget=None):
     budget = VMEM_BUDGET if budget is None else budget
     s_full = _round_up(nsamples, LANE)
     for sblk in (s_full,) + tuple(c for c in SBLK_CANDIDATES if c < s_full):
-        if _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk) <= budget:
+        if _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk,
+                           precision) <= budget:
             return sblk
     return None
 
@@ -810,7 +892,8 @@ def _config_score(span_sum, sblk, tile, nsamples):
     return span_sum * block_penalty * tile_penalty
 
 
-def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
+def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False,
+                    precision="i8x3"):
     """
     Build the MXU detect kernel with the measured-cheapest (tile,
     sample-block) config whose scratch fits the VMEM budget for this
@@ -829,7 +912,8 @@ def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
     best = None  # (score, tile, brick, sblk, est_spans)
     for cand_tile, cand_brick in MXU_CONFIGS:
         cand_spans = _estimate_r_spans(traveltimes, node_count, cand_brick)
-        cand_sblk = _pick_sblk(cand_tile, sum(cand_spans), n_onsets, nsamples)
+        cand_sblk = _pick_sblk(cand_tile, sum(cand_spans), n_onsets,
+                               nsamples, precision=precision)
         if cand_sblk is None:
             continue
         score = _config_score(sum(cand_spans), cand_sblk, cand_tile, nsamples)
@@ -845,6 +929,7 @@ def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
     kernel = PallasDetectMXU(
         traveltimes, node_count, fsmp, nsamples,
         tile=tile, brick_shape=brick_shape, sblk=sblk, interpret=interpret,
+        precision=precision,
     )
     if sblk is not None and not kernel.fits_vmem():
         # The cheap per-brick estimate diverged from the built plan (the
@@ -856,7 +941,8 @@ def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False):
             "re-selecting the sample-block width from the plan.",
             est_spans, kernel.r_spans,
         )
-        actual = _pick_sblk(tile, sum(kernel.r_spans), n_onsets, nsamples)
+        actual = _pick_sblk(tile, sum(kernel.r_spans), n_onsets, nsamples,
+                            precision=precision)
         if actual is not None:
             kernel.sblk = actual
     return kernel

@@ -263,7 +263,7 @@ def detect_window_fused(
     jax.jit,
     static_argnames=(
         "position", "transform", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_spans", "n_nodes_real", "sblk", "interpret",
+        "tile", "r_spans", "n_nodes_real", "sblk", "interpret", "precision",
     ),
 )
 def detect_window_fused_mxu(
@@ -271,6 +271,7 @@ def detect_window_fused_mxu(
     fine_t, base, valid, perm,
     position, transform, min_onset_value, fsmp, nsamples,
     tile, r_spans, n_nodes_real, sblk=None, interpret=False,
+    precision="i8x3",
 ):
     """
     Fully-fused detect window with the Pallas MXU migration kernel
@@ -288,7 +289,7 @@ def detect_window_fused_mxu(
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
         fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx
 
@@ -297,7 +298,7 @@ def detect_window_fused_mxu(
     jax.jit,
     static_argnames=(
         "nsmooth", "taper_pad", "min_onset_value", "fsmp", "nsamples",
-        "tile", "r_spans", "n_nodes_real", "sblk", "interpret",
+        "tile", "r_spans", "n_nodes_real", "sblk", "interpret", "precision",
     ),
 )
 def detect_window_fused_kurtosis_mxu(
@@ -305,6 +306,7 @@ def detect_window_fused_kurtosis_mxu(
     fine_t, base, valid, perm,
     nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
     tile, r_spans, n_nodes_real, sblk=None, interpret=False,
+    precision="i8x3",
 ):
     """Kurtosis twin of detect_window_fused_mxu."""
 
@@ -317,6 +319,6 @@ def detect_window_fused_kurtosis_mxu(
     max_coa, max_idx, coa_sum = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
         fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )
     return max_coa, max_coa * n_nodes_real / coa_sum, max_idx

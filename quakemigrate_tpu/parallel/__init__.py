@@ -223,7 +223,7 @@ def pad_mxu_plan_for_mesh(kernel, n_shards):
 
 def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
                        perm, fsmp, nsamples, n_nodes_real, tile, r_spans,
-                       sblk, grid_axis, interpret):
+                       sblk, grid_axis, interpret, precision):
     """Per-shard MXU fused reduce + ICI collective combine. The plan's
     ``perm`` stores GLOBAL flat node indices, so no shard offset is
     needed before the cross-shard argmax."""
@@ -233,7 +233,7 @@ def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
     mx, idx, sm = mxu_detect_reduce(
         combined, slot_mask, available, fine_t, base, valid, perm,
         fsmp, nsamples, tile, r_spans, n_nodes_real, sblk=sblk,
-        interpret=interpret,
+        interpret=interpret, precision=precision,
     )
     return _ici_combine(mx, idx, sm, n_nodes_real, grid_axis)
 
@@ -241,7 +241,7 @@ def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
 def make_sharded_detect_fused_mxu(
     mesh, position, transform, min_onset_value, fsmp, nsamples,
     n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
-    interpret=False,
+    interpret=False, precision="i8x3",
 ):
     """
     Mesh-sharded MXU twin of :func:`make_sharded_detect_fused`: each device
@@ -265,7 +265,7 @@ def make_sharded_detect_fused_mxu(
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
             fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
-            interpret,
+            interpret, precision,
         )
 
     sharded = shard_map(
@@ -285,7 +285,7 @@ def make_sharded_detect_fused_mxu(
 def make_sharded_detect_fused_kurtosis_mxu(
     mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
     n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
-    interpret=False,
+    interpret=False, precision="i8x3",
 ):
     """Kurtosis twin of :func:`make_sharded_detect_fused_mxu`. Signature:
     ``f(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
@@ -302,7 +302,7 @@ def make_sharded_detect_fused_kurtosis_mxu(
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
             fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
-            interpret,
+            interpret, precision,
         )
 
     sharded = shard_map(

@@ -74,6 +74,13 @@ class QuakeScan:
         Shard the grid-node axis over this device mesh.
     tile : int, optional
         Node-tile size for the fused reduction (default 4096).
+    mxu_encoding : {"i8x3", "bf16hl"}, optional
+        Table encoding of the Pallas MXU migration kernel. "i8x3"
+        (default) decomposes the log-onset Hankel table into three int8
+        fixed-point words -- v5e runs int8 matmuls at 2x the bf16 rate,
+        so the triple costs ~0.75x the "bf16hl" hi/lo pair on the MXU
+        with ~13x tighter absolute error (measured 566 vs 490 G/s at
+        the day-scale window).
 
     """
 
@@ -90,6 +97,11 @@ class QuakeScan:
         # real TPU hardware (measured ~1.7x the XLA path) and the XLA
         # shift-table row gather elsewhere; "xla"/"mxu" force one.
         "kernel": "auto",
+        # MXU table encoding: "i8x3" (three int8 fixed-point words; v5e
+        # runs int8 matmuls at 2x the bf16 rate, measured ~1.15x the
+        # bf16 pair end-to-kernel with ~13x tighter absolute error) or
+        # "bf16hl" (bf16 hi/lo pair).
+        "mxu_encoding": "i8x3",
         "detect_batch": 1,
         "locate_map_memory_limit": 4e9,
         "fused_detect": True,
@@ -156,6 +168,11 @@ class QuakeScan:
         for option, default in self._OPTION_DEFAULTS.items():
             setattr(self, option, kwargs.get(option, default))
         self.detect_batch = max(1, int(self.detect_batch))
+        if self.mxu_encoding not in ("i8x3", "bf16hl"):
+            raise ValueError(
+                f"mxu_encoding must be 'i8x3' or 'bf16hl', got "
+                f"{self.mxu_encoding!r}"
+            )
         if self.compilation_cache:
             util.enable_compilation_cache(
                 None if self.compilation_cache is True
@@ -266,7 +283,8 @@ class QuakeScan:
                 # A forced MXU request can still be downgraded -- say so.
                 if self.precision == "double":
                     logging.info(
-                        "\tkernel='mxu' computes in bf16-hi/lo (~f32); "
+                        "\tkernel='mxu' computes in reduced-precision "
+                        "table encodings (~f32 accurate); "
                         "precision='double' keeps the XLA shift-table "
                         "kernel."
                     )
@@ -350,6 +368,7 @@ class QuakeScan:
             kernel = make_mxu_detect(
                 self._tt_host, tuple(self.lut.node_count), fsmp, nsamples,
                 interpret=jax.default_backend() != "tpu",
+                precision=self.mxu_encoding,
             )
             if kernel.fits_vmem():
                 self._mxu = kernel
@@ -409,7 +428,7 @@ class QuakeScan:
                     fsmp=fsmp, nsamples=nsamples,
                     n_nodes_real=self._n_nodes, tile=kernel.plan.tile,
                     r_spans=kernel.r_spans, sblk=kernel.sblk,
-                    interpret=interpret,
+                    interpret=interpret, precision=kernel.precision,
                 )
                 if kind == "kurtosis":
                     nsmooth, taper_pad, min_onset = (
@@ -1078,6 +1097,7 @@ class QuakeScan:
                                 fsmp, nsamples, k.plan.tile, k.r_spans,
                                 self._n_nodes, sblk=k.sblk,
                                 interpret=k.interpret,
+                                precision=k.precision,
                             )
                         else:
                             out = detect_window_fused_kurtosis(
@@ -1106,6 +1126,7 @@ class QuakeScan:
                                 fsmp, nsamples, k.plan.tile, k.r_spans,
                                 self._n_nodes, sblk=k.sblk,
                                 interpret=k.interpret,
+                                precision=k.precision,
                             )
                         else:
                             out = detect_window_fused(

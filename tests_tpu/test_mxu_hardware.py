@@ -311,3 +311,26 @@ def test_scan_level_mesh_auto_uses_compiled_mxu(tmp_path):
         a = st_s.select(station=station)[0].data.astype(np.int64)
         b = st_m.select(station=station)[0].data.astype(np.int64)
         assert np.abs(a - b).max() <= 1, station
+
+
+def test_mxu_i8_and_bf16_encodings_compile_and_agree(workload):
+    """Both table encodings compile with Mosaic on the chip and agree to
+    their combined tolerance: int8 slice DMAs at 16-row granularity (the
+    measured rule, despite int8's (32, 128) memref tiling), int8 one-hot
+    scratch, and the 3x int8 MXU dots all validated compiled."""
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+
+    dims, tt, n_onsets, fsmp, _ = workload
+    nsamples = 625
+    outs = {}
+    for prec in ("bf16hl", "i8x3"):
+        kernel = PallasDetectMXU(tt, dims, fsmp, nsamples, tile=512,
+                                 brick_shape=(8, 8, 8), precision=prec)
+        got, ref = _run_pair(dims, tt, n_onsets, fsmp, nsamples, kernel)
+        _assert_parity(got, ref)
+        outs[prec] = got
+    rel = np.abs(outs["i8x3"][0] - outs["bf16hl"][0]) / np.maximum(
+        np.abs(outs["bf16hl"][0]), 1e-30
+    )
+    assert rel.max() < 5e-5
