@@ -531,17 +531,27 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     padded = jnp.pad(base, ((0, 1), (0, 0)))
     base_pairs = jnp.stack([padded[:-1], padded[1:]], axis=1)
 
-    # Global Hankel table [O, D, S], padded so every base..base+R slice and
-    # the block-aligned sample axis are in range.
+    # Global Hankel tables [O, D, S], padded so every base..base+R slice
+    # and the block-aligned sample axis are in range. The reduced-
+    # precision encodings are per-element, so they COMMUTE with the
+    # Hankel gather: encode the small (O, T) traces first and expand the
+    # encoded words -- at day-scale windows the f32 table is ~1.4 GB and
+    # skipping it (plus its multi-pass encode traffic) is a measurable
+    # per-window saving on the critical path.
     i8 = precision == "i8x3"
-    table, d_max = _build_shift_table(onsets_log, fsmp, nsamples)
-    d_pad = _round_up(d_max + 1 + max(r_spans), 16)
-    table = jnp.pad(
-        table,
-        ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples)),
-    )
+
+    def expand(trace):
+        tw, d_max = _build_shift_table(trace, fsmp, nsamples)
+        d_pad = _round_up(d_max + 1 + max(r_spans), 16)
+        return jnp.pad(
+            tw, ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples))
+        )
+
     if i8:
-        words = _encode_i8(table)
+        # Pad rows/samples hold encoded zeros, which decode to the range
+        # centre c (not 0.0); they are only ever multiplied by one-hot
+        # zeros or trimmed by _combine_tiles, so only finiteness matters.
+        words = tuple(expand(w) for w in _encode_i8(onsets_log))
         i8_terms = _i8_terms(n_onsets)
         w_dtype = jnp.int8
     else:
@@ -549,11 +559,11 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         # a plain astype round-trip is elided under
         # --xla_allow_excess_precision, which silently zeroes the lo half.
         hi_exact = jax.lax.reduce_precision(
-            table, exponent_bits=8, mantissa_bits=7
+            onsets_log, exponent_bits=8, mantissa_bits=7
         )
         words = (
-            hi_exact.astype(jnp.bfloat16),
-            (table - hi_exact).astype(jnp.bfloat16),
+            expand(hi_exact.astype(jnp.bfloat16)),
+            expand((onsets_log - hi_exact).astype(jnp.bfloat16)),
         )
         i8_terms = None
         w_dtype = jnp.bfloat16
