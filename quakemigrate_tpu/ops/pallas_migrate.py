@@ -50,8 +50,9 @@ VMEM_BUDGET = 40 * 2**20
 # bounded below by the MIN_ONSET_CLIP floor (ln 0.01); the upper bound
 # is a generous static cap (an onset function value of 1e9) -- values
 # beyond it saturate, mirroring the existing lower clip. The worst-case
-# absolute encoding error is (vmax - vmin) / (2 * 127 * 254 * 254) ~
-# 1.5e-6 in log domain: ~13x tighter than the bf16 hi/lo pair.
+# absolute encoding error is s3/2 = (vmax - vmin) / (2 * 254^3) ~
+# 7.7e-7 in log domain vs the bf16 hi/lo pair's |v| * 2^-18 (~1.8e-5
+# at a typical |log onset| of 4.6): ~20x tighter.
 I8_VMIN = float(np.log(1e-2))
 I8_VMAX = float(np.log(1e9))
 
@@ -76,6 +77,24 @@ def _encode_i8(table):
     r = r - w2 * s2
     w3 = jnp.round(r / s3)
     return tuple(w.astype(jnp.int8) for w in (w1, w2, w3))
+
+
+def _i8_zero_words():
+    """The three int8 words encoding the value 0.0 (a masked onset's
+    log), used as the table pad so padded rows/columns decode to ~0 --
+    matching the bf16 path's zero padding instead of decoding to the
+    range centre c (which, divided by a small ``available``, could
+    overflow exp in the padded sample columns)."""
+
+    (s1, s2, s3), _ = _i8_terms(1)
+    c = 0.5 * (I8_VMIN + I8_VMAX)
+    u = -c
+    w1 = round(u / s1)
+    r = u - w1 * s1
+    w2 = round(r / s2)
+    r = r - w2 * s2
+    w3 = round(r / s3)
+    return int(w1), int(w2), int(w3)
 
 
 def _round_up(x, m):
@@ -464,7 +483,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     # axis of both operands on the MXU. bf16 pair: f32 accumulation of
     # hi + lo. int8: three int32 selections combined with the static
     # fixed-point scales (v5e runs int8 matmuls at 2x the bf16 rate, so
-    # three int8 dots cost ~0.75x the bf16 pair at ~50x tighter error).
+    # three int8 dots cost ~0.75x the bf16 pair at ~20x tighter error).
     contract_k = (((0,), (0,)), ((), ()))
     if i8_terms is None:
         acc = jax.lax.dot_general(
@@ -540,18 +559,25 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     # per-window saving on the critical path.
     i8 = precision == "i8x3"
 
-    def expand(trace):
+    def expand(trace, pad_value=0):
         tw, d_max = _build_shift_table(trace, fsmp, nsamples)
         d_pad = _round_up(d_max + 1 + max(r_spans), 16)
         return jnp.pad(
-            tw, ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples))
+            tw, ((0, 0), (0, d_pad - (d_max + 1)), (0, s_pad - nsamples)),
+            constant_values=pad_value,
         )
 
     if i8:
-        # Pad rows/samples hold encoded zeros, which decode to the range
-        # centre c (not 0.0); they are only ever multiplied by one-hot
-        # zeros or trimmed by _combine_tiles, so only finiteness matters.
-        words = tuple(expand(w) for w in _encode_i8(onsets_log))
+        # Pad rows/samples hold the encoding of 0.0 (a masked onset's
+        # log) so they decode to ~0 like the bf16 path's zero padding --
+        # an all-zero int8 pad would decode to the range centre c, and
+        # exp(n_onsets*c / available) can overflow f32 in the padded
+        # sample columns when most onsets are masked.
+        words = tuple(
+            expand(w, pad) for w, pad in zip(
+                _encode_i8(onsets_log), _i8_zero_words()
+            )
+        )
         i8_terms = _i8_terms(n_onsets)
         w_dtype = jnp.int8
     else:
@@ -779,14 +805,16 @@ MXU_CONFIGS = ((1024, (16, 8, 8)), (512, (8, 8, 8)), (256, (8, 8, 4)))
 def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk, precision="i8x3"):
     """
     Approximate VMEM footprint of the MXU kernel: table-slice slots
-    (double-buffered bf16 hi/lo), the one-hot selector, the f32
-    accumulator, the pipelined input/output blocks, PLUS the Mosaic
-    stack temporaries that live across the kernel body -- the second
-    dot_general's result (alive during the hi+lo add) and the one-hot
-    build's broadcasted-iota/comparison block. ``k_dim`` is the
-    selector's contraction size (the sum of per-onset residual spans);
-    ``sblk`` the sample-block width (every sample-axis term scales with
-    the block, not the window -- the point of sample-axis blocking).
+    (double-buffered; two bf16 halves or three int8 words per
+    ``precision``), the one-hot selector, the f32 accumulator, the
+    pipelined input/output blocks, PLUS the Mosaic stack temporaries
+    that live across the kernel body -- the in-flight dot_general
+    result (alive during the accumulate; the int8 path also holds its
+    int32->f32 cast), and the one-hot build's broadcasted-iota/
+    comparison block. ``k_dim`` is the selector's contraction size (the
+    sum of per-onset residual spans); ``sblk`` the sample-block width
+    (every sample-axis term scales with the block, not the window --
+    the point of sample-axis blocking).
 
     The matching ``VMEM_BUDGET`` is calibrated against on-hardware
     compile outcomes (v5e): omitting the stack terms previously let
@@ -798,30 +826,34 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk, precision="i8x3"):
     s_pad = _round_up(sblk, LANE)
     if precision == "i8x3":
         n_words, w_bytes = 3, 1
+        # sequential int32 dot result + its f32 cast, alive with the
+        # accumulator during each scaled add
+        dot_temps = 2 * tile * s_pad * 4
     else:
         n_words, w_bytes = 2, 2
+        dot_temps = tile * s_pad * 4
     slices = 2 * n_words * k_dim * s_pad * w_bytes
     onehot = k_dim * tile * w_bytes
     accumulator = tile * s_pad * 4
     blocks = 2 * (n_onsets * tile * 4 + tile * LANE * 4 + 3 * s_pad * 4)
-    second_dot = tile * s_pad * 4
     onehot_scratch = k_dim * tile * (4 + w_bytes)  # int32 iota + block
     return (
-        slices + onehot + accumulator + blocks + second_dot + onehot_scratch
+        slices + onehot + accumulator + blocks + dot_temps + onehot_scratch
     )
 
 
-def _estimate_r_spans(traveltimes, node_count, brick_shape, align=16):
+def _estimate_r_spans(traveltimes, node_count, brick_shape):
     """
     The exact r_spans tuple a PallasDetectMXU plan would land on, computed
     from per-brick traveltime min/max alone (no per-node plan arrays).
     Valid when one tile == one brick (every MXU_CONFIGS entry): onset o's
-    residual span after the ``align``-row base alignment (the table
-    dtype's sublane tile: 16 for bf16, 32 for int8) is
-    ``max(tt) - align * (min(tt) // align)`` maximised over bricks, sized
+    residual span after the 16-row base alignment (the measured Mosaic
+    DMA row granularity for BOTH the bf16 and int8 tables) is
+    ``max(tt) - 16 * (min(tt) // 16)`` maximised over bricks, sized
     per onset (P onsets span roughly half the shifts of S onsets).
 
     """
+    align = 16
 
     traveltimes = np.maximum(np.asarray(traveltimes), 0)
     n_onsets = traveltimes.shape[-1]

@@ -79,7 +79,7 @@ class QuakeScan:
         (default) decomposes the log-onset Hankel table into three int8
         fixed-point words -- v5e runs int8 matmuls at 2x the bf16 rate,
         so the triple costs ~0.75x the "bf16hl" hi/lo pair on the MXU
-        with ~13x tighter absolute error (measured 566 vs 490 G/s at
+        with ~20x tighter absolute error (measured 566 vs 490 G/s at
         the day-scale window).
 
     """
@@ -99,7 +99,7 @@ class QuakeScan:
         "kernel": "auto",
         # MXU table encoding: "i8x3" (three int8 fixed-point words; v5e
         # runs int8 matmuls at 2x the bf16 rate, measured ~1.15x the
-        # bf16 pair end-to-kernel with ~13x tighter absolute error) or
+        # bf16 pair end-to-kernel with ~20x tighter absolute error) or
         # "bf16hl" (bf16 hi/lo pair).
         "mxu_encoding": "i8x3",
         "detect_batch": 1,
@@ -353,12 +353,20 @@ class QuakeScan:
 
         """
 
-        cached_geometry = (
+        # Re-validate here (not just in __init__): options are plain
+        # attributes and may be reassigned between stages.
+        if self.mxu_encoding not in ("i8x3", "bf16hl"):
+            raise ValueError(
+                f"mxu_encoding must be 'i8x3' or 'bf16hl', got "
+                f"{self.mxu_encoding!r}"
+            )
+        cache_key = (fsmp, nsamples, self.mxu_encoding)
+        cached_key = (
             None if self._mxu is None
             else self._mxu_geometry if self._mxu is False
-            else (self._mxu.fsmp, self._mxu.nsamples)
+            else (self._mxu.fsmp, self._mxu.nsamples, self._mxu.precision)
         )
-        if cached_geometry != (fsmp, nsamples):
+        if cached_key != cache_key:
             import jax
 
             from quakemigrate_tpu.ops.pallas_migrate import make_mxu_detect
@@ -380,7 +388,7 @@ class QuakeScan:
                     "shift-table kernel."
                 )
                 self._mxu = False
-            self._mxu_geometry = (fsmp, nsamples)
+            self._mxu_geometry = cache_key
         return self._mxu or None
 
     def _build_sharded_detect_fused(self, kind, fsmp, nsamples):

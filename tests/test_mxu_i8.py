@@ -153,7 +153,7 @@ def test_i8_saturates_gracefully():
     np.testing.assert_allclose(hot[0], cap[0], rtol=1e-5)
 
 
-def test_scan_rejects_unknown_encoding():
+def test_scan_rejects_unknown_encoding(tmp_path):
     from quakemigrate_tpu.signal.onsets import STALTAOnset
     from quakemigrate_tpu.signal.scan import QuakeScan
 
@@ -163,5 +163,5 @@ def test_scan_rejects_unknown_encoding():
     lut = SimpleNamespace(max_traveltime=1.0)
     with pytest.raises(ValueError, match="mxu_encoding"):
         QuakeScan("not_an_archive", lut, onset=onset,
-                  run_path="/tmp/qm_i8_opt", run_name="t",
+                  run_path=tmp_path, run_name="t",
                   mxu_encoding="fp4")
