@@ -383,6 +383,11 @@ def main():
         ("days", "events_triggered", "trigger_seconds_per_day",
          "peak_rss_mb"),
     )
+    _fold_artifact(
+        report, "REGIONAL_E2E.json", "regional_e2e_",
+        ("realtime_factor", "ms_per_window", "n_nodes", "hours",
+         "timestep_s", "kernel", "events_triggered", "timestamp"),
+    )
 
     if best is None:
         # Every kernel failed its parity gate: still emit the JSON line --

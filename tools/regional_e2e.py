@@ -1,0 +1,203 @@
+# -*- coding: utf-8 -*-
+"""
+Regional-scale day end-to-end detect benchmark on real TPU hardware.
+
+The day_e2e tool measures the reference's headline (dense local
+Icequake) workload; this one measures the *regional network* shape:
+a 60 x 60 x 30 km search volume at 0.5 km node spacing (~0.9M nodes),
+16 stations at 50 Hz, timestep=300 s (15,000-sample windows on the
+sample-axis-blocked MXU kernel), hourly planted M~2 events over
+background noise. Records REGIONAL_E2E.json at the repo root
+(bench.py folds it into the round's BENCH json).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/regional_e2e.py
+Quick iteration: QM_REGIONAL_E2E_HOURS=2 scans only the first hours
+(never clobbers the artifact).
+"""
+
+import json
+import os
+import pathlib
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+WORLD = pathlib.Path("/tmp/qm_regional_e2e")
+
+SPS = 50
+DAY = "2015-03-10"
+JULDAY = "069"
+N_STATIONS = 16
+TIMESTEP = 300.0
+VP, VS = 6.0, 3.47  # crustal velocities, km/s
+SCAN_START = f"{DAY}T00:05:00.0"
+SCAN_END = f"{DAY}T23:55:00.0"
+
+
+def build_lut():
+    from quakemigrate_tpu import compute_traveltimes
+    from quakemigrate_tpu.coords import Proj
+
+    rng = np.random.default_rng(3)
+    # Stations scattered over the footprint (degrees; ~60 km extent).
+    stations = pd.DataFrame({
+        "Name": [f"RG{i:02d}" for i in range(N_STATIONS)],
+        "Longitude": -19.0 + rng.uniform(-0.55, 0.55, N_STATIONS),
+        "Latitude": 64.0 + rng.uniform(-0.25, 0.25, N_STATIONS),
+        "Elevation": np.zeros(N_STATIONS),
+    })
+    gproj = Proj(proj="lcc", units="km", lon_0=-19.0, lat_0=64.0,
+                 lat_1=63.87, lat_2=64.13, datum="WGS84", ellps="WGS84",
+                 no_defs=True)
+    cproj = Proj(proj="longlat", datum="WGS84", ellps="WGS84", no_defs=True)
+    lut = compute_traveltimes(
+        dict(ll_corner=[-19.62, 63.73, 0.0],
+             ur_corner=[-18.38, 64.27, 30.0],
+             node_spacing=[0.5] * 3, grid_proj=gproj, coord_proj=cproj),
+        stations, method="homogeneous", phases=["P", "S"], vp=VP, vs=VS,
+    )
+    return lut, stations
+
+
+def build_archive(lut, stations, rng):
+    """24 h of background noise per channel with one planted event per
+    hour at varied regional locations/depths, day-long STEIM miniSEED."""
+
+    from quakemigrate_tpu.seis import Trace, UTCDateTime
+    from quakemigrate_tpu.synthetics import (
+        GaussianDerivativeWavelet,
+        simulate_waveforms,
+    )
+
+    shutil.rmtree(WORLD, ignore_errors=True)
+    day_dir = WORLD / "mSEED" / "2015" / JULDAY
+    day_dir.mkdir(parents=True)
+
+    day_start = UTCDateTime(f"{DAY}T00:00:00.0")
+    n_day = int(86400 * SPS)
+
+    wavelet = GaussianDerivativeWavelet(2.0, SPS, 16.0)
+    events = []
+    for hour in range(24):
+        t_ev = hour * 3600.0 + float(rng.uniform(400, 3200))
+        coords = [
+            -19.0 + float(rng.uniform(-0.45, 0.45)),
+            64.0 + float(rng.uniform(-0.20, 0.20)),
+            float(rng.uniform(4.0, 22.0)),
+        ]
+        stream = simulate_waveforms(
+            wavelet, coords, lut, magnitude=2.5,
+            starttime=str(day_start + t_ev), rng=rng,
+        )
+        events.append((t_ev, coords, stream))
+
+    t0 = time.time()
+    for name in stations["Name"]:
+        for comp in "ZNE":
+            data = rng.normal(scale=0.1, size=n_day).astype(np.float32)
+            for t_ev, _, stream in events:
+                tr = stream.select(station=name, channel=f"CH{comp}")[0]
+                i0 = int(round((tr.stats.starttime - day_start) * SPS))
+                seg = tr.data.astype(np.float32)
+                i1 = min(i0 + len(seg), n_day)
+                if i0 < n_day:
+                    data[i0:i1] += seg[: i1 - i0]
+            Trace(
+                np.round(data * 1000.0).astype(np.int32),
+                {"station": name, "network": "RG", "channel": f"HH{comp}",
+                 "sampling_rate": float(SPS), "starttime": day_start},
+            ).write(str(day_dir / f"{name}_{comp}.m"), format="MSEED")
+    print(f"archive written in {time.time() - t0:.1f} s")
+    return [(t, c) for t, c, _ in events]
+
+
+def main():
+    from quakemigrate_tpu import QuakeScan, Trigger
+    from quakemigrate_tpu.io import Archive
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+
+    rng = np.random.default_rng(7)
+    global SCAN_END
+    hours = float(os.environ.get("QM_REGIONAL_E2E_HOURS", 0) or 0)
+    if hours > 0:
+        end_s = 300 + int(hours * 3600)
+        SCAN_END = f"{DAY}T{end_s // 3600:02d}:{end_s % 3600 // 60:02d}:00.0"
+
+    lut, stations = build_lut()
+    day_dir = WORLD / "mSEED" / "2015" / JULDAY
+    if (
+        os.environ.get("QM_REGIONAL_E2E_REUSE") == "1"
+        and len(list(day_dir.glob("*.m"))) == 3 * N_STATIONS
+    ):
+        shutil.rmtree(WORLD / "runs", ignore_errors=True)
+        planted = [(None, None)] * 24
+    else:
+        planted = build_archive(lut, stations, rng)
+
+    archive = Archive(
+        archive_path=WORLD / "mSEED", stations=stations,
+        archive_format="YEAR/JD/STATION",
+    )
+    onset = STALTAOnset(position="classic", sampling_rate=SPS)
+    onset.phases = ["P", "S"]
+    onset.bandpass_filters = {"P": [1, 10, 2], "S": [1, 10, 2]}
+    onset.sta_lta_windows = {"P": [0.4, 4.0], "S": [0.6, 4.0]}
+    scan = QuakeScan(
+        archive, lut, onset=onset, run_path=str(WORLD / "runs"),
+        run_name="regional", marginal_window=2.0, timestep=TIMESTEP,
+        kernel="auto",
+    )
+
+    t0 = time.perf_counter()
+    scan.detect(SCAN_START, SCAN_END)
+    wall = time.perf_counter() - t0
+
+    kernel = scan._mxu if scan._mxu not in (None, False) else None
+    kernel_desc = (
+        f"pallas_mxu tile={kernel.plan.tile} sblk={kernel.sblk} "
+        f"{kernel.precision}"
+        if kernel is not None else "xla"
+    )
+
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    scanned_s = float(UTCDateTime(SCAN_END) - UTCDateTime(SCAN_START))
+    n_windows = int(np.ceil(scanned_s / TIMESTEP))
+
+    trig = Trigger(
+        lut, run_path=str(WORLD / "runs"), run_name="regional",
+        marginal_window=2.0, min_event_interval=10.0,
+        normalise_coalescence=True, threshold_method="static",
+        static_threshold=1.5, plot_trigger_summary=False,
+    )
+    trig.trigger(SCAN_START, SCAN_END)
+    found = None
+    for f in (WORLD / "runs" / "regional" / "trigger" / "events").glob(
+        "*.csv"
+    ):
+        found = len(pd.read_csv(f))
+    record = {
+        "hours": round(scanned_s / 3600.0, 2),
+        "timestep_s": TIMESTEP,
+        "sps": SPS,
+        "n_windows": n_windows,
+        "n_stations": N_STATIONS,
+        "n_nodes": int(np.prod(lut.node_count)),
+        "kernel": kernel_desc,
+        "wall_seconds": round(wall, 1),
+        "ms_per_window": round(wall / n_windows * 1e3, 1),
+        "realtime_factor": round(scanned_s / wall, 1),
+        "events_planted": len(planted),
+        "events_triggered": found,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    if hours <= 0:
+        (ROOT / "REGIONAL_E2E.json").write_text(json.dumps(record, indent=1))
+    print(json.dumps(record, indent=1))
+
+
+if __name__ == "__main__":
+    main()
