@@ -334,3 +334,53 @@ def test_mxu_i8_and_bf16_encodings_compile_and_agree(workload):
         np.abs(outs["bf16hl"][0]), 1e-30
     )
     assert rel.max() < 5e-5
+
+
+def test_kurtosis_fused_mxu_compiles_and_matches(workload):
+    """The kurtosis-onset fused window with the MXU migration compiles
+    with Mosaic on the chip and matches its XLA twin (the STALTA fused
+    path is covered by the scan-level test; this pins the other onset
+    family's device program)."""
+
+    import jax.numpy as jnp
+
+    from quakemigrate_tpu.ops.pallas_migrate import PallasDetectMXU
+    from quakemigrate_tpu.ops.scan_window import (
+        detect_window_fused_kurtosis,
+        detect_window_fused_kurtosis_mxu,
+    )
+
+    dims, tt, n_onsets, fsmp, _ = workload
+    nsamples = 625
+    rng = np.random.default_rng(5)
+    t_samples = fsmp + nsamples + int(tt.max()) + 8
+    c_max = 3
+    channels = rng.gamma(
+        2.0, 1.5, size=(n_onsets, c_max, t_samples)
+    ).astype(np.float32)
+    chan_mask = np.ones((n_onsets, c_max), dtype=np.float32)
+    chan_mask[1, 2] = 0.0
+    slot_mask = np.ones(n_onsets, dtype=np.float32)
+    nkurt = np.full(n_onsets, 50, dtype=np.int32)
+    nsmooth, taper_pad, min_onset = 25, 40, 0.4
+
+    kernel = PallasDetectMXU(tt, dims, fsmp, nsamples, tile=512,
+                             brick_shape=(8, 8, 8))
+    p = kernel.plan
+
+    ref = [np.asarray(v) for v in detect_window_fused_kurtosis(
+        channels, chan_mask, slot_mask, jnp.asarray(nkurt), tt,
+        nsmooth, taper_pad, min_onset, fsmp, nsamples,
+        n_nodes_real=int(np.prod(dims)),
+    )]
+    got = [np.asarray(v) for v in detect_window_fused_kurtosis_mxu(
+        channels, chan_mask, slot_mask, jnp.asarray(nkurt),
+        kernel.fine_t, p.base, p.valid, p.perm,
+        nsmooth, taper_pad, min_onset, fsmp, nsamples,
+        kernel.plan.tile, kernel.r_spans, int(np.prod(dims)),
+        sblk=kernel.sblk,
+    )]
+
+    rel = np.abs(got[0] - ref[0]) / np.maximum(np.abs(ref[0]), 1e-30)
+    assert rel.max() < 5e-4, f"max rel err {rel.max():.3e}"
+    assert (got[2] == ref[2]).mean() > 0.99
