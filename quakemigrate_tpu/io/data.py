@@ -77,8 +77,8 @@ class Archive:
 
         removal = kwargs.get("response_removal_params", {})
         if self.response_inv and "water_level" not in removal:
-            print(
-                "Warning: 'water level' for instrument correction not "
+            logging.warning(
+                "'water level' for instrument correction not "
                 "specified. Set to default: 60"
             )
         self.water_level = removal.get("water_level", 60.0)
@@ -151,10 +151,14 @@ class Archive:
             try:
                 gathered += read(str(path), starttime=read_start,
                                  endtime=read_end, nearest_sample=True)
-            except (TypeError, OSError):
+            except (TypeError, OSError, ValueError, NotImplementedError,
+                    StopIteration):
                 # TypeError: not a recognised waveform format; OSError
                 # covers directories matched by the archive glob and
-                # permission/IO failures -- skip, don't kill the scan
+                # permission/IO failures; ValueError/NotImplementedError/
+                # StopIteration: corrupt or unsupported-subformat files
+                # (e.g. GSE2 checksum mismatches, truncated headers) --
+                # skip, don't kill the scan
                 logging.info(f"File not readable as waveform data - {path}")
 
         gathered = util.merge_stream(gathered)
@@ -165,7 +169,9 @@ class Archive:
             wanted = Stream()
             for station in self.stations:
                 wanted += usable.select(station=station)
-            usable = wanted.copy()
+            # shift_to_sample already returned private copies; select()
+            # only re-groups those traces, so no further copy is needed.
+            usable = wanted
 
         if pre_pad or post_pad:
             trimmed = Stream()
@@ -281,10 +287,13 @@ class WaveformData:
         if any(len(tr.data) and tr.data.max() == tr.data.min() for tr in channel):
             return False
 
-        # Overlaps always disqualify; gaps only when not allowed.
-        if channel.get_gaps(max_gap=-0.000001):
+        # Overlaps always disqualify; gaps only when not allowed. One
+        # get_gaps() pass serves both checks (delta is row[6]; negative
+        # marks an overlap).
+        gap_rows = channel.get_gaps()
+        if any(row[6] <= -0.000001 for row in gap_rows):
             return False
-        if not criteria.get("allow_gaps", False) and channel.get_gaps():
+        if not criteria.get("allow_gaps", False) and gap_rows:
             return False
 
         if criteria.get("check_sampling_rate", False):
@@ -334,8 +343,8 @@ class WaveformData:
         except Exception as err:
             raise util.ResponseNotFoundError(str(err), tr.id)
 
-        paz = paz_for_output(response, "VEL" if velocity else "DISP")
         try:
+            paz = paz_for_output(response, "VEL" if velocity else "DISP")
             tr.simulate(
                 paz_remove=paz,
                 pre_filt=self.pre_filt,

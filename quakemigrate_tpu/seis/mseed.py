@@ -164,6 +164,15 @@ def _decode_record(buf, offset, hdr):
         )
     if enc in _ENCODING_DTYPES:
         code, size = _ENCODING_DTYPES[enc]
+        if npts * size > len(payload):
+            # Claimed sample count exceeds the record's payload: corrupt
+            # header. Skip the record (the indexed fast path defers
+            # exactly this class of file to this walk on that promise).
+            logging.info(
+                "Skipping corrupt miniSEED record: claimed npts %d "
+                "exceeds payload capacity %d", npts, len(payload) // size,
+            )
+            return None
         endian = ">" if hdr["word_order"] == 1 else "<"
         return np.frombuffer(payload[: npts * size], dtype=endian + code).copy()
     if enc == 0:  # ASCII log record -- skip
@@ -199,8 +208,13 @@ def _store_index(path, stat_key, offsets, starts, ends, halves):
     OPEN handle before the content was read -- stat-ing the path again
     here would let a concurrent append make a stale index look fresh."""
 
-    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
-        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        try:
+            # Guarded like _file_index's pop: a concurrent reader thread
+            # may have evicted the same oldest entry already.
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)), None)
+        except StopIteration:  # emptied concurrently
+            break
     _INDEX_CACHE[str(path)] = (
         stat_key,
         (
@@ -346,7 +360,7 @@ def _uniform_read(buf, path, hdr0, offsets, start_ns, npts, enc, ids,
     if end_q is not None:
         sel &= start_ns <= end_q + half_ns
 
-    tol = round(0.5 / sr * _NS)
+    tol = half_ns  # same half-sample slack as the window selection
     segments = {}
     for c in range(len(ids)):
         idx = np.flatnonzero(sel & (id_inverse == c))
@@ -649,9 +663,21 @@ def _segments_to_stream(segments, starttime, endtime, nearest_sample):
 
 
 def _sr_factor_mult(sr):
+    if sr <= 0:
+        raise MSEEDError(f"Cannot encode sampling rate {sr} in SEED header.")
     if sr >= 1:
         if abs(sr - round(sr)) < 1e-9:
-            return int(round(sr)), 1
+            sr_int = int(round(sr))
+            if sr_int <= 32767:
+                return sr_int, 1
+            # Rates beyond the signed-short field encode as
+            # factor * multiplier (e.g. 40 kHz = 200 * 200).
+            for mult in range(2, 32768):
+                if sr_int % mult == 0 and sr_int // mult <= 32767:
+                    return sr_int // mult, mult
+            raise MSEEDError(
+                f"Cannot encode sampling rate {sr} in SEED header."
+            )
         # Try rational representation sr = factor / -mult
         for mult in range(2, 1000):
             if abs(sr * mult - round(sr * mult)) < 1e-9:
@@ -718,7 +744,11 @@ def write_mseed(stream, path, encoding=None, reclen=512):
     names = {"STEIM1": 10, "STEIM2": 11, "INT16": 1, "INT32": 3,
              "FLOAT32": 4, "FLOAT64": 5}
     if isinstance(encoding, str):
+        if encoding.upper() not in names:
+            raise MSEEDError(f"Unsupported miniSEED encoding: {encoding}")
         encoding = names[encoding.upper()]
+    elif encoding is not None and encoding not in names.values():
+        raise MSEEDError(f"Unsupported miniSEED encoding code: {encoding}")
 
     reclen_power = int(np.log2(reclen))
     if 2**reclen_power != reclen:
@@ -758,6 +788,10 @@ def write_mseed(stream, path, encoding=None, reclen=512):
             data = data.astype(">" + code)
 
         sr = tr.stats.sampling_rate
+        if sr <= 0:
+            raise MSEEDError(
+                f"Cannot encode sampling rate {sr} in SEED header."
+            )
         if enc in (10, 11) and len(data):
             # All records' frames in ONE native call: the per-record
             # Python/ctypes loop previously dominated day-file writes.

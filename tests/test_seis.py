@@ -926,3 +926,71 @@ def test_uniform_fast_walk_declines_npts_overflow(tmp_path):
     for a, b in zip(fast, general):
         assert a.stats.starttime == b.stats.starttime
         np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_mseed_high_sampling_rate_roundtrip(tmp_path):
+    """Rates beyond the signed-short header field encode as a
+    factor x multiplier pair (e.g. 40 kHz = 200 * 200) instead of
+    crashing struct.pack (review finding)."""
+
+    from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime, read
+
+    tr = Trace(
+        np.arange(2000, dtype=np.int32),
+        {"station": "HSR", "network": "XX", "channel": "GPZ",
+         "sampling_rate": 40000.0,
+         "starttime": UTCDateTime("2020-01-01T00:00:00")},
+    )
+    path = tmp_path / "hsr.m"
+    Stream([tr]).write(str(path), format="MSEED")
+    back = read(str(path))[0]
+    assert back.stats.sampling_rate == 40000.0
+    np.testing.assert_array_equal(back.data, tr.data)
+
+
+def test_mseed_write_rejects_unknown_encoding_and_zero_rate(tmp_path):
+    from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime
+    from quakemigrate_tpu.seis.mseed import MSEEDError, write_mseed
+
+    tr = Trace(
+        np.arange(10, dtype=np.int32),
+        {"station": "BAD", "network": "XX", "channel": "HHZ",
+         "sampling_rate": 50.0,
+         "starttime": UTCDateTime("2020-01-01T00:00:00")},
+    )
+    with pytest.raises(MSEEDError, match="encoding"):
+        write_mseed(Stream([tr]), str(tmp_path / "a.m"), encoding=2)
+    with pytest.raises(MSEEDError, match="encoding"):
+        write_mseed(Stream([tr]), str(tmp_path / "b.m"), encoding="INT24")
+    tr.stats.sampling_rate = 0.0
+    with pytest.raises(MSEEDError, match="sampling rate"):
+        write_mseed(Stream([tr]), str(tmp_path / "c.m"))
+
+
+def test_mseed_general_walk_skips_overclaimed_npts(tmp_path):
+    """A non-STEIM record whose claimed npts exceeds the payload
+    capacity is logged and skipped by the general walk, not silently
+    truncated (review finding)."""
+
+    import struct
+
+    from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime, read
+
+    tr = Trace(
+        np.arange(100, dtype=np.int32),
+        {"station": "CRP", "network": "XX", "channel": "HHZ",
+         "sampling_rate": 50.0,
+         "starttime": UTCDateTime("2020-01-01T00:00:00")},
+    )
+    path = tmp_path / "crp.m"
+    Stream([tr]).write(str(path), format="MSEED", encoding="INT32")
+    raw = bytearray(path.read_bytes())
+    # Inflate the first record's sample count past its payload capacity.
+    struct.pack_into(">H", raw, 30, 5000)
+    path.write_bytes(bytes(raw))
+
+    st = read(str(path))
+    # The corrupt record is dropped; any remaining records (here: none,
+    # 100 samples fit one record) yield an empty stream rather than a
+    # silently truncated trace.
+    assert sum(t.stats.npts for t in st) == 0
