@@ -168,6 +168,11 @@ class QuakeScan:
         for option, default in self._OPTION_DEFAULTS.items():
             setattr(self, option, kwargs.get(option, default))
         self.detect_batch = max(1, int(self.detect_batch))
+        if self.kernel not in ("auto", "mxu", "xla"):
+            raise ValueError(
+                f"kernel must be 'auto', 'mxu' or 'xla', got "
+                f"{self.kernel!r}"
+            )
         if self.mxu_encoding not in ("i8x3", "bf16hl"):
             raise ValueError(
                 f"mxu_encoding must be 'i8x3' or 'bf16hl', got "
@@ -525,7 +530,9 @@ class QuakeScan:
         self.run.logger(self.log)
 
         starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
-        if starttime > endtime:
+        if starttime >= endtime:
+            # equal times would yield a zero-step scan and an empty
+            # scanmseed write -- reject up front like a reversed span
             raise util.TimeSpanException
         if endtime.time == time(0, 0):
             endtime = endtime - 1 / self.scan_rate
@@ -648,14 +655,14 @@ class QuakeScan:
         self.run.stage = "locate"
         self.run.logger(self.log)
 
-        if not (starttime is None and endtime is None):
-            starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
-            if starttime > endtime:
-                raise util.TimeSpanException
         if trigger_file is None and starttime is None and endtime is None:
             raise RuntimeError("Must supply an input argument.")
         if (starttime is None) ^ (endtime is None):
             raise RuntimeError("Must supply a starttime AND an endtime.")
+        if starttime is not None:
+            starttime, endtime = UTCDateTime(starttime), UTCDateTime(endtime)
+            if starttime > endtime:
+                raise util.TimeSpanException
 
         if trigger_file is not None:
             span = f"\n\tLocating events in {trigger_file}"
@@ -823,9 +830,11 @@ class QuakeScan:
                 results = self._run_detect_batch(prepared)
                 for r in results.values():
                     # Start the device->host copy now; the drain then
-                    # finds (some of) the data already local
-                    if hasattr(r, "copy_to_host_async"):
-                        r.copy_to_host_async()
+                    # finds (some of) the data already local. The batched
+                    # path hands back a tuple of three arrays per window.
+                    for part in (r if isinstance(r, tuple) else (r,)):
+                        if hasattr(part, "copy_to_host_async"):
+                            part.copy_to_host_async()
                 submit_drain(prepared, results)
             # Backpressure: keep at most two batches in the drain pipe so
             # device-queue depth and host buffering stay bounded (and any
@@ -1073,9 +1082,14 @@ class QuakeScan:
             kind = sample["fused_kind"]
 
             if (self.mesh is not None
-                    and self._sharded_fused_key != (kind, fsmp, nsamples)):
+                    and self._sharded_fused_key
+                    != (kind, fsmp, nsamples, self.mxu_encoding,
+                        self.kernel, self.tile)):
                 self._build_sharded_detect_fused(kind, fsmp, nsamples)
-                self._sharded_fused_key = (kind, fsmp, nsamples)
+                self._sharded_fused_key = (
+                    kind, fsmp, nsamples, self.mxu_encoding, self.kernel,
+                    self.tile,
+                )
 
             results = {}
             with jax.profiler.TraceAnnotation("qm_detect_fused"):
@@ -1186,9 +1200,11 @@ class QuakeScan:
     @util.timeit("info")
     def _compute(self, data, event=None):
         """
-        One scan-window migration. For detect, returns the fused reduction
-        outputs (the map never materialises); for locate, also returns the
-        map reshaped to (nx, ny, nz, nsamples).
+        One locate-window migration: the per-sample reduction outputs plus
+        (only when something on the host consumes it) the 4-D map reshaped
+        to (nx, ny, nz, nsamples). Detect windows do NOT come through
+        here -- they flow through _prepare_window/_run_detect_batch so the
+        input pipeline and drain can overlap the device work.
 
         """
 
@@ -1205,75 +1221,60 @@ class QuakeScan:
         lsmp = util.time2sample(self.post_pad, onset_data.sampling_rate)
         nsamples = onset_block.shape[-1] - fsmp - lsmp
 
-        if self.run.stage == "detect":
+        map_bytes = (
+            self._n_nodes * nsamples * np.dtype(self._dtype).itemsize
+        )
+        # The full 4-D map is materialised on device AND fetched to
+        # host only when the user asked to save it: everything else
+        # locate needs (argmax traces + the marginalised 3-D map)
+        # comes from the two-pass on-device path, which fetches
+        # O(n_nodes) bytes instead of O(n_nodes x nsamples) -- at
+        # regional grids the map4d fetch alone can dominate the
+        # whole locate (hundreds of MB per event over the host
+        # link; measured 461 s for 518 MB through the dev relay).
+        retain_map = (
+            (self.write_coalescence or self.plot_event_video)
+            and map_bytes <= self.locate_map_memory_limit
+        )
+        if retain_map:
+            with jax.profiler.TraceAnnotation("qm_migrate_map"):
+                map4d_flat = migrate_map(
+                    onset_block, self._device_tt[: self._n_nodes], mask,
+                    available, fsmp, nsamples, tile=self.tile,
+                )
+                max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
+            map4d = np.asarray(map4d_flat).reshape(
+                tuple(self.lut.node_count) + (nsamples,)
+            )
+        else:
+            if self.write_coalescence or self.plot_event_video:
+                logging.info(
+                    f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > "
+                    "locate_map_memory_limit; using two-pass map-free "
+                    "locate (no full map / event video will be "
+                    "written)."
+                )
             with jax.profiler.TraceAnnotation("qm_migrate_detect"):
+                # Same kernel routing as detect (Pallas MXU on TPU
+                # when the plan fits VMEM, XLA otherwise).
                 max_coa, max_coa_n, max_idx = self._run_detect_kernel(
                     onset_block, mask, available, fsmp, nsamples
                 )
-            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
-            t0 = data.starttime + self.pre_pad
-            return (
-                t0,
-                np.asarray(max_coa, dtype=np.float64),
-                np.asarray(max_coa_n, dtype=np.float64),
-                coord,
-                onset_data,
+            map4d = None
+            # Stash inputs for the second (marginalisation) pass
+            event._marginalise_inputs = (
+                onset_block, mask, available, fsmp, nsamples,
             )
-        else:
-            map_bytes = (
-                self._n_nodes * nsamples * np.dtype(self._dtype).itemsize
-            )
-            # The full 4-D map is materialised on device AND fetched to
-            # host only when the user asked to save it: everything else
-            # locate needs (argmax traces + the marginalised 3-D map)
-            # comes from the two-pass on-device path, which fetches
-            # O(n_nodes) bytes instead of O(n_nodes x nsamples) -- at
-            # regional grids the map4d fetch alone can dominate the
-            # whole locate (hundreds of MB per event over the host
-            # link; measured 461 s for 518 MB through the dev relay).
-            retain_map = (
-                (self.write_coalescence or self.plot_event_video)
-                and map_bytes <= self.locate_map_memory_limit
-            )
-            if retain_map:
-                with jax.profiler.TraceAnnotation("qm_migrate_map"):
-                    map4d_flat = migrate_map(
-                        onset_block, self._device_tt[: self._n_nodes], mask,
-                        available, fsmp, nsamples, tile=self.tile,
-                    )
-                    max_coa, max_coa_n, max_idx = find_max_coa(map4d_flat)
-                map4d = np.asarray(map4d_flat).reshape(
-                    tuple(self.lut.node_count) + (nsamples,)
-                )
-            else:
-                if self.write_coalescence or self.plot_event_video:
-                    logging.info(
-                        f"\t\tmap4d would need {map_bytes / 1e9:.1f} GB > "
-                        "locate_map_memory_limit; using two-pass map-free "
-                        "locate (no full map / event video will be "
-                        "written)."
-                    )
-                with jax.profiler.TraceAnnotation("qm_migrate_detect"):
-                    # Same kernel routing as detect (Pallas MXU on TPU
-                    # when the plan fits VMEM, XLA otherwise).
-                    max_coa, max_coa_n, max_idx = self._run_detect_kernel(
-                        onset_block, mask, available, fsmp, nsamples
-                    )
-                map4d = None
-                # Stash inputs for the second (marginalisation) pass
-                event._marginalise_inputs = (
-                    onset_block, mask, available, fsmp, nsamples,
-                )
-            coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
-            times = event.mw_times(self.scan_rate, count=nsamples)
-            return (
-                times,
-                np.asarray(max_coa, dtype=np.float64),
-                np.asarray(max_coa_n, dtype=np.float64),
-                coord,
-                map4d,
-                onset_data,
-            )
+        coord = self.lut.index2coord(np.asarray(max_idx), unravel=True)
+        times = event.mw_times(self.scan_rate, count=nsamples)
+        return (
+            times,
+            np.asarray(max_coa, dtype=np.float64),
+            np.asarray(max_coa_n, dtype=np.float64),
+            coord,
+            map4d,
+            onset_data,
+        )
 
     def _run_detect_kernel(self, onset_block, mask, available, fsmp, nsamples):
         if self._mxu_active:
@@ -1287,13 +1288,13 @@ class QuakeScan:
             )
         # Keyed on the scan geometry: detect and (two-pass) locate share
         # this cache but run different window lengths.
-        if self._sharded_detect_key != (fsmp, nsamples):
+        if self._sharded_detect_key != (fsmp, nsamples, self.tile):
             from quakemigrate_tpu.parallel import make_sharded_detect
 
             self._sharded_detect = make_sharded_detect(
                 self.mesh, fsmp, nsamples, self._n_nodes, tile=self.tile
             )
-            self._sharded_detect_key = (fsmp, nsamples)
+            self._sharded_detect_key = (fsmp, nsamples, self.tile)
         return self._sharded_detect(onset_block, self._device_tt, mask,
                                     available)
 
@@ -1529,11 +1530,8 @@ class QuakeScan:
         if shp is None:
             shp = map3d.shape
 
-        sigmas = np.broadcast_to(np.asarray(sgm, dtype=float), (3,))
         kernels = []
-        for n, s in zip(shp, sigmas):
-            ax = np.linspace(-(n - 1) / 2, (n - 1) / 2, n)
-            profile = np.exp(-(ax * ax) / (2.0 * s * s))
+        for n, profile in zip(shp, util.gaussian_profiles(shp, sgm)):
             c2 = n - 1  # 2 * (fractional centre index)
             lo = max(0, -(-(c2 - 2 * _radius) // 2))
             hi = min(n, (c2 + 2 * _radius) // 2 + 1)

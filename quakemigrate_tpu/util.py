@@ -66,6 +66,20 @@ def gaussian_1d(x, a, b, c):
     return a * np.exp(-0.5 * z * z)
 
 
+def gaussian_profiles(shape, sgm):
+    """Per-axis centred Gaussian profiles for a separable kernel on a
+    grid of ``shape``, with per-axis (or scalar) sigma."""
+
+    sigmas = np.broadcast_to(
+        np.asarray(sgm, dtype=float), (len(shape),)
+    )
+    profiles = []
+    for n, s in zip(shape, sigmas):
+        ax = np.linspace(-(n - 1) / 2, (n - 1) / 2, n)
+        profiles.append(np.exp(-(ax * ax) / (2.0 * s * s)))
+    return profiles
+
+
 def gaussian_3d(nx, ny, nz, sgm):
     """
     Separable 3-D Gaussian kernel on an ``(nx, ny, nz)`` grid, centred, with
@@ -74,11 +88,7 @@ def gaussian_3d(nx, ny, nz, sgm):
 
     """
 
-    sigmas = np.broadcast_to(np.asarray(sgm, dtype=float), (3,))
-    profiles = []
-    for n, s in zip((nx, ny, nz), sigmas):
-        ax = np.linspace(-(n - 1) / 2, (n - 1) / 2, n)
-        profiles.append(np.exp(-(ax * ax) / (2.0 * s * s)))
+    profiles = gaussian_profiles((nx, ny, nz), sgm)
     gx, gy, gz = profiles
     return gx[:, None, None] * gy[None, :, None] * gz[None, None, :]
 
@@ -148,15 +158,16 @@ def enable_compilation_cache(cache_dir=None):
         return None
     import jax
 
-    configured = jax.config.jax_compilation_cache_dir
-    if configured and cache_dir is None:
-        return configured
-    if cache_dir is None:
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
-            pathlib.Path.home() / ".cache" / "quakemigrate_tpu" / "jax_cache"
-        )
-    cache_dir = str(cache_dir)
     try:
+        configured = jax.config.jax_compilation_cache_dir
+        if configured and cache_dir is None:
+            return configured
+        if cache_dir is None:
+            cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
+                pathlib.Path.home() / ".cache" / "quakemigrate_tpu"
+                / "jax_cache"
+            )
+        cache_dir = str(cache_dir)
         pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Persist anything that took real compile time; tiny programs

@@ -841,3 +841,32 @@ def test_gaufilt3d_matches_reference_double_fftconvolve():
 
         got = scan._gaufilt3d(m.copy())
         assert np.abs(got - ref).max() < 1e-12
+
+
+def test_scan_option_and_span_validation(tmp_path):
+    """kernel typos raise (they previously fell back to XLA silently);
+    one-sided locate spans raise the documented RuntimeError (not a
+    UTCDateTime TypeError); zero-length detect spans raise TimeSpanException
+    up front (not an IndexError at the empty scanmseed write)."""
+
+    from types import SimpleNamespace
+
+    import pytest
+
+    import quakemigrate_tpu.util as util
+    from quakemigrate_tpu.signal.onsets import STALTAOnset
+    from quakemigrate_tpu.signal.scan import QuakeScan
+
+    onset = STALTAOnset(phases=["P"], sampling_rate=50)
+    lut = SimpleNamespace(max_traveltime=1.0)
+    with pytest.raises(ValueError, match="kernel"):
+        QuakeScan("arc", lut, onset=onset, run_path=tmp_path,
+                  run_name="t", kernel="MXU")
+
+    onset = STALTAOnset(phases=["P"], sampling_rate=50)
+    scan = QuakeScan("arc", lut, onset=onset, run_path=tmp_path,
+                     run_name="t")
+    with pytest.raises(RuntimeError, match="AND an endtime"):
+        scan.locate(starttime="2021-01-01T00:00:00")
+    with pytest.raises(util.TimeSpanException):
+        scan.detect("2021-01-01T06:00:00", "2021-01-01T06:00:00")
