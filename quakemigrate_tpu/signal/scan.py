@@ -1482,25 +1482,27 @@ class QuakeScan:
             peak = np.unravel_index(np.nanargmax(coa_map), coa_map.shape)
             keep &= self._mask3d(coa_map.shape, peak, win)
 
-        weights = np.where(keep.ravel(), coa_map.ravel(), np.nan)
-        total = np.nansum(weights)
+        # Only the (typically few) above-threshold nodes enter the moment
+        # sums, so index them out instead of sweeping full-grid lattices --
+        # NaN map values never pass the > comparison, matching the old
+        # nansum-over-masked-grid formulation exactly.
+        kept_idx = np.nonzero(keep)
+        weights = coa_map[kept_idx].astype(np.float64)
+        total = weights.sum()
 
-        lattice = np.meshgrid(
-            *[np.arange(n) for n in self.lut.node_count], indexing="ij"
-        )
         positions = [
-            g.ravel() * spacing
-            for g, spacing in zip(lattice, self.lut.node_spacing)
+            idx * spacing
+            for idx, spacing in zip(kept_idx, self.lut.node_spacing)
         ]
 
-        mean = [np.nansum(weights * axis) / total for axis in positions]
+        mean = [np.sum(weights * axis) / total for axis in positions]
         deviations = [axis - m for axis, m in zip(positions, mean)]
 
         covariance = np.empty((3, 3))
         for r in range(3):
             for c in range(r, 3):
                 covariance[r, c] = covariance[c, r] = (
-                    np.nansum(weights * deviations[r] * deviations[c]) / total
+                    np.sum(weights * deviations[r] * deviations[c]) / total
                 )
 
         location_xyz = self.lut.ll_corner + np.array(mean)

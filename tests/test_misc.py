@@ -843,6 +843,55 @@ def test_gaufilt3d_matches_reference_double_fftconvolve():
         assert np.abs(got - ref).max() < 1e-12
 
 
+def test_covfit3d_matches_full_grid_formulation():
+    """The indexed covariance fit matches the full-grid nansum-over-masked-
+    lattice formulation (the pre-optimisation form, itself mirroring ref
+    scan.py's weighted-moment fit) on random maps with NaN holes."""
+
+    import numpy as np
+    from types import SimpleNamespace
+
+    from quakemigrate_tpu.signal.scan import QuakeScan
+
+    rng = np.random.default_rng(7)
+    shape = (14, 11, 9)
+    spacing = np.array([0.5, 0.4, 0.25])
+    scan = QuakeScan.__new__(QuakeScan)
+    scan.lut = SimpleNamespace(
+        node_count=np.array(shape),
+        node_spacing=spacing,
+        ll_corner=np.array([3.0, -2.0, 1.0]),
+        coord2grid=lambda xyz, inverse=False: np.atleast_2d(xyz),
+    )
+
+    def oracle(coa_map, thresh):
+        keep = coa_map > thresh
+        weights = np.where(keep.ravel(), coa_map.ravel(), np.nan)
+        total = np.nansum(weights)
+        lattice = np.meshgrid(*[np.arange(n) for n in shape], indexing="ij")
+        positions = [g.ravel() * s for g, s in zip(lattice, spacing)]
+        mean = [np.nansum(weights * axis) / total for axis in positions]
+        deviations = [axis - m for axis, m in zip(positions, mean)]
+        cov = np.empty((3, 3))
+        for r in range(3):
+            for c in range(r, 3):
+                cov[r, c] = cov[c, r] = (
+                    np.nansum(weights * deviations[r] * deviations[c]) / total
+                )
+        loc = scan.lut.ll_corner + np.array(mean)
+        return loc, np.diag(np.sqrt(abs(cov)))
+
+    for thresh in (0.9, 0.5):
+        m = rng.random(shape)
+        m[rng.random(shape) < 0.1] = np.nan  # NaN holes never pass >thresh
+        m[7, 5, 4] = 1.0
+        want_loc, want_err = oracle(m, thresh)
+        got_loc, got_err = scan._covfit3d(m.copy(), thresh=thresh)
+        np.testing.assert_allclose(np.asarray(got_loc).ravel(), want_loc,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(got_err, want_err, rtol=1e-12)
+
+
 def test_scan_option_and_span_validation(tmp_path):
     """kernel typos raise (they previously fell back to XLA silently);
     one-sided locate spans raise the documented RuntimeError (not a
