@@ -88,32 +88,36 @@ def pack_detect_window(max_coa, max_norm_coa, max_idx):
     """
     Pack a detect window's three per-sample outputs into ONE [3, S] array
     so the host pays a single fetch round-trip per window instead of
-    three (each fetch costs a full RTT on remote-device relays). The
-    indices are bitcast into SAME-WIDTH float bits: a value cast would
-    corrupt indices above 2^24, and a float-width *conversion* of the
-    bitcast result flushes subnormal bit patterns (all indices < 2^23)
-    to zero -- the bits must only ever be copied, never converted.
+    three (each fetch costs a full RTT on remote-device relays).
+
+    The packed array is INTEGER-typed: the coalescence floats are bitcast
+    into same-width int bits. The (tempting) inverse -- bitcasting the
+    indices into float bits -- corrupts data on TPU: every node index
+    below 2^23 is a float32 *subnormal* bit pattern, and the TPU flushes
+    subnormals to zero in any vector op that moves the packed array, so
+    every argmax silently became node 0 (found as grid-corner X/Y/Z in a
+    whole day's scanmseed). Integer lanes are never flushed or
+    NaN-canonicalised, so float-bits-in-int is the safe direction.
 
     """
 
     if max_coa.dtype == jnp.float64:
-        idx_f = jax.lax.bitcast_convert_type(
-            max_idx.astype(jnp.int64), jnp.float64
-        )
+        int_dtype = jnp.int64
     else:
-        idx_f = jax.lax.bitcast_convert_type(
-            max_idx.astype(jnp.int32), jnp.float32
-        )
-    return jnp.stack([max_coa, max_norm_coa, idx_f])
+        int_dtype = jnp.int32
+    coa_bits = jax.lax.bitcast_convert_type(max_coa, int_dtype)
+    norm_bits = jax.lax.bitcast_convert_type(max_norm_coa, int_dtype)
+    return jnp.stack([coa_bits, norm_bits, max_idx.astype(int_dtype)])
 
 
 def unpack_detect_window(packed):
     """Host-side inverse of :func:`pack_detect_window` (numpy in)."""
 
     packed = np.asarray(packed)
-    int_dtype = np.int64 if packed.dtype == np.float64 else np.int32
-    max_idx = np.ascontiguousarray(packed[2]).view(int_dtype)
-    return packed[0], packed[1], max_idx.astype(np.int32, copy=False)
+    float_dtype = np.float64 if packed.dtype == np.int64 else np.float32
+    max_coa = np.ascontiguousarray(packed[0]).view(float_dtype)
+    max_norm = np.ascontiguousarray(packed[1]).view(float_dtype)
+    return max_coa, max_norm, packed[2].astype(np.int32, copy=False)
 
 
 def fused_onsets(

@@ -105,6 +105,49 @@ def test_mxu_sample_blocked_long_window(workload):
     _assert_parity(got, ref)
 
 
+def test_packed_window_fetch_preserves_argmax(workload):
+    """
+    Regression (round 4): the single-fetch packed detect window must
+    carry node indices through the TPU unscathed. The original packing
+    bitcast indices into float32 bits; every index < 2^23 is a float32
+    SUBNORMAL bit pattern, and the chip flushes subnormals to zero in
+    vector ops -- a whole day's scanmseed recorded X/Y/Z = grid corner
+    (node 0) while all CPU tests passed. The packed array is now
+    integer-typed (floats ride as bitcast int lanes); this asserts the
+    full device pack -> relay fetch -> host unpack chain on hardware.
+
+    """
+
+    from quakemigrate_tpu.ops.migrate import migrate_detect
+    from quakemigrate_tpu.ops.scan_window import (
+        pack_detect_window,
+        unpack_detect_window,
+    )
+
+    dims, tt, n_onsets, fsmp, _ = workload
+    rng = np.random.default_rng(11)
+    nsamples = 625
+    t_samples = fsmp + nsamples + int(tt.max()) + 8
+    onsets = rng.gamma(2.0, 1.5, size=(n_onsets, t_samples)).astype(
+        np.float32
+    )
+    mask = np.ones(n_onsets, dtype=np.float32)
+
+    out = migrate_detect(onsets, tt, mask, float(n_onsets), fsmp, nsamples)
+    direct = [np.asarray(v) for v in out]
+    got_coa, got_norm, got_idx = unpack_detect_window(
+        pack_detect_window(*out)
+    )
+
+    assert np.array_equal(got_idx, direct[2].astype(np.int32)), (
+        "node indices corrupted through the packed fetch"
+    )
+    # A realistic window's argmax is never uniformly node 0
+    assert got_idx.max() > 0
+    assert np.array_equal(got_coa, direct[0])
+    assert np.array_equal(got_norm, direct[1])
+
+
 def test_mxu_vmem_boundary_shape(workload):
     """A config sized near the VMEM selection budget compiles (the
     estimate/budget pair stays calibrated against real Mosaic outcomes)."""
