@@ -104,6 +104,12 @@ class QuakeScan:
         "mxu_encoding": "i8x3",
         "detect_batch": 1,
         "locate_map_memory_limit": 4e9,
+        # Post-processing worker threads for locate: location/uncertainty
+        # math, picks, magnitudes and file writes for event i overlap the
+        # device migration of events i+1.. (events are independent -- the
+        # reference notes the per-event loop is embarrassingly parallel,
+        # ref signal/scan.py:496, but runs it serially). 0 = fully serial.
+        "locate_workers": 4,
         "fused_detect": True,
         # Persistent XLA compilation cache: True (default location), a
         # directory path, or False. First detect/locate compiles are
@@ -168,6 +174,7 @@ class QuakeScan:
         for option, default in self._OPTION_DEFAULTS.items():
             setattr(self, option, kwargs.get(option, default))
         self.detect_batch = max(1, int(self.detect_batch))
+        self.locate_workers = max(0, int(self.locate_workers))
         if self.kernel not in ("auto", "mxu", "xla"):
             raise ValueError(
                 f"kernel must be 'auto', 'mxu' or 'xla', got "
@@ -190,6 +197,10 @@ class QuakeScan:
         # (reference: signal/scan.py:1099-1145)
         for legacy in ("time_step", "n_cores", "sampling_rate"):
             setattr(self, legacy, kwargs.get(legacy))
+
+        import threading
+
+        self._plot_lock = threading.Lock()
 
         # Lazily-built device state (per run)
         self._device_tt = None
@@ -898,6 +909,11 @@ class QuakeScan:
                     self._read_event_waveform_data, w_beg, w_end
                 )
 
+        n_workers = max(0, int(self.locate_workers))
+        post = (ThreadPoolExecutor(max_workers=n_workers)
+                if n_workers else None)
+        finishes = []  # submitted-but-unjoined post-processing futures
+
         try:
             submit_read(0)
             for i, event in enumerate(events):
@@ -905,13 +921,37 @@ class QuakeScan:
                 logging.info(util.log_spacer)
                 logging.info(f"\tEVENT - {i + 1} of {total} - {event.uid}")
                 logging.info(util.log_spacer)
-                if self._locate_one(event, pending.pop(i)):
+                ok, coa_handle = self._locate_prepare(event, pending.pop(i))
+                if not ok:
+                    continue
+                if post is None:
+                    self._locate_finish(event, coa_handle)
                     logging.info(util.log_spacer)
+                else:
+                    finishes.append(
+                        post.submit(self._locate_finish, event, coa_handle)
+                    )
+                    # Backpressure: the device dispatch loop must not run
+                    # unboundedly ahead of the post-processing pool (host
+                    # memory holds each in-flight event's waveforms + map).
+                    while len(finishes) > 2 * n_workers:
+                        finishes.pop(0).result()
+            while finishes:
+                finishes.pop(0).result()
         finally:
             reader.shutdown(wait=False, cancel_futures=True)
+            if post is not None:
+                post.shutdown(wait=True, cancel_futures=True)
 
-    def _locate_one(self, event, waveform_read):
-        """Full locate chain for one candidate; False if it was dropped."""
+    def _locate_prepare(self, event, waveform_read):
+        """
+        Device-facing stage of one candidate (runs on the main thread):
+        waveform read, migration, marginal-window gate, trim, and the
+        async dispatch of the marginalisation pass. Returns
+        ``(ok, coa_handle)`` -- ``coa_handle`` is the in-flight device
+        array (two-pass path) or None (map4d retained / dropped event).
+
+        """
 
         try:
             logging.info("\tReading waveform data...")
@@ -924,7 +964,7 @@ class QuakeScan:
             util.DataAvailabilityException,
         ) as e:
             logging.info(e.msg)
-            return False
+            return False, None
 
         if self.write_coalescence:
             if event.map4d is not None:
@@ -937,25 +977,65 @@ class QuakeScan:
                 )
 
         if not event.in_marginal_window():
-            return False
+            return False, None
         event.trim2window()
+        return True, self._dispatch_marginalise(event)
 
-        logging.info("\tDetermining event location and uncertainty...")
-        coa_map = self._calculate_location(event)
+    def _dispatch_marginalise(self, event):
+        """
+        Start the on-device marginalisation for a trimmed two-pass event
+        and its device->host copy; returns the in-flight device array
+        (None on the map4d-retaining path, which marginalises host-side).
+
+        """
+
+        if event.map4d is not None:
+            return None
+
+        from quakemigrate_tpu.ops.migrate import migrate_marginalise
+
+        onset_block, mask, available, fsmp, nsamples = (
+            event._marginalise_inputs
+        )
+        i0, i1 = event.trim_bounds
+        coa_flat = migrate_marginalise(
+            onset_block, self._device_tt[: self._n_nodes], mask,
+            available, fsmp, nsamples, i0, i1 - i0, tile=self.tile,
+        )
+        if hasattr(coa_flat, "copy_to_host_async"):
+            coa_flat.copy_to_host_async()
+        return coa_flat
+
+    def _locate_finish(self, event, coa_handle):
+        """
+        Host post-processing of one migrated candidate: location and
+        uncertainty estimation, picks, magnitudes, output files and
+        figures. Runs on a ``locate_workers`` pool thread (or inline when
+        locate_workers=0); everything here is per-event host math plus
+        the O(n_nodes) fetch of the already-dispatched marginalised map.
+
+        """
+
+        logging.info(f"\t[{event.uid}] Determining event location and "
+                     "uncertainty...")
+        coa_map = self._calculate_location(event, coa_handle)
 
         if self.write_marginal_coalescence:
-            logging.info("\tSaving marginalised coalescence map...")
+            logging.info(f"\t[{event.uid}] Saving marginalised coalescence "
+                         "map...")
             write_coalescence(self.run, coa_map, event, marginalised=True)
 
-        logging.info("\tMaking phase picks...")
+        logging.info(f"\t[{event.uid}] Making phase picks...")
         event, _ = self.picker.pick_phases(event, self.lut, self.run)
 
         if self.mags is not None:
-            logging.info("\tCalculating magnitude...")
+            logging.info(f"\t[{event.uid}] Calculating magnitude...")
             event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
 
         event.write(self.run, self.lut)
-        self._write_event_figures(event, coa_map)
+        # matplotlib is not thread-safe; one event plots at a time.
+        with self._plot_lock:
+            self._write_event_figures(event, coa_map)
         self._write_event_waveforms(event)
         return True
 
@@ -1326,29 +1406,22 @@ class QuakeScan:
     # ------------------------------------------------------------------
 
     @util.timeit("info")
-    def _calculate_location(self, event):
+    def _calculate_location(self, event, coa_handle=None):
         """
         Marginalise the 4-D map over time and compute the three location
         estimates: interpolated spline peak, 3-D Gaussian fit, and global
-        covariance.
+        covariance. ``coa_handle`` is an already-dispatched device
+        marginalisation (from ``_dispatch_marginalise``); without one the
+        two-pass path dispatches it here.
 
         """
 
         if event.map4d is not None:
             coa_map = np.sum(event.map4d, axis=-1)
         else:
-            # Two-pass path: marginalise on device over the trimmed window
-            from quakemigrate_tpu.ops.migrate import migrate_marginalise
-
-            onset_block, mask, available, fsmp, nsamples = (
-                event._marginalise_inputs
-            )
-            i0, i1 = event.trim_bounds
-            coa_flat = migrate_marginalise(
-                onset_block, self._device_tt[: self._n_nodes], mask,
-                available, fsmp, nsamples, i0, i1 - i0, tile=self.tile,
-            )
-            coa_map = np.asarray(coa_flat, dtype=np.float64).reshape(
+            if coa_handle is None:
+                coa_handle = self._dispatch_marginalise(event)
+            coa_map = np.asarray(coa_handle, dtype=np.float64).reshape(
                 tuple(self.lut.node_count)
             )
         coa_map = coa_map / np.nanmax(coa_map)

@@ -3,12 +3,21 @@
 Day-scale end-to-end detect benchmark on real TPU hardware.
 
 Generates a 24 h synthetic miniSEED archive at the Icequake geometry
-(250 Hz, 8 stations x ZNE, hourly planted events over background noise),
-runs a full ``detect()`` over the day at the documented day-scale
-configuration (timestep=120 s -> 30,000-sample windows, kernel="auto",
-fused window), then ``trigger()``, and records the sustained realtime
-factor in DAY_E2E.json at the repo root (bench.py folds it into the
-round's BENCH json).
+(250 Hz, 8 stations x ZNE, planted events every 10 minutes over
+background noise), runs a full ``detect()`` over the day at the
+documented day-scale configuration (timestep=120 s -> 30,000-sample
+windows, kernel="auto", fused window), then ``trigger()``, and records
+the sustained realtime factor PLUS asserted event recovery in
+DAY_E2E.json at the repo root (bench.py folds it into the round's
+BENCH json).
+
+Recovery is *matched*, not counted: every trigger is associated to the
+nearest planted origin time within MATCH_TOL_S; the harness records
+recall (must be 100%), precision, and the per-event trigger COA, and
+exits nonzero on any missed event. (Round 3 counted trigger rows only,
+which hid both a threshold with no noise margin and an argmax-packing
+bug that zeroed every X/Y/Z.) The 10-minute cadence (144 events/day)
+also supplies the >=100-event locate workload for tools/day_locate.py.
 
 This is the reference's actual workload shape -- day-long continuous
 scans (reference signal/scan.py:407-470, examples/Icequake_Iceland) --
@@ -21,6 +30,7 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/day_e2e.py
 import json
 import pathlib
 import shutil
+import sys
 import time
 
 import numpy as np
@@ -28,16 +38,25 @@ import pandas as pd
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 WORLD = pathlib.Path("/tmp/qm_day_e2e")
+PLANTED_FILE = WORLD / "planted.json"
 
 SPS = 250
 DAY = "2014-06-29"
 JULDAY = "180"
 N_STATIONS = 8
 TIMESTEP = 120.0
+EVENT_INTERVAL_S = 600.0  # one planted event per 10 min -> 144/day
 # Scan pads inside the generated day (onset LTA pre-pad + max traveltime
 # post-pad must stay within data).
 SCAN_START = f"{DAY}T00:02:00.0"
 SCAN_END = f"{DAY}T23:58:00.0"
+# Trigger threshold on normalised COA. Measured over this workload's
+# scanmseed: the noise floor of COA_N tops out at ~1.63 over 3 h
+# (P99.99 ~1.55) while planted-event peaks run 2.3-2.8 -- 1.9 sits in
+# the clean gap with margin on both sides. (Round 3 used 1.6: ~90
+# noise exceedances/day = the unexplained 91-vs-24 trigger count.)
+STATIC_THRESHOLD = 1.9
+MATCH_TOL_S = 3.0  # |CoaTime - planted origin| tolerance for a match
 
 
 def build_lut():
@@ -67,7 +86,9 @@ def build_lut():
 
 def build_archive(lut, stations, rng):
     """24 h of Gaussian background noise per channel with one planted
-    event per hour, written as day-long STEIM miniSEED files."""
+    event per EVENT_INTERVAL_S, written as day-long STEIM miniSEED files.
+    The planted catalogue (origin seconds-of-day + coordinates) persists
+    to planted.json so reuse runs can still compute recall."""
 
     from quakemigrate_tpu.seis import Trace, UTCDateTime
     from quakemigrate_tpu.synthetics import (
@@ -82,15 +103,24 @@ def build_archive(lut, stations, rng):
     day_start = UTCDateTime(f"{DAY}T00:00:00.0")
     n_day = int(86400 * SPS)
 
-    # One event per hour, jittered within the hour, at varied locations.
+    # One event per interval, jittered within it, at varied locations.
     wavelet = GaussianDerivativeWavelet(4.0, SPS, 8.0)
     events = []
-    for hour in range(24):
-        t_ev = hour * 3600.0 + float(rng.uniform(300, 3300))
+    n_events = int(86400 / EVENT_INTERVAL_S)
+    for k in range(n_events):
+        # Jitter keeps events clear of the interval edges so matching is
+        # unambiguous and every origin stays inside the scanned span.
+        t_ev = k * EVENT_INTERVAL_S + float(
+            rng.uniform(0.2 * EVENT_INTERVAL_S, 0.8 * EVENT_INTERVAL_S)
+        )
+        # z in the LUT's grid convention (grid spans -1.4..0 km): the
+        # round-3 harness planted +0.2..+1.2, i.e. OUTSIDE the grid
+        # volume -- events still coalesced (clamped) but their true
+        # location was unrepresentable.
         coords = [
             -17.222 + float(rng.uniform(-0.008, 0.008)),
             64.329 + float(rng.uniform(-0.004, 0.004)),
-            float(rng.uniform(0.2, 1.2)),
+            float(rng.uniform(-1.2, -0.2)),
         ]
         stream = simulate_waveforms(
             wavelet, coords, lut, magnitude=1.2,
@@ -115,7 +145,74 @@ def build_archive(lut, stations, rng):
                  "sampling_rate": float(SPS), "starttime": day_start},
             ).write(str(day_dir / f"{name}_{comp}.m"), format="MSEED")
     print(f"archive written in {time.time() - t0:.1f} s")
-    return [(t, c) for t, c, _ in events]
+
+    planted = [(t, c) for t, c, _ in events]
+    PLANTED_FILE.write_text(json.dumps(
+        [{"t": t, "coords": c} for t, c in planted]
+    ))
+    return planted
+
+
+def match_triggers(planted, trig_table, scan_start, scan_end):
+    """
+    Associate triggers to planted origins: recall, precision, per-event
+    trigger COA. ``planted`` is [(seconds_of_day, coords)]; only plants
+    whose origin lies inside the scanned span count toward recall.
+
+    """
+
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    day0 = UTCDateTime(f"{DAY}T00:00:00.0")
+    t0, t1 = UTCDateTime(scan_start), UTCDateTime(scan_end)
+    in_span = [
+        (t, c) for t, c in planted if t0 <= day0 + t <= t1 - MATCH_TOL_S
+    ]
+    trig_s = np.array([
+        float(UTCDateTime(row) - day0) for row in trig_table["CoaTime"]
+    ])
+    matched = np.zeros(len(trig_s), dtype=bool)
+
+    recovered, missed = [], []
+    for t_ev, coords in in_span:
+        near = np.where(np.abs(trig_s - t_ev) <= MATCH_TOL_S)[0]
+        if near.size:
+            matched[near] = True
+            best = near[np.argmax(trig_table["TRIG_COA"].values[near])]
+            recovered.append({
+                "t": t_ev,
+                "trig_coa": float(trig_table["TRIG_COA"].values[best]),
+                "dt": float(trig_s[best] - t_ev),
+            })
+        else:
+            missed.append(t_ev)
+
+    n_false = int((~matched).sum())
+    n_plant = len(in_span)
+    stats = {
+        "events_planted": n_plant,
+        "events_recovered": len(recovered),
+        "recall": round(len(recovered) / max(n_plant, 1), 4),
+        "false_triggers": n_false,
+        "precision": round(
+            matched.sum() / max(len(trig_s), 1), 4
+        ),
+        "match_tol_s": MATCH_TOL_S,
+        "recovered_trig_coa_min": (
+            round(min(r["trig_coa"] for r in recovered), 3)
+            if recovered else None
+        ),
+        "recovered_trig_coa_median": (
+            round(float(np.median([r["trig_coa"] for r in recovered])), 3)
+            if recovered else None
+        ),
+        "missed_origin_seconds": [round(t, 1) for t in missed[:20]],
+        "false_trigger_coa_max": (
+            round(float(trig_table["TRIG_COA"].values[~matched].max()), 3)
+            if n_false else None
+        ),
+    }
+    return stats
 
 
 def main():
@@ -139,12 +236,15 @@ def main():
     if (
         os.environ.get("QM_DAY_E2E_REUSE") == "1"
         and len(list(day_dir.glob("*.m"))) == 3 * N_STATIONS
+        and PLANTED_FILE.is_file()
     ):
-        # Archive generation takes ~15 min on one core; reuse it when
-        # only the scan side changed. The seeded rng makes the planted
-        # catalogue deterministic, so the count is still correct.
+        # Archive generation takes minutes; reuse it when only the scan
+        # side changed. planted.json carries the catalogue for matching.
         shutil.rmtree(WORLD / "runs", ignore_errors=True)
-        planted = [(None, None)] * 24
+        planted = [
+            (rec["t"], rec["coords"])
+            for rec in json.loads(PLANTED_FILE.read_text())
+        ]
     else:
         planted = build_archive(lut, stations, rng)
 
@@ -178,18 +278,23 @@ def main():
     scanned_s = float(UTCDateTime(SCAN_END) - UTCDateTime(SCAN_START))
     n_windows = int(np.ceil(scanned_s / TIMESTEP))
 
-    # Trigger over the day: the planted hourly events must be recovered.
+    # Trigger over the day, then MATCH triggers to the planted catalogue.
     trig = Trigger(
         lut, run_path=str(WORLD / "runs"), run_name="day",
         marginal_window=1.0, min_event_interval=6.0,
         normalise_coalescence=True, threshold_method="static",
-        static_threshold=1.6, plot_trigger_summary=False,
+        static_threshold=STATIC_THRESHOLD, plot_trigger_summary=False,
     )
     trig.trigger(SCAN_START, SCAN_END)
-    found = None
-    for f in (WORLD / "runs" / "day" / "trigger" / "events").glob("*.csv"):
-        tab = pd.read_csv(f)
-        found = len(tab)
+    tables = sorted(
+        (WORLD / "runs" / "day" / "trigger" / "events").glob("*.csv")
+    )
+    trig_table = (
+        pd.concat([pd.read_csv(f) for f in tables])
+        if tables else pd.DataFrame(columns=["CoaTime", "TRIG_COA"])
+    )
+    recovery = match_triggers(planted, trig_table, SCAN_START, SCAN_END)
+
     record = {
         "hours": round(scanned_s / 3600.0, 2),
         "timestep_s": TIMESTEP,
@@ -201,13 +306,20 @@ def main():
         "wall_seconds": round(wall, 1),
         "ms_per_window": round(wall / n_windows * 1e3, 1),
         "realtime_factor": round(scanned_s / wall, 1),
-        "events_planted": len(planted),
-        "events_triggered": found,
+        "static_threshold": STATIC_THRESHOLD,
+        "events_triggered": int(len(trig_table)),
+        **recovery,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if hours <= 0:  # partial (quick-iteration) runs never clobber the
         (ROOT / "DAY_E2E.json").write_text(json.dumps(record, indent=1))
     print(json.dumps(record, indent=1))
+
+    if recovery["recall"] < 1.0:
+        sys.exit(
+            f"RECALL FAILURE: {recovery['events_recovered']}/"
+            f"{recovery['events_planted']} planted events recovered"
+        )
 
 
 if __name__ == "__main__":

@@ -1,9 +1,19 @@
 # -*- coding: utf-8 -*-
 """
-Locate throughput on the day-scale world: run ``locate()`` over the
-events triggered by tools/day_e2e.py (real synthetic waveforms, full
-two-pass migration + spline refinement + Gaussian picks per event on the
-TPU) and fold seconds-per-event into DAY_E2E.json.
+Catalogue-volume locate throughput on the day-scale world: run
+``locate()`` over ALL events triggered by tools/day_e2e.py (144 planted
+events/day -> >=100 candidates; real synthetic waveforms, full two-pass
+migration + spline refinement + Gaussian picks per event on the TPU)
+and fold sustained seconds-per-event into DAY_E2E.json.
+
+Three checks ride along (VERDICT r3 item 1):
+- parity: the first PARITY_N events are re-located on the fully serial
+  path (locate_workers=0) and their .event rows must be identical to
+  the pipelined run's;
+- accuracy: every located event is matched back to the planted
+  catalogue and the spline location error is recorded in node spacings;
+- sustained: seconds/event over the whole run (warm: the persistent
+  compilation cache makes the first event's compile ~1 s).
 
 Requires a completed day_e2e run (/tmp/qm_day_e2e). Run:
     PYTHONPATH=/root/repo:$PYTHONPATH python tools/day_locate.py [max_events]
@@ -14,31 +24,21 @@ import pathlib
 import sys
 import time
 
+import numpy as np
 import pandas as pd
 
-from day_e2e import SCAN_END, SCAN_START, SPS, WORLD, build_lut
+from day_e2e import MATCH_TOL_S, PLANTED_FILE, SPS, WORLD, build_lut
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+PARITY_N = 5
 
 
-def main(max_events=12):
+def make_scan(lut, stations, run_name="day", **kwargs):
     from quakemigrate_tpu import QuakeScan
     from quakemigrate_tpu.io import Archive
     from quakemigrate_tpu.signal.onsets import STALTAOnset
     from quakemigrate_tpu.signal.pickers import GaussianPicker
 
-    ev_dir = WORLD / "runs" / "day" / "trigger" / "events"
-    tables = sorted(ev_dir.glob("*.csv"))
-    if not tables:
-        sys.exit("no triggered events; run tools/day_e2e.py first")
-    events = pd.concat([pd.read_csv(f) for f in tables])
-    # A sampled subset: locate cost is per-event, so a dozen events give
-    # a stable seconds/event figure.
-    subset = events.iloc[:: max(1, len(events) // max_events)][:max_events]
-    trig_file = WORLD / "runs" / "day" / "locate_subset.csv"
-    subset.to_csv(trig_file, index=False)
-
-    lut, stations = build_lut()
     archive = Archive(
         archive_path=WORLD / "mSEED", stations=stations,
         archive_format="YEAR/JD/STATION",
@@ -47,31 +47,108 @@ def main(max_events=12):
     onset.phases = ["P", "S"]
     onset.bandpass_filters = {"P": [2, 16, 2], "S": [2, 16, 2]}
     onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
-    scan = QuakeScan(
+    return QuakeScan(
         archive, lut, onset=onset, run_path=str(WORLD / "runs"),
-        run_name="day", marginal_window=1.0, timestep=120.0,
+        run_name=run_name, marginal_window=1.0, timestep=120.0,
         kernel="auto", picker=GaussianPicker(onset=onset),
-        plot_event_summary=False,
+        plot_event_summary=False, **kwargs,
     )
+
+
+def location_accuracy(lut, events_dir):
+    """Match located events back to planted origins; error in node
+    spacings (horizontal: one 25 m spacing ~ 4.4e-4 deg lon here)."""
+
+    from quakemigrate_tpu.seis import UTCDateTime
+
+    planted = json.loads(PLANTED_FILE.read_text())
+    day0 = UTCDateTime("2014-06-29T00:00:00.0")
+    spacing = lut.node_spacing  # km
+    # degrees per node spacing at this latitude
+    km_per_deg_lon = 111.32 * np.cos(np.deg2rad(64.329))
+    km_per_deg_lat = 111.32
+
+    errors = []
+    for f in sorted(events_dir.glob("*.event")):
+        row = pd.read_csv(f).iloc[0]
+        t = float(UTCDateTime(row["DT"]) - day0)
+        near = min(planted, key=lambda rec: abs(rec["t"] - t))
+        if abs(near["t"] - t) > MATCH_TOL_S:
+            continue
+        dx_km = (row["X"] - near["coords"][0]) * km_per_deg_lon
+        dy_km = (row["Y"] - near["coords"][1]) * km_per_deg_lat
+        dz_km = row["Z"] - near["coords"][2]  # both in grid-z km
+        errors.append(
+            max(abs(dx_km) / spacing[0], abs(dy_km) / spacing[1],
+                abs(dz_km) / spacing[2])
+        )
+    if not errors:
+        return {}
+    return {
+        "locate_matched_events": len(errors),
+        "locate_err_nodes_median": round(float(np.median(errors)), 2),
+        "locate_err_nodes_max": round(float(np.max(errors)), 2),
+    }
+
+
+def main(max_events=0):
+    ev_dir = WORLD / "runs" / "day" / "trigger" / "events"
+    tables = sorted(ev_dir.glob("*.csv"))
+    if not tables:
+        sys.exit("no triggered events; run tools/day_e2e.py first")
+    events = pd.concat([pd.read_csv(f) for f in tables])
+    if max_events:
+        events = events.iloc[:max_events]
+    trig_file = WORLD / "runs" / "day" / "locate_all.csv"
+    events.to_csv(trig_file, index=False)
+
+    lut, stations = build_lut()
+
+    # --- pipelined run over the whole candidate list ---
+    scan = make_scan(lut, stations)
     t0 = time.perf_counter()
     scan.locate(trigger_file=str(trig_file))
     wall = time.perf_counter() - t0
 
-    located = 0
     ev_out = WORLD / "runs" / "day" / "locate" / "events"
-    if ev_out.is_dir():
-        located = len(list(ev_out.glob("*.event")))
+    located = len(list(ev_out.glob("*.event"))) if ev_out.is_dir() else 0
+
+    # --- serial-path parity on the first PARITY_N events ---
+    subset_file = WORLD / "runs" / "day" / "locate_paritysubset.csv"
+    events.iloc[:PARITY_N].to_csv(subset_file, index=False)
+    serial = make_scan(lut, stations, run_name="day_serial",
+                       locate_workers=0)
+    serial.locate(trigger_file=str(subset_file))
+    serial_dir = WORLD / "runs" / "day_serial" / "locate" / "events"
+    parity_ok, compared = True, 0
+    for f in sorted(serial_dir.glob("*.event")):
+        twin = ev_out / f.name
+        if not twin.is_file():
+            parity_ok = False
+            continue
+        if not pd.read_csv(f).equals(pd.read_csv(twin)):
+            parity_ok = False
+        compared += 1
+    if compared == 0:
+        parity_ok = False
 
     path = ROOT / "DAY_E2E.json"
     record = json.loads(path.read_text()) if path.is_file() else {}
     record.update(
         locate_events=located,
+        locate_candidates=int(len(events)),
         locate_wall_seconds=round(wall, 1),
         locate_seconds_per_event=round(wall / max(located, 1), 2),
+        locate_workers=scan.locate_workers,
+        locate_serial_parity_ok=bool(parity_ok),
+        locate_serial_parity_events=compared,
+        **location_accuracy(lut, ev_out),
     )
     path.write_text(json.dumps(record, indent=1))
     print(json.dumps(record, indent=1))
+    if not parity_ok:
+        sys.exit("PARITY FAILURE: pipelined locate != serial locate")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
