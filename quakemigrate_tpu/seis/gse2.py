@@ -86,7 +86,12 @@ def _decode_cm6(text):
     for ch in text:
         if ch in "\r\n \t":
             continue
-        c = _CHAR_TO_VAL[ch]
+        try:
+            c = _CHAR_TO_VAL[ch]
+        except KeyError:
+            raise ValueError(
+                f"Invalid CM6 character {ch!r} in GSE2 data section."
+            ) from None
         if not in_value:
             sign = -1 if c & _SIGN else 1
             av = c & 0x0F
@@ -157,27 +162,49 @@ def read_gse2(filename):
     for block in blocks:
         lines = block.splitlines()
         head = lines[0].split()
+        if len(head) < 4:
+            raise ValueError(
+                f"Malformed GSE2 WID2 line: {lines[0][:80]!r}"
+            )
         date, time, station, channel = head[0], head[1], head[2], head[3]
         # The sub-format token sits before the sample count; auxid may be
         # blank (collapsed by split), so locate "CM6" explicitly
         fmt_idx = next(
-            i for i, tok in enumerate(head) if tok in ("CM6", "INT", "CM8")
+            (i for i, tok in enumerate(head) if tok in ("CM6", "INT", "CM8")),
+            None,
         )
+        if fmt_idx is None:
+            raise ValueError(
+                "GSE2 WID2 line carries no recognised sub-format token."
+            )
         if head[fmt_idx] != "CM6":
             raise NotImplementedError(
                 f"GSE2 sub-format {head[fmt_idx]} not supported (only CM6)"
             )
+        if fmt_idx + 2 >= len(head):
+            raise ValueError("Truncated GSE2 WID2 line.")
         npts = int(head[fmt_idx + 1])
         sampling_rate = float(head[fmt_idx + 2])
+        if npts < 0:
+            raise ValueError(f"GSE2 WID2 claims negative samples: {npts}.")
+        if not np.isfinite(sampling_rate) or sampling_rate <= 0:
+            raise ValueError(
+                f"GSE2 WID2 has invalid sampling rate {sampling_rate}."
+            )
 
         dat_start = next(
-            i for i, ln in enumerate(lines) if ln.startswith("DAT2")
+            (i for i, ln in enumerate(lines) if ln.startswith("DAT2")), None
         )
+        if dat_start is None:
+            raise ValueError("GSE2 block has no DAT2 data section.")
         data_chars = []
         chk = None
         for ln in lines[dat_start + 1 :]:
             if ln.startswith("CHK2"):
-                chk = int(ln.split()[1])
+                fields = ln.split()
+                if len(fields) < 2:
+                    raise ValueError("Malformed GSE2 CHK2 line.")
+                chk = int(fields[1])
                 break
             data_chars.append(ln.strip())
         diffs = _decode_cm6("".join(data_chars))

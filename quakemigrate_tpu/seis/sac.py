@@ -130,6 +130,11 @@ def read_sac(path):
     chars = buf[440:632]
 
     npts = int(ints[_INT_HDR["npts"]])
+    if npts < 0 or 632 + 4 * npts > len(buf):
+        raise ValueError(
+            f"SAC header claims {npts} samples but the file holds at most "
+            f"{(len(buf) - 632) // 4}."
+        )
     data = np.frombuffer(
         buf, dtype=byteorder + "f4", count=npts, offset=632
     ).astype(np.float32)
@@ -139,8 +144,12 @@ def read_sac(path):
         minute=int(ints[3]), second=int(ints[4]),
     ) + int(ints[5]) / 1000.0
     b = float(floats[_FLOAT_HDR["b"]])
-    if b != _UNDEF_F:
+    if b != _UNDEF_F and np.isfinite(b):
         start = start + b
+
+    delta = float(floats[_FLOAT_HDR["delta"]])
+    if not np.isfinite(delta) or delta <= 0.0:
+        raise ValueError(f"SAC header has invalid sample interval {delta}.")
 
     def _get_char(name):
         off, length = _CHAR_HDR[name]
@@ -154,7 +163,7 @@ def read_sac(path):
             "channel": _get_char("kcmpnm"),
             "network": _get_char("knetwk"),
             "starttime": start,
-            "sampling_rate": 1.0 / float(floats[_FLOAT_HDR["delta"]]),
+            "sampling_rate": 1.0 / delta,
         },
     )
     return Stream([tr])

@@ -90,6 +90,10 @@ def read_segy(filename):
     with open(filename, "rb") as f:
         raw = f.read()
 
+    if len(raw) < 3600:
+        raise ValueError(
+            f"File too short for SEGY: {len(raw)} bytes < 3600-byte header."
+        )
     binary = raw[3200:3600]
     fmt = struct.unpack_from(">h", binary, 24)[0]
     if fmt != 5:
@@ -113,6 +117,11 @@ def read_segy(filename):
         if not 0 <= microsecond < 1_000_000:
             microsecond = 0  # foreign file using the unassigned bytes
         pos += 240
+        if pos + 4 * npts > len(raw):
+            raise ValueError(
+                f"Truncated SEGY trace: header claims {npts} samples but "
+                f"only {(len(raw) - pos) // 4} remain."
+            )
         data = np.frombuffer(raw[pos : pos + 4 * npts], dtype=">f4").astype(
             np.float32
         )
