@@ -46,6 +46,69 @@ WORK = NX * NY * NZ * N_ONSETS * NSAMPLES  # node*onset*samples per timestep
 # Used only if the reference checkout is unavailable at bench time.
 FALLBACK_BASELINE = None
 
+# --- chip/engine ceilings for the MFU & bound analysis ------------------
+# v5e MXU peak: 197 TFLOP/s bf16 = 98.5e12 MAC/s; int8 runs at 2x
+# (microbenched in docs/performance.md "int8 3-word table encoding").
+V5E_PEAK_MACS = {"bf16hl": 98.5e12, "i8x3": 197.0e12}
+# Words per encoded table element = dots per sample block (bf16 hi/lo
+# pair vs int8 fixed-point triple).
+N_DOTS = {"bf16hl": 2, "i8x3": 3}
+W_BYTES = {"bf16hl": 2, "i8x3": 1}
+# Measured HBM->VMEM streaming floor (experiments/exp_dma_probe.py
+# --stream: 360-410 GB/s across slice shapes).
+DMA_FLOOR_BPS = 385e9
+# Sustained fraction of MXU peak every dot layout plateaus at
+# (experiments/exp_dot_layout.py: 155-165 TFLOP/s bf16 = ~81%).
+MXU_SUSTAINED_FRACTION = 0.81
+
+
+def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed):
+    """
+    MFU / useful-work / binding-engine analysis of one measured MXU
+    kernel run (VERDICT r3 item 3). The one-hot selection matmul does
+    K/n_onsets redundant MACs per useful gather (K = sum of per-onset
+    residual spans) times n_dots encoded words; this quantifies how much
+    of the chip's matrix unit those buy and which engine binds.
+
+    """
+
+    from quakemigrate_tpu.ops.pallas_migrate import _round_up
+
+    precision = kernel.precision
+    tile = int(kernel.plan.tile)
+    n_tiles = int(kernel.plan.base.shape[0])
+    K = int(sum(kernel.r_spans))
+    sblk = int(kernel.sblk)
+    s_pad = _round_up(nsamples, sblk)
+    n_steps = n_tiles * (s_pad // sblk)
+    n_dots = N_DOTS[precision]
+
+    useful_macs = n_nodes_real * n_onsets * nsamples
+    mxu_macs = n_tiles * tile * K * s_pad * n_dots
+    # Streamed table-slice traffic (double-buffered HBM->VMEM): K rows x
+    # sblk samples x word bytes x words, per (tile, sample-block) step.
+    dma_bytes = n_steps * K * sblk * W_BYTES[precision] * n_dots
+
+    peak = V5E_PEAK_MACS[precision]
+    mfu = mxu_macs / elapsed / peak
+    matmul_floor_s = mxu_macs / (peak * MXU_SUSTAINED_FRACTION)
+    dma_floor_s = dma_bytes / DMA_FLOOR_BPS
+
+    return {
+        "precision": precision,
+        "k_rows": K,
+        "useful_fraction": round(useful_macs / mxu_macs, 5),
+        "mfu": round(mfu, 4),
+        "useful_mfu": round(useful_macs / elapsed / peak, 6),
+        "dma_gb": round(dma_bytes / 1e9, 2),
+        "matmul_floor_seconds": round(matmul_floor_s, 4),
+        "dma_floor_seconds": round(dma_floor_s, 4),
+        "bound": "mxu" if matmul_floor_s >= dma_floor_s else "dma",
+        "headroom_vs_floor": round(
+            elapsed / max(matmul_floor_s, dma_floor_s), 2
+        ),
+    }
+
 
 def make_workload(seed=0):
     rng = np.random.default_rng(seed)
@@ -93,7 +156,7 @@ def _kernels(tt_flat, tt_dev, mask_dev):
     def mxu(block):
         return mxu_kernel(block, mask_dev, float(N_ONSETS))
 
-    return {"xla_shift_table": xla, "pallas_mxu": mxu}
+    return {"xla_shift_table": xla, "pallas_mxu": mxu}, mxu_kernel
 
 
 def parity_gate(kernel_fn, onsets, ref_coa, ref_idx):
@@ -146,8 +209,15 @@ def bench_device(kernel_fn, onsets, iters=5):
     return WORK / elapsed, elapsed
 
 
-def bench_reference_c(onsets, tt4d, oracle, timed_passes=2):
-    """Single-core reference C (migrate + find_max_coa): warm-up + best-of-N."""
+def bench_reference_c(onsets, tt4d, oracle, timed_passes=5):
+    """
+    Single-core reference C (migrate + find_max_coa), pinned and
+    repeated: the process is bound to ONE cpu for the C passes (host
+    contention previously swung the number 0.22-0.74 G/s between
+    rounds), one warm-up then ``timed_passes`` timed passes. Returns
+    (median throughput, median elapsed, spread dict).
+
+    """
 
     def one_pass():
         t0 = time.perf_counter()
@@ -157,9 +227,28 @@ def bench_reference_c(onsets, tt4d, oracle, timed_passes=2):
         oracle.oracle_find_max_coa(map4d, threads=1)
         return time.perf_counter() - t0
 
-    one_pass()  # warm-up (page-in, allocator)
-    elapsed = min(one_pass() for _ in range(timed_passes))
-    return WORK / elapsed, elapsed
+    old_affinity = None
+    try:
+        old_affinity = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, {sorted(old_affinity)[-1]})
+    except (AttributeError, OSError):
+        pass
+    try:
+        one_pass()  # warm-up (page-in, allocator)
+        times = sorted(one_pass() for _ in range(timed_passes))
+    finally:
+        if old_affinity is not None:
+            os.sched_setaffinity(0, old_affinity)
+
+    elapsed = times[len(times) // 2]
+    spread = {
+        "c_seconds_min": round(times[0], 2),
+        "c_seconds_max": round(times[-1], 2),
+        "c_spread_pct": round(100 * (times[-1] - times[0]) / elapsed, 1),
+        "c_timed_passes": timed_passes,
+        "c_pinned": old_affinity is not None,
+    }
+    return WORK / elapsed, elapsed, spread
 
 
 def bench_regional(nx=142, ny=128, nz=114):
@@ -209,6 +298,12 @@ def bench_regional(nx=142, ny=128, nz=114):
         "regional_nodes": tt.shape[0],
         "regional_gsps": round(work / elapsed / 1e9, 1),
         "regional_seconds_per_timestep": round(elapsed, 4),
+        **{
+            f"regional_{k}": v
+            for k, v in mxu_analysis(
+                kernel, tt.shape[0], N_ONSETS, NSAMPLES, elapsed
+            ).items()
+        },
     }
 
 
@@ -292,13 +387,21 @@ def bench_long_window(nsamples=30_000):
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
     work = NX * NY * NZ * N_ONSETS * nsamples
-    return {
+    report = {
         "long_window_nsamples": nsamples,
         "long_window_kernel_is_mxu": bool(is_mxu),
         "long_window_sblk": int(kernel.sblk),
         "long_window_gsps": round(work / elapsed / 1e9, 1),
         "long_window_seconds": round(elapsed, 4),
     }
+    if is_mxu:
+        report.update({
+            f"long_window_{k}": v
+            for k, v in mxu_analysis(
+                kernel, NX * NY * NZ, N_ONSETS, nsamples, elapsed
+            ).items()
+        })
+    return report
 
 
 def main():
@@ -308,7 +411,7 @@ def main():
     tt_flat = np.ascontiguousarray(tt4d.reshape(-1, N_ONSETS))
     tt_dev = jax.device_put(tt_flat)
     mask_dev = jax.device_put(np.ones(N_ONSETS, dtype=np.float32))
-    kernels = _kernels(tt_flat, tt_dev, mask_dev)
+    kernels, mxu_kernel = _kernels(tt_flat, tt_dev, mask_dev)
 
     oracle = None
     if os.environ.get("QM_BENCH_SKIP_BASELINE") != "1":
@@ -323,9 +426,12 @@ def main():
         )
         ref_coa, _, ref_idx = oracle.oracle_find_max_coa(map4d, threads=1)
         del map4d
-        baseline, c_elapsed = bench_reference_c(onsets, tt4d, oracle)
+        baseline, c_elapsed, c_spread = bench_reference_c(
+            onsets, tt4d, oracle
+        )
         report["c_single_core_gsps"] = round(baseline / 1e9, 4)
         report["c_seconds_per_timestep"] = round(c_elapsed, 2)
+        report.update(c_spread)
 
     # Every kernel is parity-gated and timed; the headline number is the
     # fastest kernel that passes its gate.
@@ -345,6 +451,13 @@ def main():
         throughput, elapsed = bench_device(fn, onsets)
         report[f"{name}_gsps"] = round(throughput / 1e9, 3)
         report[f"{name}_seconds"] = round(elapsed, 4)
+        if name == "pallas_mxu":
+            report.update({
+                f"icequake_{k}": v
+                for k, v in mxu_analysis(
+                    mxu_kernel, NX * NY * NZ, N_ONSETS, NSAMPLES, elapsed
+                ).items()
+            })
         if best is None or throughput > best[1]:
             best = (name, throughput, elapsed)
 
@@ -382,6 +495,10 @@ def main():
         report, "CATALOGUE_SCALE.json", "catalogue_",
         ("days", "events_triggered", "trigger_seconds_per_day",
          "peak_rss_mb"),
+    )
+    _fold_artifact(
+        report, "DCN_RESULT.json", "dcn_",
+        ("ok", "rc", "processes", "devices_per_process", "timestamp"),
     )
     _fold_artifact(
         report, "REGIONAL_E2E.json", "regional_e2e_",

@@ -1556,9 +1556,11 @@ class QuakeScan:
             keep &= self._mask3d(coa_map.shape, peak, win)
 
         # Only the (typically few) above-threshold nodes enter the moment
-        # sums, so index them out instead of sweeping full-grid lattices --
-        # NaN map values never pass the > comparison, matching the old
-        # nansum-over-masked-grid formulation exactly.
+        # sums, so index them out instead of sweeping full-grid lattices.
+        # NaN map values never pass the > comparison (same exclusions as
+        # the old nansum-over-masked-grid form); the float64 cast below
+        # upgrades accumulation precision for float32 maps, so those agree
+        # with the old formulation to float32 epsilon rather than exactly.
         kept_idx = np.nonzero(keep)
         weights = coa_map[kept_idx].astype(np.float64)
         total = weights.sum()
