@@ -51,11 +51,12 @@ EVENT_INTERVAL_S = 600.0  # one planted event per 10 min -> 144/day
 SCAN_START = f"{DAY}T00:02:00.0"
 SCAN_END = f"{DAY}T23:58:00.0"
 # Trigger threshold on normalised COA. Measured over this workload's
-# scanmseed: the noise floor of COA_N tops out at ~1.63 over 3 h
-# (P99.99 ~1.55) while planted-event peaks run 2.3-2.8 -- 1.9 sits in
-# the clean gap with margin on both sides. (Round 3 used 1.6: ~90
-# noise exceedances/day = the unexplained 91-vs-24 trigger count.)
-STATIC_THRESHOLD = 1.9
+# full-day scanmseed (events masked out): noise COA_N max 1.727
+# (P99.99 = 1.58), weakest planted-event peak 1.925 (median 2.23) --
+# 1.8 sits in the measured gap with margin on both sides. (Round 3
+# used 1.6, INSIDE the noise tail: ~90 noise exceedances/day = the
+# unexplained 91-vs-24 trigger count.)
+STATIC_THRESHOLD = 1.8
 MATCH_TOL_S = 3.0  # |CoaTime - planted origin| tolerance for a match
 
 
@@ -105,6 +106,10 @@ def build_archive(lut, stations, rng):
 
     # One event per interval, jittered within it, at varied locations.
     wavelet = GaussianDerivativeWavelet(4.0, SPS, 8.0)
+    # The wavelet's zero (origin) time sits half_timespan + roll after
+    # the simulated stream's starttime -- planted ORIGIN times must
+    # include it or every trigger "misses" by ~8.1 s.
+    origin_offset = 8.0 + (int(SPS * 0.5 / 4.0) + 3) / SPS
     events = []
     n_events = int(86400 / EVENT_INTERVAL_S)
     for k in range(n_events):
@@ -122,11 +127,20 @@ def build_archive(lut, stations, rng):
             64.329 + float(rng.uniform(-0.004, 0.004)),
             float(rng.uniform(-1.2, -0.2)),
         ]
+        # magnitude 1.5: at 1.2 the deepest planted events peaked at
+        # COA_N ~1.80, a hair above the noise ceiling (1.73) -- no
+        # honest threshold margin. 1.5 lifts the weakest peak clear.
+        # angle_of_incidence=80 (steep ray; the simulator mirrors the
+        # reference's inclination = 90 - angle convention, reference
+        # examples/synthetic/simulate/core.py:106): the old default 0
+        # made the ray HORIZONTAL, i.e. the P wavelet landed on the
+        # horizontals and S on the vertical -- swapped channels, which
+        # silently destroyed the depth constraint in locate.
         stream = simulate_waveforms(
-            wavelet, coords, lut, magnitude=1.2,
+            wavelet, coords, lut, magnitude=1.5, angle_of_incidence=80,
             starttime=str(day_start + t_ev), rng=rng,
         )
-        events.append((t_ev, coords, stream))
+        events.append((t_ev + origin_offset, coords, stream))
 
     t0 = time.time()
     for name in stations["Name"]:
@@ -153,20 +167,22 @@ def build_archive(lut, stations, rng):
     return planted
 
 
-def match_triggers(planted, trig_table, scan_start, scan_end):
+def match_triggers(planted, trig_table, scan_start, scan_end, day=None,
+                   tol_s=MATCH_TOL_S):
     """
     Associate triggers to planted origins: recall, precision, per-event
     trigger COA. ``planted`` is [(seconds_of_day, coords)]; only plants
     whose origin lies inside the scanned span count toward recall.
+    (Also used by tools/regional_e2e.py with its own ``day``/``tol_s``.)
 
     """
 
     from quakemigrate_tpu.seis import UTCDateTime
 
-    day0 = UTCDateTime(f"{DAY}T00:00:00.0")
+    day0 = UTCDateTime(f"{day or DAY}T00:00:00.0")
     t0, t1 = UTCDateTime(scan_start), UTCDateTime(scan_end)
     in_span = [
-        (t, c) for t, c in planted if t0 <= day0 + t <= t1 - MATCH_TOL_S
+        (t, c) for t, c in planted if t0 <= day0 + t <= t1 - tol_s
     ]
     trig_s = np.array([
         float(UTCDateTime(row) - day0) for row in trig_table["CoaTime"]
@@ -175,7 +191,7 @@ def match_triggers(planted, trig_table, scan_start, scan_end):
 
     recovered, missed = [], []
     for t_ev, coords in in_span:
-        near = np.where(np.abs(trig_s - t_ev) <= MATCH_TOL_S)[0]
+        near = np.where(np.abs(trig_s - t_ev) <= tol_s)[0]
         if near.size:
             matched[near] = True
             best = near[np.argmax(trig_table["TRIG_COA"].values[near])]
@@ -197,7 +213,7 @@ def match_triggers(planted, trig_table, scan_start, scan_end):
         "precision": round(
             matched.sum() / max(len(trig_s), 1), 4
         ),
-        "match_tol_s": MATCH_TOL_S,
+        "match_tol_s": tol_s,
         "recovered_trig_coa_min": (
             round(min(r["trig_coa"] for r in recovered), 3)
             if recovered else None

@@ -26,6 +26,10 @@ import pandas as pd
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 WORLD = pathlib.Path("/tmp/qm_regional_e2e")
+PLANTED_FILE = WORLD / "planted.json"
+# |CoaTime - planted origin| tolerance: scaled to the regional grid's
+# traveltime quantisation (0.5 km nodes, 50 Hz).
+MATCH_TOL_S = 5.0
 
 SPS = 50
 DAY = "2015-03-10"
@@ -80,6 +84,9 @@ def build_archive(lut, stations, rng):
     n_day = int(86400 * SPS)
 
     wavelet = GaussianDerivativeWavelet(2.0, SPS, 16.0)
+    # Wavelet zero (origin) time offset from the simulated stream start:
+    # half_timespan + the first-motion roll (see day_e2e).
+    origin_offset = 16.0 + (int(SPS * 0.5 / 2.0) + 3) / SPS
     events = []
     for hour in range(24):
         t_ev = hour * 3600.0 + float(rng.uniform(400, 3200))
@@ -88,11 +95,13 @@ def build_archive(lut, stations, rng):
             64.0 + float(rng.uniform(-0.20, 0.20)),
             float(rng.uniform(4.0, 22.0)),
         ]
+        # angle_of_incidence=80 -- steep ray so P rides the vertical and
+        # S the horizontals (see day_e2e.py; the default 0 swaps them).
         stream = simulate_waveforms(
-            wavelet, coords, lut, magnitude=2.5,
+            wavelet, coords, lut, magnitude=2.5, angle_of_incidence=80,
             starttime=str(day_start + t_ev), rng=rng,
         )
-        events.append((t_ev, coords, stream))
+        events.append((t_ev + origin_offset, coords, stream))
 
     t0 = time.time()
     for name in stations["Name"]:
@@ -111,7 +120,11 @@ def build_archive(lut, stations, rng):
                  "sampling_rate": float(SPS), "starttime": day_start},
             ).write(str(day_dir / f"{name}_{comp}.m"), format="MSEED")
     print(f"archive written in {time.time() - t0:.1f} s")
-    return [(t, c) for t, c, _ in events]
+    planted = [(t, c) for t, c, _ in events]
+    PLANTED_FILE.write_text(json.dumps(
+        [{"t": t, "coords": c} for t, c in planted]
+    ))
+    return planted
 
 
 def main():
@@ -131,9 +144,13 @@ def main():
     if (
         os.environ.get("QM_REGIONAL_E2E_REUSE") == "1"
         and len(list(day_dir.glob("*.m"))) == 3 * N_STATIONS
+        and PLANTED_FILE.is_file()
     ):
         shutil.rmtree(WORLD / "runs", ignore_errors=True)
-        planted = [(None, None)] * 24
+        planted = [
+            (rec["t"], rec["coords"])
+            for rec in json.loads(PLANTED_FILE.read_text())
+        ]
     else:
         planted = build_archive(lut, stations, rng)
 
@@ -174,11 +191,19 @@ def main():
         static_threshold=1.5, plot_trigger_summary=False,
     )
     trig.trigger(SCAN_START, SCAN_END)
-    found = None
-    for f in (WORLD / "runs" / "regional" / "trigger" / "events").glob(
-        "*.csv"
-    ):
-        found = len(pd.read_csv(f))
+    tables = sorted(
+        (WORLD / "runs" / "regional" / "trigger" / "events").glob("*.csv")
+    )
+    trig_table = (
+        pd.concat([pd.read_csv(f) for f in tables])
+        if tables else pd.DataFrame(columns=["CoaTime", "TRIG_COA"])
+    )
+    from day_e2e import match_triggers
+
+    recovery = match_triggers(
+        planted, trig_table, SCAN_START, SCAN_END, day=DAY,
+        tol_s=MATCH_TOL_S,
+    )
     record = {
         "hours": round(scanned_s / 3600.0, 2),
         "timestep_s": TIMESTEP,
@@ -190,13 +215,21 @@ def main():
         "wall_seconds": round(wall, 1),
         "ms_per_window": round(wall / n_windows * 1e3, 1),
         "realtime_factor": round(scanned_s / wall, 1),
-        "events_planted": len(planted),
-        "events_triggered": found,
+        "events_triggered": int(len(trig_table)),
+        **recovery,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if hours <= 0:
         (ROOT / "REGIONAL_E2E.json").write_text(json.dumps(record, indent=1))
     print(json.dumps(record, indent=1))
+
+    if recovery["recall"] < 1.0:
+        import sys
+
+        sys.exit(
+            f"RECALL FAILURE: {recovery['events_recovered']}/"
+            f"{recovery['events_planted']} planted events recovered"
+        )
 
 
 if __name__ == "__main__":
