@@ -126,7 +126,17 @@ class KurtosisOnset(Onset):
             if not rows:
                 continue
 
-            cf_rows = np.array(kurtosis_onset(np.stack(rows), nkurt, nsmooth))
+            # Host-consumed few-ms program: pin to the CPU backend (a
+            # relayed accelerator pays ~0.5 s dispatch+fetch here; the
+            # detect hot path uses the fused on-device window instead --
+            # see STALTAOnset._onsets_for_phase).
+            import jax
+
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                cf_rows = np.array(
+                    kurtosis_onset(np.stack(rows), nkurt, nsmooth)
+                )
             for station, sl in station_slices.items():
                 onsets_dict.setdefault(station, {}).update(
                     {phase: self._combine(cf_rows[sl], nkurt, timespan)}

@@ -50,13 +50,16 @@ EVENT_INTERVAL_S = 600.0  # one planted event per 10 min -> 144/day
 # post-pad must stay within data).
 SCAN_START = f"{DAY}T00:02:00.0"
 SCAN_END = f"{DAY}T23:58:00.0"
-# Trigger threshold on normalised COA. Measured over this workload's
-# full-day scanmseed (events masked out): noise COA_N max 1.727
-# (P99.99 = 1.58), weakest planted-event peak 1.925 (median 2.23) --
-# 1.8 sits in the measured gap with margin on both sides. (Round 3
-# used 1.6, INSIDE the noise tail: ~90 noise exceedances/day = the
-# unexplained 91-vs-24 trigger count.)
-STATIC_THRESHOLD = 1.8
+# Trigger on RAW coalescence. On this workload the planted events lift
+# the whole instantaneous field (8 stations, compact grid), so the
+# normalised max/mean peak barely rises above its noise tail (events
+# ~1.80-1.85 vs noise max 1.72 -- round 3's threshold 1.6 sat INSIDE
+# that tail: ~90 noise exceedances/day = the unexplained 91-vs-24).
+# Raw COA separates cleanly: noise max 1.93 (P99.99 = 1.75), weakest
+# planted-event peak 4.64 -- threshold 3.0 has ~1 unit of margin on
+# both sides (measured over the full-day scanmseed, events masked).
+NORMALISE_COA = False
+STATIC_THRESHOLD = 3.0
 MATCH_TOL_S = 3.0  # |CoaTime - planted origin| tolerance for a match
 
 
@@ -298,7 +301,7 @@ def main():
     trig = Trigger(
         lut, run_path=str(WORLD / "runs"), run_name="day",
         marginal_window=1.0, min_event_interval=6.0,
-        normalise_coalescence=True, threshold_method="static",
+        normalise_coalescence=NORMALISE_COA, threshold_method="static",
         static_threshold=STATIC_THRESHOLD, plot_trigger_summary=False,
     )
     trig.trigger(SCAN_START, SCAN_END)
