@@ -163,5 +163,8 @@ def test_picks_parity(located_run):
                 matched += 1
 
     assert total > 0
-    # The vast majority of reference picks must be reproduced
-    assert matched / total > 0.9, f"only {matched}/{total} picks match"
+    # Every reference-made pick is reproduced within 2 samples on the
+    # current tree (tools/pick_audit.py, round 4: 23/23) -- hold the
+    # line at 100%. Misses, if they ever reappear, must be classified
+    # and allowlisted with a reason, not absorbed by a ratio threshold.
+    assert matched == total, f"only {matched}/{total} picks match"

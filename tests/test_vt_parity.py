@@ -253,7 +253,13 @@ def test_vt_picks_agree(located_run):
                 matched += 1
 
     assert total > 0
-    assert matched / total > 0.75, f"only {matched}/{total} picks agree"
+    # Every reference-made pick agrees within 0.1 s on the current tree
+    # (tools/pick_audit.py, round 4: 457/457), including the file the
+    # reference's own CI skips for an FP instability
+    # (ref tests/test_benchmarks.py:154-156) -- hold the line at 100%.
+    # Misses, if they reappear, must be classified and allowlisted with
+    # a reason (see tools/pick_audit.py), not absorbed by a ratio.
+    assert matched == total, f"only {matched}/{total} picks agree"
 
 
 def test_vt_amplitude_structural_parity(located_run):
