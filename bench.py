@@ -489,7 +489,10 @@ def main():
     _fold_artifact(
         report, "DAY_E2E.json", "e2e_",
         ("realtime_factor", "ms_per_window", "hours", "timestep_s",
-         "kernel", "locate_seconds_per_event", "timestamp"),
+         "kernel", "recall", "precision", "false_triggers",
+         "events_planted", "locate_events",
+         "locate_seconds_per_event", "locate_serial_parity_ok",
+         "locate_err_nodes_median", "locate_err_nodes_max", "timestamp"),
     )
     _fold_artifact(
         report, "CATALOGUE_SCALE.json", "catalogue_",
@@ -503,7 +506,8 @@ def main():
     _fold_artifact(
         report, "REGIONAL_E2E.json", "regional_e2e_",
         ("realtime_factor", "ms_per_window", "n_nodes", "hours",
-         "timestep_s", "kernel", "events_triggered", "timestamp"),
+         "timestep_s", "kernel", "events_triggered", "recall",
+         "precision", "false_triggers", "timestamp"),
     )
 
     if best is None:
