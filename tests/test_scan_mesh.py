@@ -49,9 +49,11 @@ def setup(tmp_path_factory):
     )
 
     wavelet = GaussianDerivativeWavelet(4.0, SPS, 30.0)
+    # Steep incidence so P rides the vertical and S the horizontals
+    # (the default 0 makes the ray horizontal and swaps them).
     stream = simulate_waveforms(
         wavelet, [0.0, 0.0, 12.0], lut, magnitude=2.0,
-        rng=np.random.default_rng(7),
+        angle_of_incidence=80, rng=np.random.default_rng(7),
     )
     day_dir = root / "mSEED" / "2021" / "049"
     day_dir.mkdir(parents=True)
@@ -587,3 +589,48 @@ def test_mesh_kernel_auto_default_selection(setup, monkeypatch):
     # No mesh at all: the single-device property governs instead.
     assert not make_scan(mesh=None)._mxu_mesh_active
     assert make_scan(mesh=None)._mxu_active
+
+
+def test_mesh_locate_matches_single_device(setup, tmp_path):
+    """locate() with a mesh must reproduce the single-device locations
+    (the migration pass routes through the sharded kernel; the
+    marginalisation pass and location estimators are per-event). Mesh
+    coverage previously stopped at detect -- this pins the locate path."""
+
+    root, archive, lut = setup
+
+    # A trigger row at the planted event (wavelet zero time 12:00:30:
+    # the simulate_waveforms default starttime + the 30 s half_timespan).
+    trig_file = tmp_path / "trig.csv"
+    pd.DataFrame([{
+        "EventID": "20210218120030000",
+        "CoaTime": "2021-02-18T12:00:30.0",
+        "TRIG_COA": 2.0, "COA_X": 0.0, "COA_Y": 0.0, "COA_Z": 12.0,
+        "COA": 2.0, "COA_NORM": 2.0,
+    }]).to_csv(trig_file, index=False)
+
+    def run(name, mesh):
+        onset = STALTAOnset(position="centred", sampling_rate=SPS)
+        onset.phases = ["P", "S"]
+        onset.bandpass_filters = {"P": [1, 12, 2], "S": [1, 12, 2]}
+        onset.sta_lta_windows = {"P": [0.2, 1.0], "S": [0.2, 1.0]}
+        scan = QuakeScan(
+            archive, lut, onset=onset, run_path=str(root / "runs"),
+            run_name=name, marginal_window=1.0, mesh=mesh, tile=64,
+            plot_event_summary=False,
+        )
+        scan.locate(trigger_file=str(trig_file))
+        events = sorted(
+            (root / "runs" / name / "locate" / "events").glob("*.event")
+        )
+        assert len(events) == 1, f"{name}: event not located"
+        return pd.read_csv(events[0]).iloc[0]
+
+    single = run("loc_single", None)
+    sharded = run("loc_sharded", make_mesh(jax.devices()))
+
+    assert sharded["DT"] == single["DT"]
+    for col in ("X", "Y", "Z", "GAU_X", "GAU_Y", "GAU_Z", "COV_ErrX",
+                "COV_ErrY", "COV_ErrZ"):
+        assert sharded[col] == pytest.approx(single[col], abs=1e-6), col
+    assert sharded["COA"] == pytest.approx(single["COA"], rel=1e-4)
