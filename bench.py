@@ -15,8 +15,13 @@ Protocol (single source of truth; docs/performance.md quotes this output):
    forced by fetching the outputs (block_until_ready does not reliably
    block under this environment's remote-TPU relay).
 3. C baseline — the SAME workload through the reference migrate +
-   find_max_coa, OMP pinned to one thread, one warm-up pass, best of 2
-   timed passes.
+   find_max_coa, OMP pinned to one thread AND the process pinned to one
+   CPU, one warm-up pass then 5 timed passes; the reported figure is
+   the median with the min-max spread alongside (the unpinned best-of-2
+   protocol swung 0.22-0.74 G/s with host load).
+4. MFU / bound analysis — each measured MXU case carries useful-vs-
+   actual MAC counts, MFU against the chip's int8/bf16 peak, streamed
+   DMA bytes, analytic matmul/DMA floors and which engine binds.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 

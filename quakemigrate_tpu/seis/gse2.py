@@ -161,6 +161,9 @@ def read_gse2(filename):
     blocks = content.split("WID2 ")[1:]
     for block in blocks:
         lines = block.splitlines()
+        if not lines:
+            # e.g. a file ENDING with the "WID2 " delimiter
+            raise ValueError("Empty GSE2 WID2 block.")
         head = lines[0].split()
         if len(head) < 4:
             raise ValueError(

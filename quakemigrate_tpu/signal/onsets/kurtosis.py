@@ -126,14 +126,10 @@ class KurtosisOnset(Onset):
             if not rows:
                 continue
 
-            # Host-consumed few-ms program: pin to the CPU backend (a
-            # relayed accelerator pays ~0.5 s dispatch+fetch here; the
-            # detect hot path uses the fused on-device window instead --
-            # see STALTAOnset._onsets_for_phase).
-            import jax
-
-            cpu = jax.local_devices(backend="cpu")[0]
-            with jax.default_device(cpu):
+            # Host-consumed few-ms program: pin to the CPU backend (see
+            # util.host_cpu_jax; the detect hot path uses the fused
+            # on-device window instead).
+            with util.host_cpu_jax():
                 cf_rows = np.array(
                     kurtosis_onset(np.stack(rows), nkurt, nsmooth)
                 )

@@ -209,17 +209,10 @@ class STALTAOnset(Onset):
         else:
             raise ValueError(f"Unknown STA/LTA position: {self.position}")
 
-        import jax
-
-        # This standalone onset program is a few ms of cumsum work, and
-        # its output comes straight back to the host (the picker and the
-        # migration's input scatter consume it) -- on a remote/relayed
-        # accelerator each dispatch+fetch costs ~0.5 s where the compute
-        # is microseconds (profiled at 8 fetches/event in locate). Pin
-        # it to the host CPU backend; the detect hot path keeps onsets
-        # on-device inside the fused window program instead.
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
+        # Host-consumed few-ms program: pin to the CPU backend (a
+        # relayed accelerator pays ~0.5 s dispatch+fetch here, profiled
+        # at 8 fetches/event in locate; see util.host_cpu_jax).
+        with util.host_cpu_jax():
             transformed = stalta_ops.signal_transform(
                 traces, self.signal_transform
             )

@@ -927,13 +927,23 @@ class QuakeScan:
                     self._locate_finish(event, coa_handle)
                     logging.info(util.log_spacer)
                 else:
-                    finishes.append(
-                        post.submit(self._locate_finish, event, coa_handle)
-                    )
                     # Backpressure: the device dispatch loop must not run
                     # unboundedly ahead of the post-processing pool (host
                     # memory holds each in-flight event's waveforms + map).
-                    while len(finishes) > 2 * n_workers:
+                    # Events that RETAIN their 4-D map (write_coalescence /
+                    # event video) can each hold up to
+                    # locate_map_memory_limit bytes, so at most one of
+                    # those may be in flight -- a 2*workers queue of them
+                    # would multiply the serial path's peak memory ~10x.
+                    if event.map4d is not None:
+                        while finishes:
+                            finishes.pop(0).result()
+                    finishes.append(
+                        post.submit(self._locate_finish, event, coa_handle)
+                    )
+                    while len(finishes) > (
+                        1 if event.map4d is not None else 2 * n_workers
+                    ):
                         finishes.pop(0).result()
             while finishes:
                 finishes.pop(0).result()
@@ -1024,12 +1034,25 @@ class QuakeScan:
                          "map...")
             write_coalescence(self.run, coa_map, event, marginalised=True)
 
+        import contextlib
+
         logging.info(f"\t[{event.uid}] Making phase picks...")
-        event, _ = self.picker.pick_phases(event, self.lut, self.run)
+        # matplotlib (pyplot global state) is not thread-safe: when the
+        # picker or magnitude stage will plot, serialize that stage
+        # across the worker pool with the same lock the event figures
+        # hold; plot-free runs stay fully parallel.
+        pick_guard = (self._plot_lock if getattr(self.picker, "plot_picks",
+                                                 False)
+                      else contextlib.nullcontext())
+        with pick_guard:
+            event, _ = self.picker.pick_phases(event, self.lut, self.run)
 
         if self.mags is not None:
             logging.info(f"\t[{event.uid}] Calculating magnitude...")
-            event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
+            mag_guard = (self._plot_lock if getattr(self.mags, "plot", False)
+                         else contextlib.nullcontext())
+            with mag_guard:
+                event, _ = self.mags.calc_magnitude(event, self.lut, self.run)
 
         event.write(self.run, self.lut)
         # matplotlib is not thread-safe; one event plots at a time.

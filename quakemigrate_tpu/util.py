@@ -133,6 +133,23 @@ def pairwise(iterable):
     return zip(left, right)
 
 
+def host_cpu_jax():
+    """
+    Context manager pinning subsequent JAX ops to the host CPU backend.
+
+    For few-ms programs whose output feeds host consumers (the
+    standalone STA/LTA and kurtosis onset functions), a remote/relayed
+    accelerator pays ~0.5 s of dispatch+fetch where the compute is
+    microseconds -- the detect hot path instead keeps onsets on-device
+    inside the fused window program.
+
+    """
+
+    import jax
+
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
 # --- logging / timing --------------------------------------------------------
 
 

@@ -182,6 +182,18 @@ def test_gse2_fuzz(tmp_path):
                "gse2t", check=_check_stream)
 
 
+def test_gse2_delimiter_edge_cases(tmp_path):
+    """Content that IS (or ends with) the 'WID2 ' block delimiter must
+    fail typed, not with IndexError on the empty trailing block (found
+    by review, not the random fuzz corpus)."""
+
+    for i, text in enumerate(("WID2 ", "garbage\nWID2 ", "WID2 \nWID2 ")):
+        target = tmp_path / f"wid2_{i}.gse2"
+        target.write_text(text)
+        with pytest.raises(CLEAN):
+            read_gse2(str(target))
+
+
 def test_gse2_lying_checksum_and_counts(tmp_path):
     clean = tmp_path / "clean.gse2"
     write_gse2(_stream(dtype=np.int32), str(clean))

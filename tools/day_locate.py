@@ -55,17 +55,23 @@ def make_scan(lut, stations, run_name="day", **kwargs):
     )
 
 
-def location_accuracy(lut, events_dir):
-    """Match located events back to planted origins; error in node
-    spacings (horizontal: one 25 m spacing ~ 4.4e-4 deg lon here)."""
+def location_accuracy(lut, events_dir, planted_file=None, day=None,
+                      latitude=64.329, tol_s=None):
+    """
+    Match located events back to planted origins; worst-axis error in
+    node spacings. Shared by the regional twin
+    (tools/regional_locate.py) via the keyword parameters.
+
+    """
 
     from quakemigrate_tpu.seis import UTCDateTime
 
-    planted = json.loads(PLANTED_FILE.read_text())
-    day0 = UTCDateTime("2014-06-29T00:00:00.0")
+    planted = json.loads((planted_file or PLANTED_FILE).read_text())
+    day0 = UTCDateTime(f"{day or '2014-06-29'}T00:00:00.0")
+    tol_s = MATCH_TOL_S if tol_s is None else tol_s
     spacing = lut.node_spacing  # km
     # degrees per node spacing at this latitude
-    km_per_deg_lon = 111.32 * np.cos(np.deg2rad(64.329))
+    km_per_deg_lon = 111.32 * np.cos(np.deg2rad(latitude))
     km_per_deg_lat = 111.32
 
     errors = []
@@ -73,7 +79,7 @@ def location_accuracy(lut, events_dir):
         row = pd.read_csv(f).iloc[0]
         t = float(UTCDateTime(row["DT"]) - day0)
         near = min(planted, key=lambda rec: abs(rec["t"] - t))
-        if abs(near["t"] - t) > MATCH_TOL_S:
+        if abs(near["t"] - t) > tol_s:
             continue
         dx_km = (row["X"] - near["coords"][0]) * km_per_deg_lon
         dy_km = (row["Y"] - near["coords"][1]) * km_per_deg_lat

@@ -47,32 +47,12 @@ def make_scan(lut, stations, run_name="regional", **kwargs):
 
 
 def location_accuracy(lut, events_dir):
-    from quakemigrate_tpu.seis import UTCDateTime
+    from day_locate import location_accuracy as shared
 
-    planted = json.loads(PLANTED_FILE.read_text())
-    day0 = UTCDateTime("2015-03-10T00:00:00.0")
-    spacing = lut.node_spacing  # km
-    km_per_deg_lon = 111.32 * np.cos(np.deg2rad(64.0))
-    km_per_deg_lat = 111.32
-
-    errors = []
-    for f in sorted(events_dir.glob("*.event")):
-        row = pd.read_csv(f).iloc[0]
-        t = float(UTCDateTime(row["DT"]) - day0)
-        near = min(planted, key=lambda rec: abs(rec["t"] - t))
-        if abs(near["t"] - t) > MATCH_TOL_S:
-            continue
-        dx = (row["X"] - near["coords"][0]) * km_per_deg_lon / spacing[0]
-        dy = (row["Y"] - near["coords"][1]) * km_per_deg_lat / spacing[1]
-        dz = (row["Z"] - near["coords"][2]) / spacing[2]
-        errors.append(max(abs(dx), abs(dy), abs(dz)))
-    if not errors:
-        return {}
-    return {
-        "locate_matched_events": len(errors),
-        "locate_err_nodes_median": round(float(np.median(errors)), 2),
-        "locate_err_nodes_max": round(float(np.max(errors)), 2),
-    }
+    return shared(
+        lut, events_dir, planted_file=PLANTED_FILE, day="2015-03-10",
+        latitude=64.0, tol_s=MATCH_TOL_S,
+    )
 
 
 def main():
