@@ -152,3 +152,32 @@ def test_pipelined_locate_matches_serial(world):
         assert f.read_bytes() == twin.read_bytes(), (
             f".picks differs for {f.name}"
         )
+
+
+def test_pipelined_locate_skips_dataless_event(world):
+    """A candidate whose window has no archive data must be dropped
+    cleanly by the pipelined scheduler while the surrounding events
+    still locate (the drop path joins prepare-stage exceptions with the
+    worker-pool machinery -- fresh round-4 code)."""
+
+    root, stations, lut, trig_file = world
+    table = pd.read_csv(trig_file)
+    bad = table.iloc[:1].copy()
+    # Outside the archive's span entirely
+    bad["CoaTime"] = "2021-02-19T04:00:00.000000Z"
+    bad["EventID"] = "20210219040000000"
+    mixed_file = root / "triggers_with_gap.csv"
+    # Dataless candidate sandwiched between real ones
+    pd.concat([table.iloc[:2], bad, table.iloc[2:]]).to_csv(
+        mixed_file, index=False
+    )
+
+    run_dir = _locate(
+        (root, stations, lut, mixed_file), "withgap", locate_workers=4
+    )
+    located = sorted((run_dir / "events").glob("*.event"))
+    names = {f.stem for f in located}
+    assert len(located) == N_EVENTS, (
+        f"expected {N_EVENTS} located, got {len(located)}"
+    )
+    assert "20210219040000000" not in names
