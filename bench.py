@@ -493,7 +493,8 @@ def main():
     )
     _fold_artifact(
         report, "DAY_E2E.json", "e2e_",
-        ("realtime_factor", "ms_per_window", "hours", "timestep_s",
+        ("realtime_factor", "realtime_factor_p50", "ms_per_window_p50",
+         "ms_per_window_p90", "ms_per_window", "hours", "timestep_s",
          "kernel", "recall", "precision", "false_triggers",
          "events_planted", "locate_events",
          "locate_seconds_per_event", "locate_serial_parity_ok",
@@ -510,7 +511,8 @@ def main():
     )
     _fold_artifact(
         report, "REGIONAL_E2E.json", "regional_e2e_",
-        ("realtime_factor", "ms_per_window", "n_nodes", "hours",
+        ("realtime_factor", "realtime_factor_p50", "ms_per_window_p50",
+         "ms_per_window", "n_nodes", "hours",
          "timestep_s", "kernel", "events_triggered", "recall",
          "precision", "false_triggers", "timestamp"),
     )

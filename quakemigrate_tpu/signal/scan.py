@@ -27,6 +27,7 @@ Architecture (TPU-first redesign of quakemigrate/signal/scan.py:45-1145):
 import logging
 import warnings
 from datetime import time
+from time import perf_counter
 
 import numpy as np
 import pandas as pd
@@ -585,6 +586,12 @@ class QuakeScan:
             )
         self._announce("\tDETECT - Continuous coalescence scan", details)
 
+        # Per-batch loop intervals (n_windows, seconds), populated by
+        # _detect_loop. Benchmarks read this to report percentile
+        # throughput: with the relay-attached TPU, transient tunnel slow
+        # episodes can drag a whole-day mean while the median is healthy.
+        self.detect_batch_marks = []
+
         self._continuous_compute(starttime, n_steps, seed_stream)
 
         logging.info(util.log_spacer)
@@ -785,6 +792,8 @@ class QuakeScan:
             while drains:
                 drains.pop(0).result()
 
+        marks = getattr(self, "detect_batch_marks", None)
+        t_mark = perf_counter()
         for batch_start in range(0, n_steps, batch_size):
             steps = list(range(batch_start, min(batch_start + batch_size,
                                                 n_steps)))
@@ -853,6 +862,10 @@ class QuakeScan:
                 drains.pop(0).result()
             if batch_start + batch_size >= n_steps:
                 join_drains()
+            if marks is not None:
+                now = perf_counter()
+                marks.append((len(steps), now - t_mark))
+                t_mark = now
 
     def _drain_detect_results(self, coalescence, availability, starttime,
                               prepared, results):
@@ -913,6 +926,12 @@ class QuakeScan:
                 if n_workers else None)
         finishes = []  # submitted-but-unjoined post-processing futures
 
+        # Per-event dispatch intervals; benchmarks (tools/day_locate.py)
+        # read this for percentile seconds/event (same rationale as
+        # detect_batch_marks: relay slow episodes drag the mean).
+        self.locate_event_marks = []
+        t_mark = perf_counter()
+
         try:
             submit_read(0)
             for i, event in enumerate(events):
@@ -945,6 +964,9 @@ class QuakeScan:
                         1 if event.map4d is not None else 2 * n_workers
                     ):
                         finishes.pop(0).result()
+                now = perf_counter()
+                self.locate_event_marks.append(now - t_mark)
+                t_mark = now
             while finishes:
                 finishes.pop(0).result()
         finally:

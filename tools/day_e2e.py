@@ -285,6 +285,17 @@ def main():
     scan.detect(SCAN_START, SCAN_END)
     wall = time.perf_counter() - t0
 
+    # Percentile throughput from the per-batch loop marks: the relay
+    # tunnel to the TPU has transient slow episodes that can halve a
+    # whole-day mean while the median batch is healthy (observed
+    # 2026-08-18: 98.7x mean vs ~267x in an adjacent run), so the
+    # artifact records the distribution, not just the mean.
+    marks = getattr(scan, "detect_batch_marks", []) or []
+    per_window = np.concatenate(
+        [np.full(n, secs / n) for n, secs in marks if n > 0]
+    ) if marks else np.array([wall])
+    p10, p50, p90 = np.percentile(per_window, [10, 50, 90])
+
     # Which migration kernel actually ran? (must be the blocked MXU)
     kernel = scan._mxu if scan._mxu not in (None, False) else None
     kernel_desc = (
@@ -324,7 +335,11 @@ def main():
         "kernel": kernel_desc,
         "wall_seconds": round(wall, 1),
         "ms_per_window": round(wall / n_windows * 1e3, 1),
+        "ms_per_window_p10": round(p10 * 1e3, 1),
+        "ms_per_window_p50": round(p50 * 1e3, 1),
+        "ms_per_window_p90": round(p90 * 1e3, 1),
         "realtime_factor": round(scanned_s / wall, 1),
+        "realtime_factor_p50": round(TIMESTEP / p50, 1),
         "static_threshold": STATIC_THRESHOLD,
         "events_triggered": int(len(trig_table)),
         **recovery,

@@ -128,6 +128,11 @@ def main(max_events=0):
     scan.locate(trigger_file=str(trig_file))
     wall = time.perf_counter() - t0
 
+    # Percentile seconds/event from the dispatch-loop marks (relay slow
+    # episodes drag the mean; see tools/day_e2e.py).
+    marks = np.asarray(getattr(scan, "locate_event_marks", []) or [wall])
+    loc_p50, loc_p90 = np.percentile(marks, [50, 90])
+
     ev_out = WORLD / "runs" / "day" / "locate" / "events"
     located = len(list(ev_out.glob("*.event"))) if ev_out.is_dir() else 0
 
@@ -157,6 +162,8 @@ def main(max_events=0):
         locate_candidates=int(len(events)),
         locate_wall_seconds=round(wall, 1),
         locate_seconds_per_event=round(wall / max(located, 1), 2),
+        locate_seconds_per_event_p50=round(float(loc_p50), 2),
+        locate_seconds_per_event_p90=round(float(loc_p90), 2),
         locate_workers=scan.locate_workers,
         locate_serial_parity_ok=bool(parity_ok),
         locate_serial_parity_events=compared,

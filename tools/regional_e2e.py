@@ -172,6 +172,14 @@ def main():
     scan.detect(SCAN_START, SCAN_END)
     wall = time.perf_counter() - t0
 
+    # Percentile throughput (see tools/day_e2e.py: relay slow episodes
+    # can drag the mean while the median batch is healthy).
+    marks = getattr(scan, "detect_batch_marks", []) or []
+    per_window = np.concatenate(
+        [np.full(n, secs / n) for n, secs in marks if n > 0]
+    ) if marks else np.array([wall])
+    p10, p50, p90 = np.percentile(per_window, [10, 50, 90])
+
     kernel = scan._mxu if scan._mxu not in (None, False) else None
     kernel_desc = (
         f"pallas_mxu tile={kernel.plan.tile} sblk={kernel.sblk} "
@@ -218,7 +226,11 @@ def main():
         "kernel": kernel_desc,
         "wall_seconds": round(wall, 1),
         "ms_per_window": round(wall / n_windows * 1e3, 1),
+        "ms_per_window_p10": round(p10 * 1e3, 1),
+        "ms_per_window_p50": round(p50 * 1e3, 1),
+        "ms_per_window_p90": round(p90 * 1e3, 1),
         "realtime_factor": round(scanned_s / wall, 1),
+        "realtime_factor_p50": round(TIMESTEP / p50, 1),
         "events_triggered": int(len(trig_table)),
         **recovery,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -78,6 +78,9 @@ def main():
     scan.locate(trigger_file=str(trig_file))
     wall = time.perf_counter() - t0
 
+    marks = np.asarray(getattr(scan, "locate_event_marks", []) or [wall])
+    loc_p50, loc_p90 = np.percentile(marks, [50, 90])
+
     ev_out = WORLD / "runs" / "regional" / "locate" / "events"
     located = len(list(ev_out.glob("*.event"))) if ev_out.is_dir() else 0
 
@@ -88,6 +91,8 @@ def main():
         locate_candidates=int(len(events)),
         locate_wall_seconds=round(wall, 1),
         locate_seconds_per_event=round(wall / max(located, 1), 2),
+        locate_seconds_per_event_p50=round(float(loc_p50), 2),
+        locate_seconds_per_event_p90=round(float(loc_p90), 2),
         locate_workers=scan.locate_workers,
         **location_accuracy(lut, ev_out),
     )
