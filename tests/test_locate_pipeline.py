@@ -127,7 +127,17 @@ def _locate(world, run_name, **kwargs):
         plot_event_summary=False, **kwargs,
     )
     scan.locate(trigger_file=str(trig_file))
-    return root / "runs" / run_name / "locate"
+
+    # Per-event dispatch marks (read by tools/day_locate.py for
+    # percentile seconds/event) cover every located event exactly once:
+    # dropped candidates never mark, located ones always do.
+    out = root / "runs" / run_name / "locate"
+    marks = scan.locate_event_marks
+    n_located = len(list((out / "events").glob("*.event")))
+    assert len(marks) == n_located
+    assert all(m > 0 for m in marks)
+
+    return out
 
 
 def test_pipelined_locate_matches_serial(world):

@@ -31,6 +31,8 @@ import sys
 import markdown
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(ROOT) not in sys.path:  # standalone `python tools/build_docs.py`
+    sys.path.insert(0, str(ROOT))
 DOCS = ROOT / "docs"
 OUT = DOCS / "_build" / "html"
 
