@@ -502,8 +502,9 @@ def main():
     )
     _fold_artifact(
         report, "CATALOGUE_SCALE.json", "catalogue_",
-        ("days", "events_triggered", "trigger_seconds_per_day",
-         "peak_rss_mb"),
+        ("days", "events_planted", "events_triggered",
+         "mergeable_clusters", "recall", "plant_recall", "precision",
+         "false_triggers", "trigger_seconds_per_day", "peak_rss_mb"),
     )
     _fold_artifact(
         report, "DCN_RESULT.json", "dcn_",
