@@ -11,9 +11,15 @@ Protocol (single source of truth; docs/performance.md quotes this output):
    kernels (float64, compiled from the reference checkout at run time) on
    the same inputs: max relative coalescence error < 5e-4 and argmax node
    within 1 grid node on every sample. Recorded as "parity_ok".
-2. Device timing — best of 5 runs on distinct onset blocks; execution is
-   forced by fetching the outputs (block_until_ready does not reliably
-   block under this environment's remote-TPU relay).
+2. Device timing — best of 8 single-dispatch runs on distinct onset
+   blocks; execution is forced by fetching the outputs
+   (block_until_ready does not reliably block under this environment's
+   remote-TPU relay), so each run carries a fixed ~26-32 ms of relay
+   dispatch latency (reported as "dispatch_overhead_seconds"). A second,
+   pipelined measurement times queued chains of N and 2N dispatches and
+   differences them — the regime the production detect loop actually
+   runs in — and yields the *_device_gsps figures and the device-side
+   MFU/headroom analysis.
 3. C baseline — the SAME workload through the reference migrate +
    find_max_coa, OMP pinned to one thread AND the process pinned to one
    CPU, one warm-up pass then 5 timed passes; the reported figure is
@@ -67,13 +73,49 @@ DMA_FLOOR_BPS = 385e9
 MXU_SUSTAINED_FRACTION = 0.81
 
 
-def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed):
+def bench_pipelined(run_dispatch, blocks, fetch, steps=8, reps=2):
+    """
+    Marginal per-step device time in the pipelined regime: dispatches are
+    queued back-to-back (JAX async dispatch; the device executes them in
+    order) and ONE result is fetched at the end. Timing a chain of
+    ``steps`` and one of ``2*steps`` and differencing isolates the
+    sustained per-step cost from the fixed dispatch/relay latency
+    (measured ~32 ms fixed + linear per-step marginal; see
+    docs/performance.md). This is the regime the production detect loop
+    actually runs in (reader/device/drain overlap; fetches ride under
+    the next window's compute).
+
+    """
+
+    def chain(n):
+        best = float("inf")
+        for _ in range(reps):
+            handle = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                handle = run_dispatch(blocks[i % len(blocks)])
+            fetch(handle)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short = chain(steps)
+    long_ = chain(2 * steps)
+    return max(long_ - short, 1e-9) / steps
+
+
+def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed,
+                 device_elapsed=None):
     """
     MFU / useful-work / binding-engine analysis of one measured MXU
     kernel run (VERDICT r3 item 3). The one-hot selection matmul does
     K/n_onsets redundant MACs per useful gather (K = sum of per-onset
     residual spans) times n_dots encoded words; this quantifies how much
     of the chip's matrix unit those buy and which engine binds.
+
+    ``elapsed`` is the single-dispatch wall time (includes one relay
+    round-trip); ``device_elapsed``, when given, is the pipelined
+    per-step device time (RTT amortised away) and yields the device_*
+    fields -- the honest chip-utilisation numbers.
 
     """
 
@@ -99,7 +141,7 @@ def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed):
     matmul_floor_s = mxu_macs / (peak * MXU_SUSTAINED_FRACTION)
     dma_floor_s = dma_bytes / DMA_FLOOR_BPS
 
-    return {
+    out = {
         "precision": precision,
         "k_rows": K,
         "useful_fraction": round(useful_macs / mxu_macs, 5),
@@ -113,6 +155,15 @@ def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed):
             elapsed / max(matmul_floor_s, dma_floor_s), 2
         ),
     }
+    if device_elapsed is not None:
+        out.update({
+            "device_seconds": round(device_elapsed, 4),
+            "device_mfu": round(mxu_macs / device_elapsed / peak, 4),
+            "device_headroom_vs_floor": round(
+                device_elapsed / max(matmul_floor_s, dma_floor_s), 2
+            ),
+        })
+    return out
 
 
 def make_workload(seed=0):
@@ -189,7 +240,7 @@ def parity_gate(kernel_fn, onsets, ref_coa, ref_idx):
     }
 
 
-def bench_device(kernel_fn, onsets, iters=5):
+def bench_device(kernel_fn, onsets, iters=8):
     import jax
 
     # Distinct onset blocks per iteration so no layer can cache the result
@@ -211,7 +262,11 @@ def bench_device(kernel_fn, onsets, iters=5):
         timed_run(block)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    return WORK / elapsed, elapsed
+    pipelined = bench_pipelined(
+        kernel_fn, blocks,
+        lambda out: float(np.asarray(out[0]).sum()), steps=8,
+    )
+    return WORK / elapsed, elapsed, pipelined
 
 
 def bench_reference_c(onsets, tt4d, oracle, timed_passes=5):
@@ -298,15 +353,21 @@ def bench_regional(nx=142, ny=128, nz=114):
         run(block)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+    pipelined = bench_pipelined(
+        lambda b: kernel(b, mask_dev, float(N_ONSETS)), blocks,
+        lambda out: float(np.asarray(out[0]).sum()), steps=4,
+    )
     work = tt.shape[0] * N_ONSETS * NSAMPLES
     return {
         "regional_nodes": tt.shape[0],
         "regional_gsps": round(work / elapsed / 1e9, 1),
         "regional_seconds_per_timestep": round(elapsed, 4),
+        "regional_device_gsps": round(work / pipelined / 1e9, 1),
         **{
             f"regional_{k}": v
             for k, v in mxu_analysis(
-                kernel, tt.shape[0], N_ONSETS, NSAMPLES, elapsed
+                kernel, tt.shape[0], N_ONSETS, NSAMPLES, elapsed,
+                device_elapsed=pipelined,
             ).items()
         },
     }
@@ -400,10 +461,16 @@ def bench_long_window(nsamples=30_000):
         "long_window_seconds": round(elapsed, 4),
     }
     if is_mxu:
+        pipelined = bench_pipelined(
+            lambda b: kernel(b, mask_dev, float(N_ONSETS)), blocks,
+            lambda out: float(np.asarray(out[0]).sum()), steps=2,
+        )
+        report["long_window_device_gsps"] = round(work / pipelined / 1e9, 1)
         report.update({
             f"long_window_{k}": v
             for k, v in mxu_analysis(
-                kernel, NX * NY * NZ, N_ONSETS, nsamples, elapsed
+                kernel, NX * NY * NZ, N_ONSETS, nsamples, elapsed,
+                device_elapsed=pipelined,
             ).items()
         })
     return report
@@ -453,14 +520,20 @@ def main():
             all_ok = all_ok and gate["parity_ok"]
             if not gate["parity_ok"]:
                 continue
-        throughput, elapsed = bench_device(fn, onsets)
+        throughput, elapsed, pipelined = bench_device(fn, onsets)
         report[f"{name}_gsps"] = round(throughput / 1e9, 3)
         report[f"{name}_seconds"] = round(elapsed, 4)
+        if pipelined is not None:
+            report[f"{name}_device_gsps"] = round(WORK / pipelined / 1e9, 3)
+            report[f"{name}_dispatch_overhead_seconds"] = round(
+                max(elapsed - pipelined, 0.0), 4
+            )
         if name == "pallas_mxu":
             report.update({
                 f"icequake_{k}": v
                 for k, v in mxu_analysis(
-                    mxu_kernel, NX * NY * NZ, N_ONSETS, NSAMPLES, elapsed
+                    mxu_kernel, NX * NY * NZ, N_ONSETS, NSAMPLES, elapsed,
+                    device_elapsed=pipelined,
                 ).items()
             })
         if best is None or throughput > best[1]:

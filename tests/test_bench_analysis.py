@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""
+Unit tests for bench.py's measurement arithmetic: the pipelined
+marginal-cost timing (chains of N and 2N dispatches, differenced) and
+the MFU/bound analysis fields, incl. the device-side variants added for
+the pipelined regime. These test the protocol logic host-side -- the
+on-hardware values are produced by running bench.py itself.
+
+"""
+
+import sys
+import time
+import types
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def test_bench_pipelined_recovers_marginal_cost():
+    """A fixed fetch latency must not leak into the per-step estimate."""
+
+    per_step = 0.004
+    fixed = 0.040
+
+    def run_dispatch(_block):
+        time.sleep(per_step)
+        return "handle"
+
+    def fetch(handle):
+        assert handle == "handle"
+        time.sleep(fixed)
+
+    est = bench.bench_pipelined(run_dispatch, ["b"], fetch, steps=6, reps=1)
+    # Naive total/steps over the short chain would give
+    # per_step + fixed/6 ~ 0.0107; the differenced estimate should be
+    # within scheduler jitter of the true marginal cost.
+    assert abs(est - per_step) < 0.002
+
+
+def test_bench_pipelined_cycles_blocks_and_is_positive():
+    calls = []
+
+    def run_dispatch(block):
+        calls.append(block)
+        return block
+
+    est = bench.bench_pipelined(
+        run_dispatch, ["a", "b", "c"], lambda h: None, steps=3, reps=1
+    )
+    # One chain of 3 and one of 6, cycling the block list.
+    assert calls == ["a", "b", "c", "a", "b", "c", "a", "b", "c"]
+    assert est > 0
+
+
+def _fake_kernel(tile=256, n_tiles=4, r_spans=(8, 8, 8), sblk=128,
+                 precision="i8x3"):
+    plan = types.SimpleNamespace(
+        tile=tile, base=np.zeros((n_tiles, len(r_spans)), dtype=np.int32)
+    )
+    return types.SimpleNamespace(
+        precision=precision, plan=plan, r_spans=list(r_spans), sblk=sblk
+    )
+
+
+def test_mxu_analysis_fields_and_device_variant():
+    k = _fake_kernel()
+    n_nodes, n_onsets, nsamples = 1000, 3, 100
+
+    base = bench.mxu_analysis(k, n_nodes, n_onsets, nsamples, elapsed=0.05)
+    for field in ("precision", "k_rows", "useful_fraction", "mfu",
+                  "useful_mfu", "dma_gb", "matmul_floor_seconds",
+                  "dma_floor_seconds", "bound", "headroom_vs_floor"):
+        assert field in base
+    assert "device_seconds" not in base
+    assert base["k_rows"] == 24
+    assert base["bound"] in ("mxu", "dma")
+
+    dev = bench.mxu_analysis(
+        k, n_nodes, n_onsets, nsamples, elapsed=0.05, device_elapsed=0.01
+    )
+    assert dev["device_seconds"] == 0.01
+    # Same MAC count over 5x less time -> 5x the MFU (to rounding).
+    assert abs(dev["device_mfu"] - 5 * dev["mfu"]) < 0.01
+    assert dev["device_headroom_vs_floor"] < dev["headroom_vs_floor"]
+
+
+def test_mxu_analysis_floor_consistency():
+    """headroom == elapsed / max(floor); bound names the larger floor."""
+
+    k = _fake_kernel(tile=1024, n_tiles=64, r_spans=(64,) * 24,
+                     sblk=2048, precision="bf16hl")
+    out = bench.mxu_analysis(k, 500000, 24, 2048, elapsed=1.0)
+    floor = max(out["matmul_floor_seconds"], out["dma_floor_seconds"])
+    # Floors are rounded to 4 decimals in the report; compare ratios to
+    # the matching precision.
+    assert abs(out["headroom_vs_floor"] - 1.0 / floor) / (1.0 / floor) < 0.02
+    expected = ("mxu" if out["matmul_floor_seconds"]
+                >= out["dma_floor_seconds"] else "dma")
+    assert out["bound"] == expected
