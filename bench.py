@@ -22,9 +22,12 @@ Protocol (single source of truth; docs/performance.md quotes this output):
    MFU/headroom analysis.
 3. C baseline — the SAME workload through the reference migrate +
    find_max_coa, OMP pinned to one thread AND the process pinned to one
-   CPU, one warm-up pass then 5 timed passes; the reported figure is
-   the median with the min-max spread alongside (the unpinned best-of-2
-   protocol swung 0.22-0.74 G/s with host load).
+   CPU, one warm-up pass then 5 timed passes; the baseline is the BEST
+   pass (contention only slows the C side, so min-time is its cleanest
+   capability estimate and the conservative choice for vs_baseline),
+   with the median/max spread alongside (the unpinned best-of-2
+   protocol swung 0.22-0.74 G/s with host load; even pinned, the
+   median swings +-25%).
 4. MFU / bound analysis — each measured MXU case carries useful-vs-
    actual MAC counts, MFU against the chip's int8/bf16 peak, streamed
    DMA bytes, analytic matmul/DMA floors and which engine binds.
@@ -275,7 +278,7 @@ def bench_reference_c(onsets, tt4d, oracle, timed_passes=5):
     repeated: the process is bound to ONE cpu for the C passes (host
     contention previously swung the number 0.22-0.74 G/s between
     rounds), one warm-up then ``timed_passes`` timed passes. Returns
-    (median throughput, median elapsed, spread dict).
+    (best-pass throughput, best-pass elapsed, spread dict).
 
     """
 
@@ -300,9 +303,14 @@ def bench_reference_c(onsets, tt4d, oracle, timed_passes=5):
         if old_affinity is not None:
             os.sched_setaffinity(0, old_affinity)
 
-    elapsed = times[len(times) // 2]
+    # Baseline = the BEST pass: host contention only ever slows the C
+    # side, so min-time is the cleanest estimate of one core's actual
+    # capability — and the most favourable to the C side, making
+    # vs_baseline conservative AND reproducible (the median swung
+    # +-25% between same-day runs even pinned; the min is stable).
+    elapsed = times[0]
     spread = {
-        "c_seconds_min": round(times[0], 2),
+        "c_seconds_median": round(times[len(times) // 2], 2),
         "c_seconds_max": round(times[-1], 2),
         "c_spread_pct": round(100 * (times[-1] - times[0]) / elapsed, 1),
         "c_timed_passes": timed_passes,

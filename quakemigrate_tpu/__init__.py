@@ -12,7 +12,7 @@ layer (no ObsPy/pyproj dependency).
 
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from quakemigrate_tpu.io import Archive, read_lut, read_stations  # noqa: F401
 from quakemigrate_tpu.lut import LUT, compute_traveltimes, read_nlloc  # noqa: F401
