@@ -32,7 +32,9 @@ Protocol (single source of truth; docs/performance.md quotes this output):
    actual MAC counts, MFU against the chip's int8/bf16 peak, streamed
    DMA bytes, analytic matmul/DMA floors and which engine binds.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line with the headline fields ("metric", "value", "unit",
+"vs_baseline", "parity_ok") LAST so driver tail-capture keeps them, and
+writes the full record (headline first) to BENCH_LOCAL.json.
 
 """
 
@@ -103,7 +105,17 @@ def bench_pipelined(run_dispatch, blocks, fetch, steps=8, reps=2):
 
     short = chain(steps)
     long_ = chain(2 * steps)
-    return max(long_ - short, 1e-9) / steps
+    if long_ <= short:
+        # Each chain is an independent min over few reps; relay noise can
+        # make the difference non-positive. A clamped tiny value would
+        # fabricate ~1e11 G/s device numbers (review finding) -- retry
+        # once, then report "no estimate" and let callers skip the
+        # device_* fields.
+        short = chain(steps)
+        long_ = chain(2 * steps)
+        if long_ <= short:
+            return None
+    return (long_ - short) / steps
 
 
 def mxu_analysis(kernel, n_nodes_real, n_onsets, nsamples, elapsed,
@@ -366,11 +378,10 @@ def bench_regional(nx=142, ny=128, nz=114):
         lambda out: float(np.asarray(out[0]).sum()), steps=4,
     )
     work = tt.shape[0] * N_ONSETS * NSAMPLES
-    return {
+    report = {
         "regional_nodes": tt.shape[0],
         "regional_gsps": round(work / elapsed / 1e9, 1),
         "regional_seconds_per_timestep": round(elapsed, 4),
-        "regional_device_gsps": round(work / pipelined / 1e9, 1),
         **{
             f"regional_{k}": v
             for k, v in mxu_analysis(
@@ -379,6 +390,9 @@ def bench_regional(nx=142, ny=128, nz=114):
             ).items()
         },
     }
+    if pipelined is not None:
+        report["regional_device_gsps"] = round(work / pipelined / 1e9, 1)
+    return report
 
 
 def _fold_artifact(report, path, prefix, keys, max_age_h=48):
@@ -473,7 +487,10 @@ def bench_long_window(nsamples=30_000):
             lambda b: kernel(b, mask_dev, float(N_ONSETS)), blocks,
             lambda out: float(np.asarray(out[0]).sum()), steps=2,
         )
-        report["long_window_device_gsps"] = round(work / pipelined / 1e9, 1)
+        if pipelined is not None:
+            report["long_window_device_gsps"] = round(
+                work / pipelined / 1e9, 1
+            )
         report.update({
             f"long_window_{k}": v
             for k, v in mxu_analysis(
@@ -602,40 +619,40 @@ def main():
     if best is None:
         # Every kernel failed its parity gate: still emit the JSON line --
         # the per-kernel gate diagnostics are the debugging payload.
-        print(
-            json.dumps(
-                {
-                    "metric": "coalescence throughput -- NO KERNEL PASSED "
-                    "THE PARITY GATE",
-                    "value": 0.0,
-                    "unit": "Gsamples/s",
-                    "vs_baseline": None,
-                    "parity_ok": False,
-                    **report,
-                }
-            )
-        )
-        return
+        headline = {
+            "metric": "coalescence throughput -- NO KERNEL PASSED "
+            "THE PARITY GATE",
+            "value": 0.0,
+            "unit": "Gsamples/s",
+            "vs_baseline": None,
+            "parity_ok": False,
+        }
+    else:
+        name, throughput, elapsed = best
+        headline = {
+            "metric": "coalescence throughput (node*onset*samples/s), "
+            "Icequake_Iceland detect geometry, fused migrate+reduce, "
+            f"best kernel ({name})",
+            "value": round(throughput / 1e9, 3),
+            "unit": "Gsamples/s",
+            "vs_baseline": (
+                round(throughput / baseline, 2) if baseline else None
+            ),
+            "seconds_per_timestep": round(elapsed, 4),
+            "parity_ok": all_ok if oracle is not None else None,
+            "best_kernel": name,
+        }
+    # Headline fields go LAST on the printed line: the driver tail-captures
+    # long lines, so leading fields are what gets cut (BENCH_r04 lost its
+    # metric/value/vs_baseline that way). The full record is also written
+    # to BENCH_LOCAL.json so every round's artifact is self-contained.
+    record = {**report, **headline}
+    import pathlib
 
-    name, throughput, elapsed = best
-    print(
-        json.dumps(
-            {
-                "metric": "coalescence throughput (node*onset*samples/s), "
-                "Icequake_Iceland detect geometry, fused migrate+reduce, "
-                f"best kernel ({name})",
-                "value": round(throughput / 1e9, 3),
-                "unit": "Gsamples/s",
-                "vs_baseline": (
-                    round(throughput / baseline, 2) if baseline else None
-                ),
-                "seconds_per_timestep": round(elapsed, 4),
-                "parity_ok": all_ok if oracle is not None else None,
-                "best_kernel": name,
-                **report,
-            }
-        )
+    (pathlib.Path(__file__).parent / "BENCH_LOCAL.json").write_text(
+        json.dumps({**headline, **report}, indent=1)
     )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

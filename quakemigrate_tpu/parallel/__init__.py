@@ -119,9 +119,47 @@ def make_sharded_detect(
     return jax.jit(sharded)
 
 
+def _batch_specs(in_specs, out_specs, batch_axis, n_batched):
+    """
+    Prepend a batch dimension (sharded over ``batch_axis``) to the first
+    ``n_batched`` input specs and to every output spec.
+
+    """
+
+    batched_in = tuple(
+        P(batch_axis, *spec) if i < n_batched else spec
+        for i, spec in enumerate(in_specs)
+    )
+    batched_out = tuple(P(batch_axis, *spec) for spec in out_specs)
+    return batched_in, batched_out
+
+
+def _batchify(body, n_batched):
+    """
+    Wrap a per-window shard-local body so its first ``n_batched``
+    arguments carry a leading (local) batch dimension: the body runs once
+    per window in a statically unrolled loop (safe for the Pallas kernel,
+    which has no vmap batching rule) and the three outputs stack along the
+    new leading axis.
+
+    """
+
+    def fn(*args):
+        batched, rest = args[:n_batched], args[n_batched:]
+        outs = [
+            body(*(b[j] for b in batched), *rest)
+            for j in range(batched[0].shape[0])
+        ]
+        return tuple(
+            jnp.stack([o[k] for o in outs]) for k in range(len(outs[0]))
+        )
+
+    return fn
+
+
 def make_sharded_detect_fused(
     mesh, position, transform, min_onset_value, fsmp, nsamples,
-    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",
+    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid", batch_axis=None,
 ):
     """
     Mesh-sharded version of :func:`ops.scan_window.detect_window_fused`:
@@ -137,25 +175,39 @@ def make_sharded_detect_fused(
     -> (max_coa, max_norm_coa, max_idx)``
     with ``traveltimes_padded`` from :func:`pad_nodes_for_mesh`.
 
+    With ``batch_axis``, channels/chan_mask/slot_mask gain a leading
+    window-batch dimension sharded over that axis (nsta/nlta and the
+    traveltimes are shared across windows), and the outputs gain a
+    matching leading dimension: window data-parallelism on top of grid
+    parallelism. Inert pad windows (all-ones channels, zero masks) keep
+    the batch size fixed; their ``available`` is clamped to 1 so the
+    normalisation never divides by zero.
+
     """
 
     from quakemigrate_tpu.ops.scan_window import fused_onsets
 
-    def _fn(channels, chan_mask, slot_mask, nsta, nlta, tt_local):
+    def _one(channels, chan_mask, slot_mask, nsta, nlta, tt_local):
         combined, available = fused_onsets(
             channels, chan_mask, slot_mask, nsta, nlta,
             position, transform, min_onset_value,
         )
+        if batch_axis is not None:
+            available = jnp.maximum(available, 1.0)
         return _local_reduce_combine(
             combined, slot_mask, available, tt_local, fsmp, nsamples,
             n_nodes_real, tile, grid_axis,
         )
 
+    in_specs = (P(), P(), P(), P(), P(), P(grid_axis, None))
+    out_specs = (P(), P(), P())
+    fn = _one
+    if batch_axis is not None:
+        in_specs, out_specs = _batch_specs(in_specs, out_specs, batch_axis, 3)
+        fn = _batchify(_one, 3)
+
     sharded = shard_map(
-        _fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(grid_axis, None)),
-        out_specs=(P(), P(), P()),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -241,7 +293,7 @@ def _mxu_local_combine(combined, slot_mask, available, fine_t, base, valid,
 def make_sharded_detect_fused_mxu(
     mesh, position, transform, min_onset_value, fsmp, nsamples,
     n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
-    interpret=False, precision="i8x3",
+    interpret=False, precision="i8x3", batch_axis=None,
 ):
     """
     Mesh-sharded MXU twin of :func:`make_sharded_detect_fused`: each device
@@ -252,31 +304,42 @@ def make_sharded_detect_fused_mxu(
     ``f(channels, chan_mask, slot_mask, nsta, nlta, fine_t, base, valid,
     perm) -> (max_coa, max_norm_coa, max_idx)``.
 
+    ``batch_axis`` as in :func:`make_sharded_detect_fused`: channels/
+    chan_mask/slot_mask gain a leading window-batch dimension sharded over
+    that axis, windows run as a statically unrolled loop per device (the
+    Pallas kernel has no vmap batching rule).
+
     """
 
     from quakemigrate_tpu.ops.scan_window import fused_onsets
 
-    def _fn(channels, chan_mask, slot_mask, nsta, nlta, fine_t, base,
-            valid, perm):
+    def _one(channels, chan_mask, slot_mask, nsta, nlta, fine_t, base,
+             valid, perm):
         combined, available = fused_onsets(
             channels, chan_mask, slot_mask, nsta, nlta,
             position, transform, min_onset_value,
         )
+        if batch_axis is not None:
+            available = jnp.maximum(available, 1.0)
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
             fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
             interpret, precision,
         )
 
+    in_specs = (
+        P(), P(), P(), P(), P(),
+        P(grid_axis, None, None), P(grid_axis, None),
+        P(grid_axis, None, None), P(grid_axis),
+    )
+    out_specs = (P(), P(), P())
+    fn = _one
+    if batch_axis is not None:
+        in_specs, out_specs = _batch_specs(in_specs, out_specs, batch_axis, 3)
+        fn = _batchify(_one, 3)
+
     sharded = shard_map(
-        _fn,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(), P(),
-            P(grid_axis, None, None), P(grid_axis, None),
-            P(grid_axis, None, None), P(grid_axis),
-        ),
-        out_specs=(P(), P(), P()),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -285,7 +348,7 @@ def make_sharded_detect_fused_mxu(
 def make_sharded_detect_fused_kurtosis_mxu(
     mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
     n_nodes_real, tile, r_spans, sblk=None, grid_axis="grid",
-    interpret=False, precision="i8x3",
+    interpret=False, precision="i8x3", batch_axis=None,
 ):
     """Kurtosis twin of :func:`make_sharded_detect_fused_mxu`. Signature:
     ``f(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
@@ -293,27 +356,33 @@ def make_sharded_detect_fused_kurtosis_mxu(
 
     from quakemigrate_tpu.ops.scan_window import fused_kurtosis_onsets
 
-    def _fn(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
-            perm):
+    def _one(channels, chan_mask, slot_mask, nkurt, fine_t, base, valid,
+             perm):
         combined, available = fused_kurtosis_onsets(
             channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
             min_onset_value,
         )
+        if batch_axis is not None:
+            available = jnp.maximum(available, 1.0)
         return _mxu_local_combine(
             combined, slot_mask, available, fine_t, base, valid, perm,
             fsmp, nsamples, n_nodes_real, tile, r_spans, sblk, grid_axis,
             interpret, precision,
         )
 
+    in_specs = (
+        P(), P(), P(), P(),
+        P(grid_axis, None, None), P(grid_axis, None),
+        P(grid_axis, None, None), P(grid_axis),
+    )
+    out_specs = (P(), P(), P())
+    fn = _one
+    if batch_axis is not None:
+        in_specs, out_specs = _batch_specs(in_specs, out_specs, batch_axis, 3)
+        fn = _batchify(_one, 3)
+
     sharded = shard_map(
-        _fn,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(),
-            P(grid_axis, None, None), P(grid_axis, None),
-            P(grid_axis, None, None), P(grid_axis),
-        ),
-        out_specs=(P(), P(), P()),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -321,7 +390,7 @@ def make_sharded_detect_fused_kurtosis_mxu(
 
 def make_sharded_detect_fused_kurtosis(
     mesh, nsmooth, taper_pad, min_onset_value, fsmp, nsamples,
-    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid",
+    n_nodes_real, tile=DEFAULT_TILE, grid_axis="grid", batch_axis=None,
 ):
     """
     Mesh-sharded version of
@@ -330,26 +399,33 @@ def make_sharded_detect_fused_kurtosis(
     (onset front-end replicated per device, migration sharded).
     Signature:
     ``f(channels, chan_mask, slot_mask, nkurt, traveltimes_padded)``.
+    ``batch_axis`` as in :func:`make_sharded_detect_fused`.
 
     """
 
     from quakemigrate_tpu.ops.scan_window import fused_kurtosis_onsets
 
-    def _fn(channels, chan_mask, slot_mask, nkurt, tt_local):
+    def _one(channels, chan_mask, slot_mask, nkurt, tt_local):
         combined, available = fused_kurtosis_onsets(
             channels, chan_mask, slot_mask, nkurt, nsmooth, taper_pad,
             min_onset_value,
         )
+        if batch_axis is not None:
+            available = jnp.maximum(available, 1.0)
         return _local_reduce_combine(
             combined, slot_mask, available, tt_local, fsmp, nsamples,
             n_nodes_real, tile, grid_axis,
         )
 
+    in_specs = (P(), P(), P(), P(), P(grid_axis, None))
+    out_specs = (P(), P(), P())
+    fn = _one
+    if batch_axis is not None:
+        in_specs, out_specs = _batch_specs(in_specs, out_specs, batch_axis, 3)
+        fn = _batchify(_one, 3)
+
     sharded = shard_map(
-        _fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(grid_axis, None)),
-        out_specs=(P(), P(), P()),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -103,6 +103,12 @@ class QuakeScan:
         # "bf16hl" (bf16 hi/lo pair).
         "mxu_encoding": "i8x3",
         "detect_batch": 1,
+        # Detect drain-pipe depth (batches of dispatched-but-unfetched
+        # results). This is the stall budget for transient relay/host
+        # fetch slowdowns: dispatch only blocks once this many batches
+        # queue behind a slow fetch. Results are tiny (three arrays of
+        # nsamples per window) so memory cost is negligible.
+        "detect_drain_depth": 8,
         "locate_map_memory_limit": 4e9,
         # Post-processing worker threads for locate: location/uncertainty
         # math, picks, magnitudes and file writes for event i overlap the
@@ -174,6 +180,7 @@ class QuakeScan:
         for option, default in self._OPTION_DEFAULTS.items():
             setattr(self, option, kwargs.get(option, default))
         self.detect_batch = max(1, int(self.detect_batch))
+        self.detect_drain_depth = max(1, int(self.detect_drain_depth))
         self.locate_workers = max(0, int(self.locate_workers))
         if self.kernel not in ("auto", "mxu", "xla"):
             raise ValueError(
@@ -420,6 +427,7 @@ class QuakeScan:
 
         import jax
 
+        batch_axis = "batch" if self._mesh_batch_size() else None
         use_mxu = self._mxu_mesh_active
         if use_mxu:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -461,7 +469,7 @@ class QuakeScan:
                     self._sharded_detect_fused = (
                         make_sharded_detect_fused_kurtosis_mxu(
                             self.mesh, nsmooth, taper_pad, min_onset,
-                            **common,
+                            batch_axis=batch_axis, **common,
                         )
                     )
                 else:
@@ -471,7 +479,7 @@ class QuakeScan:
                             self.onset.position,
                             self.onset.signal_transform,
                             float(self.onset.min_onset_value),
-                            **common,
+                            batch_axis=batch_axis, **common,
                         )
                     )
                 return
@@ -489,6 +497,7 @@ class QuakeScan:
             self._sharded_detect_fused = make_sharded_detect_fused_kurtosis(
                 self.mesh, nsmooth, taper_pad, min_onset,
                 fsmp, nsamples, self._n_nodes, tile=self.tile,
+                batch_axis=batch_axis,
             )
         else:
             self._sharded_detect_fused = make_sharded_detect_fused(
@@ -497,6 +506,7 @@ class QuakeScan:
                 self.onset.signal_transform,
                 float(self.onset.min_onset_value),
                 fsmp, nsamples, self._n_nodes, tile=self.tile,
+                batch_axis=batch_axis,
             )
 
     def _device_inputs(self, onsets, onset_data):
@@ -590,7 +600,14 @@ class QuakeScan:
         # _detect_loop. Benchmarks read this to report percentile
         # throughput: with the relay-attached TPU, transient tunnel slow
         # episodes can drag a whole-day mean while the median is healthy.
+        # detect_batch_attrib carries the per-batch attribution (read_wait /
+        # prepare / dispatch / drain_wait seconds on the main thread) and
+        # detect_drain_marks the drain worker's per-batch device-fetch and
+        # scanmseed-append seconds, so a slow mean is attributable to a
+        # stage instead of guessed at (round-4 review finding).
         self.detect_batch_marks = []
+        self.detect_batch_attrib = []
+        self.detect_drain_marks = []
 
         self._continuous_compute(starttime, n_steps, seed_stream)
 
@@ -750,7 +767,7 @@ class QuakeScan:
         # appends chronological.
         reader = ThreadPoolExecutor(max_workers=1)
         drainer = ThreadPoolExecutor(max_workers=1)
-        batch_size = 1 if self.mesh is not None else self.detect_batch
+        batch_size = self._detect_batch_size()
         reads = {
             i: reader.submit(self.archive.read_waveform_data, *window(i))
             for i in range(min(2 * batch_size, n_steps))
@@ -775,6 +792,31 @@ class QuakeScan:
         ).fillna(0).astype(int)
         write_availability(self.run, availability_df)
 
+    def _mesh_batch_size(self):
+        """
+        Fixed window-batch size for the fused batch x grid mesh path, or
+        None when no mesh batch axis exists. Rounded up to a whole
+        multiple of the mesh's batch extent so windows shard evenly
+        (inert pad windows fill the remainder); at least one window per
+        batch shard, so a 2-D mesh batches windows even at the default
+        detect_batch=1.
+
+        """
+
+        if self.mesh is None or "batch" not in self.mesh.axis_names:
+            return None
+        nb = self.mesh.shape["batch"]
+        return -(-max(self.detect_batch, nb) // nb) * nb
+
+    def _detect_batch_size(self):
+        """Windows per detect dispatch: detect_batch on one device; under
+        a mesh, 1 unless the mesh has a "batch" axis (then the rounded
+        window batch shards over it)."""
+
+        if self.mesh is None:
+            return self.detect_batch
+        return self._mesh_batch_size() or 1
+
     def _detect_loop(self, reader, drainer, reads, drains, coalescence,
                      availability, availability_cols, starttime, n_steps,
                      batch_size, window):
@@ -793,6 +835,7 @@ class QuakeScan:
                 drains.pop(0).result()
 
         marks = getattr(self, "detect_batch_marks", None)
+        attrib = getattr(self, "detect_batch_attrib", None)
         t_mark = perf_counter()
         for batch_start in range(0, n_steps, batch_size):
             steps = list(range(batch_start, min(batch_start + batch_size,
@@ -805,6 +848,7 @@ class QuakeScan:
                         self.archive.read_waveform_data, *window(j)
                     )
 
+            t_read = t_prep = t_disp = t_back = 0.0
             prepared = {}
             for i in steps:
                 w_beg, w_end = window(i)
@@ -815,8 +859,12 @@ class QuakeScan:
                     ).center(110, "~")
                 )
                 try:
+                    t0 = perf_counter()
                     data = reads.pop(i).result()
+                    t1 = perf_counter()
+                    t_read += t1 - t0
                     prepared[i] = self._prepare_window(data)
+                    t_prep += perf_counter() - t1
                 except (
                     util.ArchiveEmptyException,
                     util.DataGapException,
@@ -846,6 +894,7 @@ class QuakeScan:
             # and onset preprocessing, and the device computes the batch
             # just dispatched.
             if prepared:
+                t0 = perf_counter()
                 results = self._run_detect_batch(prepared)
                 for r in results.values():
                     # Start the device->host copy now; the drain then
@@ -855,17 +904,31 @@ class QuakeScan:
                         if hasattr(part, "copy_to_host_async"):
                             part.copy_to_host_async()
                 submit_drain(prepared, results)
-            # Backpressure: keep at most two batches in the drain pipe so
-            # device-queue depth and host buffering stay bounded (and any
-            # drain failure surfaces within two batches).
-            while len(drains) > 2:
+                t_disp = perf_counter() - t0
+            # Backpressure: bound the drain pipe so device-queue depth and
+            # host buffering stay bounded. The depth (detect_drain_depth,
+            # default 8 batches) is the stall budget: a transient relay
+            # slow episode on one fetch blocks dispatch only after this
+            # many batches pile up behind it, so the device rides through
+            # stalls up to ~depth x the per-batch time (round-4 finding:
+            # depth 2 let single relay stalls drag the day-scan mean 3.5x
+            # below the median).
+            t0 = perf_counter()
+            while len(drains) > self.detect_drain_depth:
                 drains.pop(0).result()
             if batch_start + batch_size >= n_steps:
                 join_drains()
+            t_back = perf_counter() - t0
+            now = perf_counter()
             if marks is not None:
-                now = perf_counter()
                 marks.append((len(steps), now - t_mark))
-                t_mark = now
+            if attrib is not None:
+                attrib.append({
+                    "n": len(steps), "total": now - t_mark,
+                    "read_wait": t_read, "prepare": t_prep,
+                    "dispatch": t_disp, "drain_wait": t_back,
+                })
+            t_mark = now
 
     def _drain_detect_results(self, coalescence, availability, starttime,
                               prepared, results):
@@ -873,15 +936,20 @@ class QuakeScan:
 
         from quakemigrate_tpu.ops.scan_window import unpack_detect_window
 
+        drain_marks = getattr(self, "detect_drain_marks", None)
+        t_fetch = t_append = 0.0
         for i in sorted(prepared):
             step_label = str(starttime + self.timestep * i)
             data, onset_data = prepared[i]["data"], prepared[i]["onset_data"]
+            t0 = perf_counter()
             if isinstance(results[i], tuple):  # batched path: three arrays
                 max_coa, max_coa_n, max_idx = (
                     np.asarray(a) for a in results[i]
                 )
             else:  # per-window dispatch: one packed fetch per window
                 max_coa, max_coa_n, max_idx = unpack_detect_window(results[i])
+            t1 = perf_counter()
+            t_fetch += t1 - t0
             coord = self.lut.index2coord(max_idx, unravel=True)
             coalescence.append(
                 data.starttime + self.pre_pad,
@@ -891,6 +959,11 @@ class QuakeScan:
                 self.lut.unit_conversion_factor,
             )
             availability[step_label] = onset_data.availability
+            t_append += perf_counter() - t1
+        if drain_marks is not None:
+            drain_marks.append({
+                "n": len(prepared), "fetch": t_fetch, "append": t_append,
+            })
 
     # ------------------------------------------------------------------
     # locate internals
@@ -1204,15 +1277,21 @@ class QuakeScan:
 
             nsamples = sample["fused"][0].shape[-1] - fsmp - lsmp
             kind = sample["fused_kind"]
+            mesh_batch = self._mesh_batch_size()
 
             if (self.mesh is not None
                     and self._sharded_fused_key
                     != (kind, fsmp, nsamples, self.mxu_encoding,
-                        self.kernel, self.tile)):
+                        self.kernel, self.tile, mesh_batch)):
                 self._build_sharded_detect_fused(kind, fsmp, nsamples)
                 self._sharded_fused_key = (
                     kind, fsmp, nsamples, self.mxu_encoding, self.kernel,
-                    self.tile,
+                    self.tile, mesh_batch,
+                )
+
+            if self.mesh is not None and mesh_batch:
+                return self._run_fused_mesh_batched(
+                    prepared, keys, mesh_batch
                 )
 
             results = {}
@@ -1290,7 +1369,7 @@ class QuakeScan:
         nsamples = sample["block"].shape[-1] - fsmp - lsmp
 
         batch_size = 1 if self.mesh is not None else self.detect_batch
-        if batch_size == 1:
+        if batch_size == 1:  # incl. every mesh path (non-fused)
             results = {}
             with jax.profiler.TraceAnnotation("qm_migrate_detect"):
                 for i in keys:
@@ -1318,6 +1397,42 @@ class QuakeScan:
 
         return {
             i: (max_coa[j], max_norm[j], max_idx[j])
+            for j, i in enumerate(keys)
+        }
+
+    def _run_fused_mesh_batched(self, prepared, keys, mesh_batch):
+        """
+        Dispatch one batch of fused windows over the 2-D batch x grid mesh
+        as a SINGLE device call: channels/chan_mask/slot_mask stack along
+        a leading window axis (sharded over "batch"), padded to the fixed
+        ``mesh_batch`` size with inert windows (all-ones channels, zero
+        masks -- discarded on unpack) so shapes stay constant. The shared
+        per-slot window lengths (nsta/nlta or nkurt) come from the first
+        window; they are onset-config constants, identical across windows.
+
+        """
+
+        import jax
+
+        first = prepared[keys[0]]["fused"]
+        rest = first[3:]
+        channels = np.ones((mesh_batch,) + first[0].shape,
+                           dtype=first[0].dtype)
+        chan_mask = np.zeros((mesh_batch,) + first[1].shape,
+                             dtype=first[1].dtype)
+        slot_mask = np.zeros((mesh_batch,) + first[2].shape,
+                             dtype=first[2].dtype)
+        for j, i in enumerate(keys):
+            f = prepared[i]["fused"]
+            channels[j], chan_mask[j], slot_mask[j] = f[0], f[1], f[2]
+
+        with jax.profiler.TraceAnnotation("qm_detect_fused_batched"):
+            out = self._sharded_detect_fused(
+                channels, chan_mask, slot_mask, *rest,
+                *self._sharded_fused_extra,
+            )
+        return {
+            i: (out[0][j], out[1][j], out[2][j])
             for j, i in enumerate(keys)
         }
 

@@ -296,6 +296,43 @@ def main():
     ) if marks else np.array([wall])
     p10, p50, p90 = np.percentile(per_window, [10, 50, 90])
 
+    # Per-batch stage attribution (round-4 review: the 3.5x mean-vs-median
+    # straggler tail was blamed on the relay without evidence). Main-thread
+    # seconds split into read_wait (archive read), prepare (host onsets),
+    # dispatch (device call + H2D under the relay) and drain_wait
+    # (backpressure on the fetch worker); "other" is loop overhead. The
+    # drain worker's own fetch/append seconds run overlapped and are
+    # reported for reference. Straggler shares say where the tail
+    # (batches > 2x median) spends its time.
+    attribution = {}
+    attrib = getattr(scan, "detect_batch_attrib", []) or []
+    if attrib:
+        totals = np.array([a["total"] for a in attrib])
+        stages = ("read_wait", "prepare", "dispatch", "drain_wait")
+        sums = {s: float(sum(a[s] for a in attrib)) for s in stages}
+        sums["other"] = float(totals.sum() - sum(sums.values()))
+        attribution = {
+            f"attrib_{s}_s": round(v, 1) for s, v in sums.items()
+        }
+        straggler = totals > 2 * np.median(totals)
+        if straggler.any():
+            tail_total = totals[straggler].sum()
+            attribution["straggler_batches"] = int(straggler.sum())
+            attribution["straggler_seconds"] = round(float(tail_total), 1)
+            for s in stages:
+                part = sum(a[s] for a, t in zip(attrib, straggler) if t)
+                attribution[f"straggler_{s}_share"] = round(
+                    float(part / tail_total), 3
+                )
+    drain = getattr(scan, "detect_drain_marks", []) or []
+    if drain:
+        attribution["drain_fetch_s"] = round(
+            sum(d["fetch"] for d in drain), 1
+        )
+        attribution["drain_append_s"] = round(
+            sum(d["append"] for d in drain), 1
+        )
+
     # Which migration kernel actually ran? (must be the blocked MXU)
     kernel = scan._mxu if scan._mxu not in (None, False) else None
     kernel_desc = (
@@ -342,6 +379,7 @@ def main():
         "realtime_factor_p50": round(TIMESTEP / p50, 1),
         "static_threshold": STATIC_THRESHOLD,
         "events_triggered": int(len(trig_table)),
+        **attribution,
         **recovery,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
