@@ -57,7 +57,6 @@ class ScanmSEED:
                 data=np.round(values * scale).astype(np.int32),
                 header={**shared_header, "station": name},
             )
-        self.stream.merge(method=-1)
         self.written = False
 
         self._flush_on_day_boundary()
@@ -65,19 +64,32 @@ class ScanmSEED:
             self.write()
 
     def _flush_on_day_boundary(self):
-        """Write out (and drop) any complete day the stream now contains."""
+        """
+        Write out (and drop) any complete day the stream now contains.
 
-        stats = self.stream[0].stats
-        day_end = UTCDateTime(stats.starttime.date) + _DAY - stats.delta
-        if stats.endtime == day_end:
+        The stream stays UNMERGED between appends -- merging after every
+        timestep re-copies the whole accumulated day, O(day^2) in total:
+        the round-5 attribution measured it at 310 s of a 371 s day scan
+        (drain_append_s in DAY_E2E.json). Appends are chronological (the
+        drain worker is single and ordered), so the first trace's start
+        and the last trace's end bound the coverage; :meth:`write` does
+        the one real merge (which still enforces the conflicting-overlap
+        contract).
+
+        """
+
+        start = self.stream[0].stats.starttime
+        last = self.stream[-1].stats
+        day_end = UTCDateTime(start.date) + _DAY - last.delta
+        if last.endtime == day_end:
             # The stream ends exactly at a day boundary: flush it whole.
             self.write()
             self.stream = Stream()
-        elif stats.starttime.julday != stats.endtime.julday:
+        elif start.julday != last.endtime.julday:
             logging.debug("Timestep doesn't fall at midnight!")
-            split = UTCDateTime(stats.endtime.date) - stats.delta
-            self.write(stats.starttime, split)
-            self.stream.trim(starttime=split + stats.delta)
+            split = UTCDateTime(last.endtime.date) - last.delta
+            self.write(start, split)
+            self.stream.trim(starttime=split + last.delta)
             self.written = False
 
     def empty(self, starttime, timestep, i, msg, ucf):
@@ -96,6 +108,8 @@ class ScanmSEED:
         outdir = self.run.path / "detect" / "scanmseed"
         outdir.mkdir(exist_ok=True, parents=True)
 
+        # The single merge point (appends accumulate unmerged segments).
+        self.stream.merge(method=-1)
         st = self.stream
         if write_start is not None and write_end is not None:
             st = st.slice(starttime=write_start, endtime=write_end)

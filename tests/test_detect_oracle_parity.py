@@ -190,3 +190,25 @@ def test_detect_scanmseed_int32_parity(scanmseed_pair):
             f"(first at {mismatch[:5]}, "
             f"ours={a.data[mismatch[:5]]}, ref={b.data[mismatch[:5]]})"
         )
+
+
+def test_detect_scanmseed_merge_contract(scanmseed_pair):
+    """
+    The reference's benchmark-suite assertion, on a reference-generated
+    synthetic day (ref tests/test_benchmarks.py:101-105): the repo's day
+    stream ADDED to the reference-chain day stream must merge
+    conflict-free -- merge(method=-1) raises on any overlapping sample
+    whose int32 values disagree, so this pins the full detect -> scale ->
+    round -> STEIM encode -> decode contract, not just the in-memory
+    arrays.
+
+    """
+
+    ours, theirs = scanmseed_pair
+    combined = read(str(ours)) + read(str(theirs))
+    assert len(combined) == 10
+    combined.merge(method=-1)  # util.MergeError on any conflicting sample
+    assert len(combined) == 5
+    npts = read(str(ours)).select(station="COA")[0].stats.npts
+    for tr in combined:
+        assert tr.stats.npts == npts, tr.stats.station
