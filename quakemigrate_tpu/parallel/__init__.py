@@ -119,6 +119,42 @@ def make_sharded_detect(
     return jax.jit(sharded)
 
 
+def make_sharded_marginalise(
+    mesh, fsmp, nsamples, tile=DEFAULT_TILE, grid_axis="grid",
+):
+    """
+    Build a jitted, mesh-sharded window marginalisation -- the second
+    pass of the two-pass locate (pass 1 = the fused reduce that finds
+    the origin time). Each device marginalises its own slab of grid
+    nodes over the dynamic [window_start, window_start + window_length)
+    sample window; the outputs concatenate along the node axis with no
+    collective (the marginalised map is per-node).
+
+    The returned function has signature
+    ``f(onsets, traveltimes, mask, available, window_start,
+    window_length) -> coa_3d_flat [N_padded]`` where ``traveltimes``
+    [N_padded, O] is sharded over ``grid_axis`` (N_padded must divide
+    evenly; see :func:`pad_nodes_for_mesh`) -- the caller drops the
+    padded tail rows.
+
+    """
+
+    from quakemigrate_tpu.ops.migrate import migrate_marginalise
+
+    def _local(onsets, tt_local, mask, available, wstart, wlength):
+        return migrate_marginalise(
+            onsets, tt_local, mask, available, fsmp, nsamples,
+            wstart, wlength, tile=tile,
+        )
+
+    in_specs = (P(), P(grid_axis, None), P(), P(), P(), P())
+    sharded = shard_map(
+        _local, mesh=mesh, in_specs=in_specs, out_specs=P(grid_axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _batch_specs(in_specs, out_specs, batch_axis, n_batched):
     """
     Prepend a batch dimension (sharded over ``batch_axis``) to the first

@@ -214,6 +214,8 @@ class QuakeScan:
         self._slot_index = None
         self._sharded_detect = None
         self._sharded_detect_key = None
+        self._sharded_marginalise = None
+        self._sharded_marginalise_key = None
         self._sharded_detect_fused = None
         self._sharded_fused_key = None
         self._mxu = None
@@ -1096,16 +1098,30 @@ class QuakeScan:
         if event.map4d is not None:
             return None
 
-        from quakemigrate_tpu.ops.migrate import migrate_marginalise
-
         onset_block, mask, available, fsmp, nsamples = (
             event._marginalise_inputs
         )
         i0, i1 = event.trim_bounds
-        coa_flat = migrate_marginalise(
-            onset_block, self._device_tt[: self._n_nodes], mask,
-            available, fsmp, nsamples, i0, i1 - i0, tile=self.tile,
-        )
+        if self.mesh is not None:
+            # Each device marginalises its own node slab (no collective);
+            # drop the mesh-padding tail rows on the way out.
+            if self._sharded_marginalise_key != (fsmp, nsamples, self.tile):
+                from quakemigrate_tpu.parallel import make_sharded_marginalise
+
+                self._sharded_marginalise = make_sharded_marginalise(
+                    self.mesh, fsmp, nsamples, tile=self.tile
+                )
+                self._sharded_marginalise_key = (fsmp, nsamples, self.tile)
+            coa_flat = self._sharded_marginalise(
+                onset_block, self._device_tt, mask, available, i0, i1 - i0
+            )[: self._n_nodes]
+        else:
+            from quakemigrate_tpu.ops.migrate import migrate_marginalise
+
+            coa_flat = migrate_marginalise(
+                onset_block, self._device_tt[: self._n_nodes], mask,
+                available, fsmp, nsamples, i0, i1 - i0, tile=self.tile,
+            )
         if hasattr(coa_flat, "copy_to_host_async"):
             coa_flat.copy_to_host_async()
         return coa_flat
