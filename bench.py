@@ -65,11 +65,11 @@ FALLBACK_BASELINE = None
 # --- chip/engine ceilings for the MFU & bound analysis ------------------
 # v5e MXU peak: 197 TFLOP/s bf16 = 98.5e12 MAC/s; int8 runs at 2x
 # (microbenched in docs/performance.md "int8 3-word table encoding").
-V5E_PEAK_MACS = {"bf16hl": 98.5e12, "i8x3": 197.0e12}
+V5E_PEAK_MACS = {"bf16hl": 98.5e12, "i8x3": 197.0e12, "i8x2": 197.0e12}
 # Words per encoded table element = dots per sample block (bf16 hi/lo
-# pair vs int8 fixed-point triple).
-N_DOTS = {"bf16hl": 2, "i8x3": 3}
-W_BYTES = {"bf16hl": 2, "i8x3": 1}
+# pair vs int8 fixed-point triple/pair).
+N_DOTS = {"bf16hl": 2, "i8x3": 3, "i8x2": 2}
+W_BYTES = {"bf16hl": 2, "i8x3": 1, "i8x2": 1}
 # Measured HBM->VMEM streaming floor (experiments/exp_dma_probe.py
 # --stream: 360-410 GB/s across slice shapes).
 DMA_FLOOR_BPS = 385e9

@@ -72,6 +72,8 @@ def main():
             ("i8x3", 512, (8, 8, 8), 2048),
             ("i8x3", 512, (8, 8, 8), 4096),
             ("i8x3", 1024, (16, 8, 8), 2048),
+            ("i8x2", 512, (8, 8, 8), 2048),
+            ("i8x2", 1024, (16, 8, 8), 2048),
         ):
             sblk_eff = min(sblk, _round_up(nsamples, 128))
             try:

@@ -57,44 +57,59 @@ I8_VMIN = float(np.log(1e-2))
 I8_VMAX = float(np.log(1e9))
 
 
-def _i8_terms(n_onsets):
-    """Static (scales, constant) of the 3-word int8 decomposition."""
+def _i8_terms(n_onsets, n_words=3):
+    """Static (scales, constant) of the n-word int8 decomposition."""
 
     c = 0.5 * (I8_VMIN + I8_VMAX)
-    s1 = (I8_VMAX - I8_VMIN) / 254.0
-    return (s1, s1 / 254.0, s1 / 254.0 / 254.0), float(n_onsets) * c
+    s = (I8_VMAX - I8_VMIN) / 254.0
+    scales = []
+    for _ in range(n_words):
+        scales.append(s)
+        s /= 254.0
+    return tuple(scales), float(n_onsets) * c
 
 
-def _encode_i8(table):
-    """f32 table -> three int8 words: v ~ c + s1*w1 + s2*w2 + s3*w3."""
+def _encode_i8(table, n_words=3):
+    """f32 table -> n int8 words: v ~ c + sum_i scales[i] * w[i]."""
 
-    (s1, s2, s3), _ = _i8_terms(1)
+    scales, _ = _i8_terms(1, n_words)
     c = 0.5 * (I8_VMIN + I8_VMAX)
-    u = jnp.clip(table, I8_VMIN, I8_VMAX) - c
-    w1 = jnp.round(u / s1)
-    r = u - w1 * s1
-    w2 = jnp.round(r / s2)
-    r = r - w2 * s2
-    w3 = jnp.round(r / s3)
-    return tuple(w.astype(jnp.int8) for w in (w1, w2, w3))
+    r = jnp.clip(table, I8_VMIN, I8_VMAX) - c
+    words = []
+    for s in scales:
+        w = jnp.round(r / s)
+        r = r - w * s
+        words.append(w.astype(jnp.int8))
+    return tuple(words)
 
 
-def _i8_zero_words():
-    """The three int8 words encoding the value 0.0 (a masked onset's
-    log), used as the table pad so padded rows/columns decode to ~0 --
+def _i8_zero_words(n_words=3):
+    """The int8 words encoding the value 0.0 (a masked onset's log),
+    used as the table pad so padded rows/columns decode to ~0 --
     matching the bf16 path's zero padding instead of decoding to the
     range centre c (which, divided by a small ``available``, could
     overflow exp in the padded sample columns)."""
 
-    (s1, s2, s3), _ = _i8_terms(1)
+    scales, _ = _i8_terms(1, n_words)
     c = 0.5 * (I8_VMIN + I8_VMAX)
-    u = -c
-    w1 = round(u / s1)
-    r = u - w1 * s1
-    w2 = round(r / s2)
-    r = r - w2 * s2
-    w3 = round(r / s3)
-    return int(w1), int(w2), int(w3)
+    r = -c
+    words = []
+    for s in scales:
+        w = round(r / s)
+        r = r - w * s
+        words.append(int(w))
+    return tuple(words)
+
+
+def _i8_n_words(precision):
+    """Word count of an ``i8x<n>`` precision string, or None for bf16."""
+
+    if precision.startswith("i8x"):
+        n = int(precision[3:])
+        if not 1 <= n <= 4:
+            raise ValueError(f"unsupported int8 word count: {precision!r}")
+        return n
+    return None
 
 
 def _round_up(x, m):
@@ -387,7 +402,7 @@ def _mxu_detect_kernel(base_ref, inv_avail_ref, fine_ref, valid_ref,
     # rest = per-word table refs, then 3 output refs, then 3 scratch.
     # ``i8_terms`` is None for the bf16 hi/lo pair, or the static
     # (scales, constant) of the 3-word int8 fixed-point decomposition.
-    n_words = 2 if i8_terms is None else 3
+    n_words = 2 if i8_terms is None else len(i8_terms[0])
     tables = rest[:n_words]
     max_ref, arg_ref, sum_ref = rest[n_words:n_words + 3]
     a_slots, onehot, sems = rest[n_words + 3:]
@@ -557,7 +572,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
     # encoded words -- at day-scale windows the f32 table is ~1.4 GB and
     # skipping it (plus its multi-pass encode traffic) is a measurable
     # per-window saving on the critical path.
-    i8 = precision == "i8x3"
+    i8_words = _i8_n_words(precision)
 
     def expand(trace, pad_value=0):
         tw, d_max = _build_shift_table(trace, fsmp, nsamples)
@@ -567,7 +582,7 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
             constant_values=pad_value,
         )
 
-    if i8:
+    if i8_words is not None:
         # Pad rows/samples hold the encoding of 0.0 (a masked onset's
         # log) so they decode to ~0 like the bf16 path's zero padding --
         # an all-zero int8 pad would decode to the range centre c, and
@@ -575,10 +590,11 @@ def mxu_detect_reduce(onsets, mask, available, fine_t, base, valid, perm,
         # sample columns when most onsets are masked.
         words = tuple(
             expand(w, pad) for w, pad in zip(
-                _encode_i8(onsets_log), _i8_zero_words()
+                _encode_i8(onsets_log, i8_words),
+                _i8_zero_words(i8_words),
             )
         )
-        i8_terms = _i8_terms(n_onsets)
+        i8_terms = _i8_terms(n_onsets, i8_words)
         w_dtype = jnp.int8
     else:
         # reduce_precision guarantees the bf16 rounding actually happens --
@@ -824,8 +840,9 @@ def _mxu_vmem_bytes(tile, k_dim, n_onsets, sblk, precision="i8x3"):
     """
 
     s_pad = _round_up(sblk, LANE)
-    if precision == "i8x3":
-        n_words, w_bytes = 3, 1
+    i8_words = _i8_n_words(precision)
+    if i8_words is not None:
+        n_words, w_bytes = i8_words, 1
         # sequential int32 dot result + its f32 cast, alive with the
         # accumulator during each scaled add
         dot_temps = 2 * tile * s_pad * 4
@@ -935,7 +952,7 @@ def _config_score(span_sum, sblk, tile, nsamples):
 
 
 def make_mxu_detect(traveltimes, node_count, fsmp, nsamples, interpret=False,
-                    precision="i8x3"):
+                    precision="i8x2"):
     """
     Build the MXU detect kernel with the measured-cheapest (tile,
     sample-block) config whose scratch fits the VMEM budget for this

@@ -74,13 +74,19 @@ class QuakeScan:
         Shard the grid-node axis over this device mesh.
     tile : int, optional
         Node-tile size for the fused reduction (default 4096).
-    mxu_encoding : {"i8x3", "bf16hl"}, optional
-        Table encoding of the Pallas MXU migration kernel. "i8x3"
-        (default) decomposes the log-onset Hankel table into three int8
-        fixed-point words -- v5e runs int8 matmuls at 2x the bf16 rate,
-        so the triple costs ~0.75x the "bf16hl" hi/lo pair on the MXU
-        with ~20x tighter absolute error (measured 566 vs 490 G/s at
-        the day-scale window).
+    mxu_encoding : {"i8x2", "i8x3", "bf16hl"}, optional
+        Table encoding of the Pallas MXU migration kernel, trading int8
+        fixed-point words (v5e runs int8 matmuls at 2x the bf16 rate)
+        against worst-case absolute log-domain error. "i8x2" (default)
+        uses two words: the fewest MACs and table bytes on the
+        matmul-bound step (measured 1.35x "i8x3" at the day-scale
+        window) at error 2.0e-4 -- ~2e-4 relative on the coalescence,
+        far below the physical noise floor of bandpassed onset
+        functions and the bench parity gate (5e-4). "i8x3" adds a third
+        word (error 7.7e-7, ~20x tighter than "bf16hl"'s bf16 hi/lo
+        pair) for bit-near-f32 work. Locate accuracy is unaffected
+        either way: the marginalisation/retained-map path runs the XLA
+        f32 kernel.
 
     """
 
@@ -97,11 +103,11 @@ class QuakeScan:
         # real TPU hardware (measured ~1.7x the XLA path) and the XLA
         # shift-table row gather elsewhere; "xla"/"mxu" force one.
         "kernel": "auto",
-        # MXU table encoding: "i8x3" (three int8 fixed-point words; v5e
-        # runs int8 matmuls at 2x the bf16 rate, measured ~1.15x the
-        # bf16 pair end-to-kernel with ~20x tighter absolute error) or
-        # "bf16hl" (bf16 hi/lo pair).
-        "mxu_encoding": "i8x3",
+        # MXU table encoding: "i8x2" (two int8 fixed-point words; the
+        # fastest matmul-bound step, error 2e-4 in log domain -- far
+        # below detect's physical noise floor), "i8x3" (third word,
+        # error 7.7e-7) or "bf16hl" (bf16 hi/lo pair).
+        "mxu_encoding": "i8x2",
         "detect_batch": 1,
         # Detect drain-pipe depth (batches of dispatched-but-unfetched
         # results). This is the stall budget for transient relay/host
@@ -187,9 +193,9 @@ class QuakeScan:
                 f"kernel must be 'auto', 'mxu' or 'xla', got "
                 f"{self.kernel!r}"
             )
-        if self.mxu_encoding not in ("i8x3", "bf16hl"):
+        if self.mxu_encoding not in ("i8x3", "i8x2", "bf16hl"):
             raise ValueError(
-                f"mxu_encoding must be 'i8x3' or 'bf16hl', got "
+                f"mxu_encoding must be 'i8x3', 'i8x2' or 'bf16hl', got "
                 f"{self.mxu_encoding!r}"
             )
         if self.compilation_cache:
@@ -380,9 +386,9 @@ class QuakeScan:
 
         # Re-validate here (not just in __init__): options are plain
         # attributes and may be reassigned between stages.
-        if self.mxu_encoding not in ("i8x3", "bf16hl"):
+        if self.mxu_encoding not in ("i8x3", "i8x2", "bf16hl"):
             raise ValueError(
-                f"mxu_encoding must be 'i8x3' or 'bf16hl', got "
+                f"mxu_encoding must be 'i8x3', 'i8x2' or 'bf16hl', got "
                 f"{self.mxu_encoding!r}"
             )
         cache_key = (fsmp, nsamples, self.mxu_encoding)

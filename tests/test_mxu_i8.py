@@ -165,3 +165,73 @@ def test_scan_rejects_unknown_encoding(tmp_path):
         QuakeScan("not_an_archive", lut, onset=onset,
                   run_path=tmp_path, run_name="t",
                   mxu_encoding="fp4")
+
+
+def test_i8x2_encoding_error_bound():
+    """2-word decode error stays within s2/2 = R/(2*254^2) over the full
+    representable range -- ~2e-4 in log domain, ~2e-4 relative on the
+    coalescence: far below detect's physical noise floor (the bench
+    parity gate is 5e-4) but looser than i8x3/bf16hl, so i8x2 is the
+    opt-in detect encoding, never the locate default."""
+
+    import jax
+
+    from quakemigrate_tpu.ops.pallas_migrate import _i8_n_words
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.uniform(I8_VMIN, I8_VMAX, 20000),
+        np.array([I8_VMIN, I8_VMAX, 0.0]),
+    ]).astype(np.float32).reshape(1, -1)
+
+    w1, w2 = [np.asarray(w, np.float32)
+              for w in jax.jit(lambda v: _encode_i8(v, 2))(vals)]
+    (s1, s2), _ = _i8_terms(1, 2)
+    c = 0.5 * (I8_VMIN + I8_VMAX)
+    decoded = c + s1 * w1 + s2 * w2
+    bound = (I8_VMAX - I8_VMIN) / (2 * 254 * 254)
+    assert np.abs(decoded - vals).max() <= 1.05 * bound
+    for w in (w1, w2):
+        assert np.abs(w).max() <= 127
+    assert _i8_n_words("i8x2") == 2
+    assert _i8_n_words("bf16hl") is None
+    with pytest.raises(ValueError, match="word count"):
+        _i8_n_words("i8x9")
+
+
+def test_i8x2_kernel_matches_xla():
+    """i8x2 kernel vs the XLA f32 reference: within the 2-word bound
+    (coalescence rel err ~2e-4 < the 5e-4 bench parity gate), same
+    masked-onset semantics and plan layout as i8x3."""
+
+    rng = np.random.default_rng(17)
+    dims = (9, 7, 6)
+    n_onsets, fsmp, nsamples, lsmp = 5, 12, 300, 45
+    tt = _geometry(rng, dims, n_onsets, lsmp)
+    onsets = rng.gamma(2.0, 1.5,
+                       size=(n_onsets, fsmp + nsamples + lsmp)).astype(
+        np.float32
+    )
+    mask = np.ones(n_onsets, dtype=np.float32)
+    mask[1] = 0.0
+    available = float(mask.sum())
+
+    ref = [
+        np.asarray(v)
+        for v in migrate_detect(onsets, tt, mask, available, fsmp,
+                                nsamples, tile=64)
+    ]
+    k2 = PallasDetectMXU(
+        tt, dims, fsmp, nsamples, tile=64, brick_shape=(4, 4, 4),
+        sblk=128, interpret=True, precision="i8x2",
+    )
+    k3 = PallasDetectMXU(
+        tt, dims, fsmp, nsamples, tile=64, brick_shape=(4, 4, 4),
+        sblk=128, interpret=True, precision="i8x3",
+    )
+    assert k2.r_spans == k3.r_spans  # same plan/DMA layout, 1 fewer word
+    got = [np.asarray(v) for v in k2(onsets, mask, available)]
+
+    np.testing.assert_allclose(got[0], ref[0], rtol=5e-4)
+    np.testing.assert_allclose(got[1], ref[1], rtol=5e-4)
+    assert (got[2] == ref[2]).mean() > 0.95

@@ -436,6 +436,10 @@ def test_fused_mesh_mxu_pipeline_matches_single(setup):
             archive, lut, onset=onset, run_path=str(root / "runs"),
             run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
             tile=64, fused_detect=True, kernel=kernel,
+            # Pin the tight 3-word encoding: this test checks the
+            # MXU-vs-XLA PIPELINE plumbing at <=1 int32 count, below the
+            # default i8x2 encoding's documented 2e-4 error.
+            mxu_encoding="i8x3",
         )
         scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:40.0")
         return (
@@ -480,7 +484,7 @@ def test_forced_mxu_kernel_single_device_cpu(setup):
         scan = QuakeScan(
             archive, lut, onset=onset, run_path=str(root / "runs"),
             run_name=name, marginal_window=1.0, timestep=5.0, tile=64,
-            fused_detect=True, kernel=kernel,
+            fused_detect=True, kernel=kernel, mxu_encoding="i8x3",
         )
         scan.detect("2021-02-18T12:00:20.0", "2021-02-18T12:00:30.0")
         return (

@@ -3,7 +3,7 @@
 Real-data golden-file parity ON HARDWARE, in the production
 configuration: the reference's committed Icequake_Iceland benchmark
 events re-located with QuakeScan defaults (float32, kernel="auto" ->
-Pallas MXU, mxu_encoding="i8x3") on the attached TPU, compared against
+Pallas MXU, mxu_encoding="i8x2") on the attached TPU, compared against
 the reference's published .event files (ref tests/test_benchmarks.py).
 
 The CPU twin (tests/test_benchmark_parity.py) runs precision="double"
@@ -78,7 +78,7 @@ def located_run(tmp_path_factory):
     onset.sta_lta_windows = {"P": [0.01, 0.25], "S": [0.05, 0.5]}
 
     # Production defaults: float32, kernel="auto" (-> MXU on TPU),
-    # mxu_encoding="i8x3".
+    # mxu_encoding="i8x2".
     scan = QuakeScan(
         archive, lut, onset=onset, run_path=str(root / "runs"),
         run_name="parity", marginal_window=0.06,

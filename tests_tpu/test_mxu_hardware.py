@@ -330,6 +330,10 @@ def test_scan_level_mesh_auto_uses_compiled_mxu(tmp_path):
             archive, lut, onset=onset, run_path=str(tmp_path / "runs"),
             run_name=name, marginal_window=1.0, timestep=5.0, mesh=mesh,
             tile=64, fused_detect=True, kernel=kernel,
+            # Pin the 3-word encoding: this checks the sharded-MXU
+            # pipeline plumbing at <=1 int32 count, below the default
+            # i8x2 encoding's documented 2e-4 error.
+            mxu_encoding="i8x3",
         )
         if mesh is not None:
             assert scan._mxu_mesh_active == (kernel == "auto"), (
@@ -367,7 +371,7 @@ def test_mxu_i8_and_bf16_encodings_compile_and_agree(workload):
     dims, tt, n_onsets, fsmp, _ = workload
     nsamples = 625
     outs = {}
-    for prec in ("bf16hl", "i8x3"):
+    for prec in ("bf16hl", "i8x3", "i8x2"):
         kernel = PallasDetectMXU(tt, dims, fsmp, nsamples, tile=512,
                                  brick_shape=(8, 8, 8), precision=prec)
         got, ref = _run_pair(dims, tt, n_onsets, fsmp, nsamples, kernel)
@@ -377,6 +381,12 @@ def test_mxu_i8_and_bf16_encodings_compile_and_agree(workload):
         np.abs(outs["bf16hl"][0]), 1e-30
     )
     assert rel.max() < 5e-5
+    # The default 2-word encoding lands within its documented bound
+    # (2e-4 absolute in log domain -> ~2e-4 relative on the coalescence).
+    rel2 = np.abs(outs["i8x2"][0] - outs["bf16hl"][0]) / np.maximum(
+        np.abs(outs["bf16hl"][0]), 1e-30
+    )
+    assert rel2.max() < 2.5e-4
 
 
 def test_kurtosis_fused_mxu_compiles_and_matches(workload):

@@ -10,7 +10,7 @@ path -- which is parity-tested against the reference C STA/LTA kernels at
 rtol 1e-12 in tests/test_ops.py). The sides then diverge:
 
 - TPU side: ``QuakeScan.locate()`` itself -- the production path
-  (Pallas i8x3 MXU or XLA migrate, f32, two-pass on-device
+  (Pallas int8 MXU or XLA migrate, f32, two-pass on-device
   marginalisation).
 - Reference side: the reference C ``migrate`` + ``find_max_coa``
   (float64, compiled at run time from the reference checkout via
