@@ -9,8 +9,12 @@ realistic homogeneous-moveout traveltime field.
 Protocol (single source of truth; docs/performance.md quotes this output):
 1. Parity gate — the device kernel (float32) must match the reference C
    kernels (float64, compiled from the reference checkout at run time) on
-   the same inputs: max relative coalescence error < 5e-4 and argmax node
-   within 1 grid node on every sample. Recorded as "parity_ok".
+   the same inputs: max relative coalescence error < 5e-4 on every
+   sample, and the argmax tie-consistent — the f64 oracle coalescence AT
+   the kernel's chosen node within 5e-4 relative of the true max (on
+   these random onsets the field is flat noise, so near-ties are not
+   spatial neighbours and a reduced-precision kernel may legally pick a
+   tied node far away). Recorded as "parity_ok".
 2. Device timing — best of 8 single-dispatch runs on distinct onset
    blocks; execution is forced by fetching the outputs
    (block_until_ready does not reliably block under this environment's
@@ -230,11 +234,20 @@ def _kernels(tt_flat, tt_dev, mask_dev):
     return {"xla_shift_table": xla, "pallas_mxu": mxu}, mxu_kernel
 
 
-def parity_gate(kernel_fn, onsets, ref_coa, ref_idx):
+def parity_gate(kernel_fn, onsets, ref_coa, ref_idx, ref_value_at=None):
     """
     Device f32 vs reference C f64 on identical inputs. Returns a dict with
     max relative coalescence error, worst argmax node distance, and the
     overall pass flag.
+
+    Argmax contract: ties are arbitrary. On these random synthetic onsets
+    the coalescence field is flat noise, so nodes within the encoding
+    tolerance of the max are NOT spatial neighbours — a reduced-precision
+    kernel may legally report a different node whose true (f64)
+    coalescence is within tolerance of the true max. When ``ref_value_at``
+    is given (a callable (flat_idx[t], t) -> f64 map values), the gate
+    checks that tie-consistency for every sample where the node differs;
+    otherwise it falls back to the strict <=1-node-distance rule.
 
     """
 
@@ -248,11 +261,23 @@ def parity_gate(kernel_fn, onsets, ref_coa, ref_idx):
     ref_ijk = np.column_stack(np.unravel_index(ref_idx, (NX, NY, NZ)))
     worst_node = int(np.abs(ours_ijk - ref_ijk).max(axis=1).max())
 
-    return {
-        "parity_ok": bool(rel_err < 5e-4 and worst_node <= 1),
+    if ref_value_at is None:
+        argmax_ok = worst_node <= 1
+        tie_err = None
+    else:
+        t = np.arange(len(max_idx))
+        true_at_ours = ref_value_at(max_idx.astype(np.int64), t)
+        tie_err = float(np.max((ref_coa - true_at_ours) / ref_coa))
+        argmax_ok = tie_err < 5e-4
+
+    gate = {
+        "parity_ok": bool(rel_err < 5e-4 and argmax_ok),
         "parity_max_rel_err": round(rel_err, 8),
         "parity_worst_argmax_node_dist": worst_node,
     }
+    if tie_err is not None:
+        gate["parity_argmax_tie_rel_err"] = round(tie_err, 8)
+    return gate
 
 
 def bench_device(kernel_fn, onsets, iters=8):
@@ -516,13 +541,19 @@ def main():
 
     report = {}
     baseline = FALLBACK_BASELINE
-    ref_coa = ref_idx = None
+    ref_coa = ref_idx = ref_value_at = None
     if oracle is not None:
         map4d = oracle.oracle_migrate(
             onsets, tt4d, FSMP, LSMP, N_ONSETS, threads=1
         )
         ref_coa, _, ref_idx = oracle.oracle_find_max_coa(map4d, threads=1)
-        del map4d
+        map_flat = map4d.reshape(-1, map4d.shape[-1])
+
+        def ref_value_at(flat_idx, t):
+            # f64 oracle map values at the kernel's argmax choices (the
+            # tie-consistency check of parity_gate)
+            return map_flat[flat_idx, t]
+
         baseline, c_elapsed, c_spread = bench_reference_c(
             onsets, tt4d, oracle
         )
@@ -536,12 +567,16 @@ def main():
     all_ok = True
     for name, fn in kernels.items():
         if ref_coa is not None:
-            gate = parity_gate(fn, onsets, ref_coa, ref_idx)
+            gate = parity_gate(fn, onsets, ref_coa, ref_idx, ref_value_at)
             report[f"{name}_parity_ok"] = gate["parity_ok"]
             report[f"{name}_max_rel_err"] = gate["parity_max_rel_err"]
             report[f"{name}_argmax_node_dist"] = (
                 gate["parity_worst_argmax_node_dist"]
             )
+            if "parity_argmax_tie_rel_err" in gate:
+                report[f"{name}_argmax_tie_rel_err"] = (
+                    gate["parity_argmax_tie_rel_err"]
+                )
             all_ok = all_ok and gate["parity_ok"]
             if not gate["parity_ok"]:
                 continue

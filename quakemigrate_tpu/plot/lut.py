@@ -82,9 +82,32 @@ def lut_plot(lut, fig, gs, slices=None, hypocentre=None, station_clr="k",
             c=station_clr, clip_on=True,
         )
 
+    # --- Scale bar (along-longitude length of ~1/10 of the grid) ---
+    from mpl_toolkits.axes_grid1.anchored_artists import AnchoredSizeBar
+
+    length = np.ceil(lut.node_count[0] / 10) * lut.node_spacing[0]
+    xy.add_artist(AnchoredSizeBar(
+        xy.transData,
+        size=extent[0] * length / grid_size[0],
+        label=f"{length:.3g} {lut.unit_name}",
+        loc="lower right", pad=0.5, sep=5, frameon=False, color=station_clr,
+    ))
+
+    # --- Tick/label layout: map labelled on top+left, sections outward ---
+    ticks = dict(which="both", left=True, right=True, top=True, bottom=True)
+    xy.tick_params(labelleft=True, labeltop=True, labelright=False,
+                   labelbottom=False, **ticks)
     xy.set_ylabel("Latitude (deg)", fontsize=14)
+    xy.yaxis.set_label_position("left")
+
     xz.invert_yaxis()
+    xz.tick_params(labelleft=True, labeltop=False, labelright=False,
+                   labelbottom=True, **ticks)
     xz.set_xlabel("Longitude (deg)", fontsize=14)
     xz.set_ylabel(f"Depth ({lut.unit_name})", fontsize=14)
+    xz.yaxis.set_label_position("left")
+
+    yz.tick_params(labelleft=False, labeltop=True, labelright=True,
+                   labelbottom=True, **ticks)
     yz.set_xlabel(f"Depth ({lut.unit_name})", fontsize=14)
     yz.xaxis.set_label_position("bottom")

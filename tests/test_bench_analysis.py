@@ -125,3 +125,43 @@ def test_mxu_analysis_floor_consistency():
     expected = ("mxu" if out["matmul_floor_seconds"]
                 >= out["dma_floor_seconds"] else "dma")
     assert out["bound"] == expected
+
+
+def test_parity_gate_tie_consistency():
+    """The argmax contract is tie-consistency, not node identity: a
+    reduced-precision kernel may report a far-away node whose true f64
+    coalescence is within tolerance of the max (near-ties on random
+    onsets are not spatial neighbours), but a node whose true value is
+    materially below the max must fail the gate."""
+
+    n = 16
+    ref_coa = np.full(n, 2.0)
+    ref_idx = np.zeros(n, dtype=np.int64)
+
+    got_idx = np.full(n, 5000, dtype=np.int32)  # far from node 0
+    out = (ref_coa * (1 + 5e-5), np.ones(n), got_idx)
+
+    def kernel_fn(_):
+        return out
+
+    # Chosen nodes are true ties (within 1e-4 of the max) -> pass
+    gate = bench.parity_gate(
+        kernel_fn, np.zeros((2, 4), np.float32), ref_coa, ref_idx,
+        ref_value_at=lambda idx, t: ref_coa * (1 - 1e-4),
+    )
+    assert gate["parity_ok"]
+    assert gate["parity_worst_argmax_node_dist"] > 1
+    assert gate["parity_argmax_tie_rel_err"] < 5e-4
+
+    # Chosen nodes sit 1% below the true max -> fail
+    gate = bench.parity_gate(
+        kernel_fn, np.zeros((2, 4), np.float32), ref_coa, ref_idx,
+        ref_value_at=lambda idx, t: ref_coa * 0.99,
+    )
+    assert not gate["parity_ok"]
+
+    # Without ref_value_at the strict <=1-node rule applies -> fail here
+    gate = bench.parity_gate(
+        kernel_fn, np.zeros((2, 4), np.float32), ref_coa, ref_idx,
+    )
+    assert not gate["parity_ok"]

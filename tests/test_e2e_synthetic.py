@@ -155,6 +155,14 @@ def test_triggered_event(run_outputs):
     assert abs(event["COA_Y"] - SOURCE[1]) < 0.02
     assert abs(event["COA_Z"] - SOURCE[2]) < 2.0
 
+    # The trigger summary figure (traces + availability + LUT
+    # cross-section scatter) is written alongside
+    summary = (
+        run_dir / "trigger" / "summaries" /
+        "synthetic_run_2021_049_Trigger.pdf"
+    )
+    assert summary.exists() and summary.stat().st_size > 10_000
+
 
 def test_located_event(run_outputs):
     run_dir, lut = run_outputs
