@@ -591,6 +591,14 @@ class ArchiveEmptyException(QMError):
         super().__init__()
 
 
+class ArchiveFDSNException(QMError):
+    """Raised when an FDSN web-service request fails (HTTP or transport
+    error; "no matching data" responses return empty results instead)."""
+
+    def __init__(self, msg):
+        super().__init__(msg)
+
+
 class NoScanMseedDataException(QMError):
     detail = "No .scanmseed data found."
 
