@@ -898,10 +898,14 @@ def _estimate_r_spans(traveltimes, node_count, brick_shape):
 
 # Sample-block width candidates (lanes). The full lane-padded window is
 # always tried first (one block, no re-sweep overhead); long windows then
-# fall down this ladder until the scratch fits. Capped at 2048: the
+# fall down this ladder until the scratch fits. Capped at 3072: the
 # on-hardware sweep (exp_vmem_sweep) measured sblk=4096 SLOWER at every
-# tile (501 vs 432 ms at tile=512) -- oversized blocks starve DMA overlap.
-SBLK_CANDIDATES = (2048, 1024, 512, 256, LANE)
+# tile (501 vs 432 ms at tile=512) -- oversized blocks starve DMA overlap
+# -- while 3072 measures ~2-5% FASTER than 2048 at the day-scale window
+# under the i8x2 encoding (A/B/A/B: 960-975 vs 949-952 G/s), whose 2/3
+# scratch lets it fit the 40 MiB budget (38.4 MiB at the day K=1344;
+# i8x3 at 3072 exceeds the budget and keeps falling to 2048).
+SBLK_CANDIDATES = (3072, 2048, 1024, 512, 256, LANE)
 
 
 def _pick_sblk(tile, k_dim, n_onsets, nsamples, budget=None,
