@@ -599,6 +599,12 @@ def main():
         if best is None or throughput > best[1]:
             best = (name, throughput, elapsed)
 
+    # The ~1.3 GB f64 oracle map is only needed by the per-kernel parity
+    # gates above — drop it (and the closure pinning it) before the
+    # regional/long-window benches allocate their own large blocks.
+    if oracle is not None:
+        del map4d, map_flat, ref_value_at
+
     # Regional-scale sample (device only; the C baseline would take ~100 s
     # and scales linearly anyway): 2.1M-node grid with the same scan
     # geometry, best kernel. Shows the throughput once fixed dispatch

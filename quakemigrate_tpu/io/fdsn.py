@@ -36,8 +36,10 @@ import urllib.error
 import urllib.parse
 import urllib.request
 
+import numpy as np
+
 from quakemigrate_tpu import util
-from quakemigrate_tpu.seis import Stream, UTCDateTime, read
+from quakemigrate_tpu.seis import Stream, Trace, UTCDateTime, read
 
 # Routable FDSN data centres (service root URLs; the standard
 # fdsnws/<service>/1/query path is appended).
@@ -93,13 +95,25 @@ def _time_str(t):
 
 
 # Channel-priority patterns use fnmatch-ish FDSN glob syntax; expand
-# [ZNE]-style character classes into the comma-lists FDSN accepts.
+# [ZNE]-style character classes (any number of them, e.g. "[BH]H[ZNE]")
+# into the comma-lists FDSN accepts. dataselect does not understand
+# bracket classes, so a pattern this expander cannot normalise would be
+# sent verbatim and silently return no data — raise instead.
 def _expand_channel_pattern(pattern):
-    m = re.fullmatch(r"([A-Z0-9?*]*)\[([A-Z0-9]+)\]([A-Z0-9?*]*)", pattern)
-    if not m:
-        return pattern
-    head, chars, tail = m.groups()
-    return ",".join(f"{head}{c}{tail}" for c in chars)
+    expanded = [pattern]
+    while any("[" in p for p in expanded):
+        nxt = []
+        for p in expanded:
+            m = re.match(r"([A-Z0-9?*]*)\[([A-Z0-9]+)\](.*)", p)
+            if not m:
+                raise util.ArchiveFDSNException(
+                    f"Cannot expand FDSN channel pattern {pattern!r}: "
+                    "bracket classes may only contain [A-Z0-9]."
+                )
+            head, chars, tail = m.groups()
+            nxt.extend(f"{head}{c}{tail}" for c in chars)
+        expanded = nxt
+    return ",".join(expanded)
 
 
 def get_waveforms(network, station, location, channel, starttime, endtime,
@@ -201,13 +215,17 @@ def download_waveform_archive(
     written = []
 
     for name in stations["Name"]:
-        got_any = False
+        got_from = None
         for datacentre in datacentres:
             for pattern in channel_priorities:
+                # Chunk requests on UTC day boundaries so each response
+                # maps 1:1 onto a day file (the writer additionally
+                # splits any midnight-crossing trace it is handed).
                 chunk = starttime
                 stream = Stream()
                 while chunk < endtime:
-                    chunk_end = min(chunk + _DAY, endtime)
+                    day0 = UTCDateTime(year=chunk.year, julday=chunk.julday)
+                    chunk_end = min(day0 + _DAY, endtime)
                     stream += get_waveforms(
                         network, name, location, pattern, chunk, chunk_end,
                         datacentre=datacentre, timeout=timeout,
@@ -216,20 +234,23 @@ def download_waveform_archive(
                 if not len(stream):
                     continue
                 written.extend(_write_archive_days(archive_path, stream))
-                got_any = True
+                got_from = datacentre
                 break  # first matching channel priority wins
-            if got_any:
+            if got_from is not None:
                 break  # first data centre with data wins
-        if not got_any:
+        if got_from is None:
             logging.warning(
                 f"\tNo data for station {name} from any of {datacentres} "
                 f"(channels {list(channel_priorities)})."
             )
             continue
         if stationxml_path is not None:
+            # Query the data centre that actually served the waveforms —
+            # the metadata for a station held only at a later data centre
+            # is not at datacentres[0].
             xml = get_stationxml(
                 network, name, starttime, endtime,
-                datacentre=datacentres[0], timeout=timeout,
+                datacentre=got_from, timeout=timeout,
             )
             if xml is not None:
                 out = pathlib.Path(stationxml_path)
@@ -246,12 +267,32 @@ def _write_archive_days(archive_path, stream):
     written = []
     by_day = {}
     for trace in stream:
-        day0 = UTCDateTime(
-            year=trace.stats.starttime.year,
-            julday=trace.stats.starttime.julday,
-        )
-        key = (trace.stats.station, trace.stats.channel, day0)
-        by_day.setdefault(key, Stream()).append(trace)
+        # Split midnight-crossing traces at UTC day boundaries: a trace
+        # filed solely under its first sample's day would be invisible to
+        # the Archive reader's day-directory glob for every later day it
+        # covers. Split on the sample grid (first sample at-or-after
+        # midnight opens the next day) — time-based slicing is ambiguous
+        # by half a sample when the grid is off-second.
+        piece = trace
+        while piece is not None and piece.stats.npts:
+            day0 = UTCDateTime(
+                year=piece.stats.starttime.year,
+                julday=piece.stats.starttime.julday,
+            )
+            day_end = day0 + _DAY
+            sr = piece.stats.sampling_rate
+            n_head = int(
+                np.ceil((day_end - piece.stats.starttime) * sr - 1e-6)
+            )
+            if n_head >= piece.stats.npts:
+                head, piece = piece, None
+            else:
+                head = Trace(piece.data[:n_head].copy(), piece.stats)
+                tail_stats = piece.stats.copy()
+                tail_stats.starttime = piece.stats.starttime + n_head / sr
+                piece = Trace(piece.data[n_head:].copy(), tail_stats)
+            key = (head.stats.station, head.stats.channel, day0)
+            by_day.setdefault(key, Stream()).append(head)
 
     for (station, channel, day0), traces in by_day.items():
         day_dir = archive_path / f"{day0.year}" / f"{day0.julday:03d}"

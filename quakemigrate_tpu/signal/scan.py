@@ -112,8 +112,10 @@ class QuakeScan:
         # Detect drain-pipe depth (batches of dispatched-but-unfetched
         # results). This is the stall budget for transient relay/host
         # fetch slowdowns: dispatch only blocks once this many batches
-        # queue behind a slow fetch. Results are tiny (three arrays of
-        # nsamples per window) so memory cost is negligible.
+        # queue behind a slow fetch. Each queued batch holds only its
+        # device result handles plus (start time, availability) per
+        # window -- the heavy prepared-window state is dropped at
+        # dispatch -- so host memory cost is negligible at any depth.
         "detect_drain_depth": 8,
         "locate_map_memory_limit": 4e9,
         # Post-processing worker threads for locate: location/uncertainty
@@ -832,9 +834,18 @@ class QuakeScan:
         guarantee executor shutdown on every exit path)."""
 
         def submit_drain(prepared, results):
+            # Hand the drain only what it consumes (window start time and
+            # the availability row) -- holding the full prepared dicts
+            # (raw waveforms + onset/channel blocks) across a
+            # detect_drain_depth-deep pipe would pin ~depth x batch_size
+            # windows of host memory for no reader.
+            slim = {
+                i: (p["data"].starttime, p["onset_data"].availability)
+                for i, p in prepared.items()
+            }
             drains.append(drainer.submit(
                 self._drain_detect_results, coalescence, availability,
-                starttime, prepared, results,
+                starttime, slim, results,
             ))
 
         def join_drains():
@@ -939,16 +950,18 @@ class QuakeScan:
             t_mark = now
 
     def _drain_detect_results(self, coalescence, availability, starttime,
-                              prepared, results):
-        """Fetch one batch's device results and write them out, in order."""
+                              slim, results):
+        """Fetch one batch's device results and write them out, in order.
+        ``slim`` maps step index -> (window start time, availability row)
+        -- the only prepared-window state the drain consumes."""
 
         from quakemigrate_tpu.ops.scan_window import unpack_detect_window
 
         drain_marks = getattr(self, "detect_drain_marks", None)
         t_fetch = t_append = 0.0
-        for i in sorted(prepared):
+        for i in sorted(slim):
             step_label = str(starttime + self.timestep * i)
-            data, onset_data = prepared[i]["data"], prepared[i]["onset_data"]
+            win_start, avail_row = slim[i]
             t0 = perf_counter()
             if isinstance(results[i], tuple):  # batched path: three arrays
                 max_coa, max_coa_n, max_idx = (
@@ -960,17 +973,17 @@ class QuakeScan:
             t_fetch += t1 - t0
             coord = self.lut.index2coord(max_idx, unravel=True)
             coalescence.append(
-                data.starttime + self.pre_pad,
+                win_start + self.pre_pad,
                 np.asarray(max_coa, dtype=np.float64),
                 np.asarray(max_coa_n, dtype=np.float64),
                 coord,
                 self.lut.unit_conversion_factor,
             )
-            availability[step_label] = onset_data.availability
+            availability[step_label] = avail_row
             t_append += perf_counter() - t1
         if drain_marks is not None:
             drain_marks.append({
-                "n": len(prepared), "fetch": t_fetch, "append": t_append,
+                "n": len(slim), "fetch": t_fetch, "append": t_append,
             })
 
     # ------------------------------------------------------------------

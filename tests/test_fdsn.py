@@ -87,6 +87,11 @@ def test_expand_channel_pattern():
     assert fdsn._expand_channel_pattern("CH[ZNE]") == "CHZ,CHN,CHE"
     assert fdsn._expand_channel_pattern("BH?") == "BH?"
     assert fdsn._expand_channel_pattern("HH[ZN]*") == "HHZ*,HHN*"
+    # Multiple bracket groups expand to the full cross product (a single
+    # group passed through verbatim would silently return no data).
+    assert fdsn._expand_channel_pattern("[BH]H[ZN]") == "BHZ,BHN,HHZ,HHN"
+    with pytest.raises(ArchiveFDSNException, match="Cannot expand"):
+        fdsn._expand_channel_pattern("HH[Z-E]")
 
 
 def test_get_waveforms_and_no_data(fake_service):
@@ -119,6 +124,74 @@ def test_download_archive_layout_and_priorities(fake_service, tmp_path):
     # StationXML sidecars written per station
     assert (tmp_path / "DATALESS" / "ZK.SKR01.xml").exists()
     assert (tmp_path / "DATALESS" / "ZK.SKR02.xml").exists()
+
+
+def test_write_archive_days_splits_at_midnight(tmp_path):
+    # A trace crossing midnight must be filed under BOTH day directories
+    # (filed only under its first sample's day, the 2nd day's samples are
+    # invisible to the Archive reader's day-directory glob).
+    start = UTCDateTime("2014-06-29T23:59:50.0")
+    tr = Trace(
+        data=np.arange(1000, dtype=np.int32),  # 20 s at 50 Hz
+        header=dict(station="SKR01", channel="CHZ", network="ZK",
+                    sampling_rate=50.0, starttime=start),
+    )
+    written = fdsn._write_archive_days(tmp_path, Stream([tr]))
+    names = sorted(p.relative_to(tmp_path).as_posix() for p in written)
+    assert names == ["2014/180/SKR01_Z.m", "2014/181/SKR01_Z.m"]
+    day1 = read(str(tmp_path / "2014" / "180" / "SKR01_Z.m"))[0]
+    day2 = read(str(tmp_path / "2014" / "181" / "SKR01_Z.m"))[0]
+    # Split on the sample grid: 10 s of day 180, 10 s of day 181, the
+    # midnight sample opening day 181, and no samples lost or duplicated.
+    assert day1.stats.npts == 500 and day2.stats.npts == 500
+    assert day1.stats.endtime < UTCDateTime("2014-06-30T00:00:00")
+    assert day2.stats.starttime == UTCDateTime("2014-06-30T00:00:00")
+    assert np.array_equal(
+        np.concatenate([day1.data, day2.data]), np.arange(1000)
+    )
+
+
+def test_download_chunks_align_to_day_boundaries(fake_service, tmp_path):
+    # A multi-day span starting mid-day must produce day files for EVERY
+    # day covered (raw start+86400 chunking filed midnight-crossing
+    # chunks entirely under the first day).
+    stations = pd.DataFrame({"Name": ["SKR01"]})
+    written = fdsn.download_waveform_archive(
+        tmp_path / "mSEED", stations, network="ZK",
+        starttime=UTCDateTime("2014-06-29T23:59:55.0"),
+        endtime=UTCDateTime("2014-06-30T00:00:30.0"),
+        channel_priorities=["CH[ZNE]"],
+    )
+    days = sorted({p.parent.name for p in written})
+    assert days == ["180", "181"]
+
+
+def test_stationxml_from_winning_datacentre(fake_service, tmp_path,
+                                            monkeypatch):
+    # SKR02's data comes from the SECOND data centre; the StationXML
+    # query must go there too, not to datacentres[0].
+    urls = fake_service
+    real_urlopen = fdsn.urllib.request.urlopen
+
+    def urlopen(url, timeout=None):
+        if url.startswith("https://service.iris.edu"):
+            return _FakeResponse(204)
+        return real_urlopen(url, timeout=timeout)
+
+    monkeypatch.setattr(fdsn.urllib.request, "urlopen", urlopen)
+    stations = pd.DataFrame({"Name": ["SKR02"]})
+    fdsn.download_waveform_archive(
+        tmp_path / "mSEED", stations, network="ZK",
+        starttime=T0, endtime=T0 + 20,
+        channel_priorities=["DL[ZNE]"],
+        datacentres=("IRIS", "ORFEUS"),
+        stationxml_path=tmp_path / "DATALESS",
+    )
+    assert (tmp_path / "DATALESS" / "ZK.SKR02.xml").exists()
+    station_queries = [u for u in urls if "/fdsnws/station/" in u]
+    assert station_queries and all(
+        u.startswith("https://www.orfeus-eu.org") for u in station_queries
+    )
 
 
 def test_http_error_raises(monkeypatch):

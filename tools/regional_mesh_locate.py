@@ -85,6 +85,11 @@ def main(n_events=N_EVENTS):
     if not single:
         sys.exit("no events located")
 
+    # Same grid-delta metric as the reference-oracle audit, so the two
+    # parity artifacts (LOCATE_AUDIT.json, REGIONAL_MESH_LOCATE.json)
+    # stay directly comparable.
+    from locate_audit import delta_nodes
+
     rows = []
     for uid, a in single.items():
         b = sharded[uid]
@@ -96,11 +101,7 @@ def main(n_events=N_EVENTS):
         ):
             pa = [float(a[c]) for c in cols]
             pb = [float(b[c]) for c in cols]
-            xa = np.asarray(lut.coord2grid([pa]))[0]
-            xb = np.asarray(lut.coord2grid([pb]))[0]
-            deltas[est] = float(
-                np.max(np.abs(xa - xb) / lut.node_spacing)
-            )
+            deltas[est] = delta_nodes(lut, pa, pb)
         rows.append({
             "uid": uid,
             "delta_spline_nodes": round(deltas["spline"], 6),
