@@ -326,3 +326,15 @@ def fast_marching(velocity, spacing, source_index, order=2):
         raise MemoryError("fast_marching failed to allocate working memory.")
 
     return tt.reshape(shape)
+
+
+# Reference-shaped bindings for the device kernels (reference
+# core/lib.py:52-285): numpy-in/numpy-out wrappers over the JAX ops so
+# scripts written against quakemigrate.core run unchanged.
+from quakemigrate_tpu.core.compat import (  # noqa: E402,F401
+    centred_sta_lta,
+    find_max_coa,
+    migrate,
+    overlapping_sta_lta,
+    recursive_sta_lta,
+)

@@ -100,8 +100,8 @@ def get_waveforms(st, event, waveform_type, units):
 
 
 @util.timeit("debug")
-def write_waveforms(st, outdir, stem, file_format):
+def write_waveforms(st, fpath, fstem, file_format):
     """Write a stream in the requested format, with its usual suffix."""
 
     suffix = _SUFFIXES.get(file_format, ".waveforms")
-    st.write(str((outdir / stem).with_suffix(suffix)), format=file_format)
+    st.write(str((fpath / fstem).with_suffix(suffix)), format=file_format)

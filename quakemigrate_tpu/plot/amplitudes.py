@@ -10,7 +10,7 @@ import numpy as np
 
 
 def amplitudes_summary(magnitudes, amp_feature, amp_multiplier, dist_err,
-                       mag_r2, noise_measure="RMS"):
+                       r_squared, noise_measure="RMS"):
     """
     Base amplitude-vs-distance axes: observed signal amplitudes (with noise
     error bars) and noise amplitudes, on log-log axes. Returns (fig, ax).
@@ -51,14 +51,82 @@ def amplitudes_summary(magnitudes, amp_feature, amp_multiplier, dist_err,
     ax.set_xscale("log")
     ax.set_yscale("log")
 
+    # One label per station above its highest amplitude; rejected-only
+    # stations labelled in grey (ref plot/amplitudes.py:114-160).
+    def _corrected(df):
+        return (df[amp_feature].values * amp_multiplier
+                * np.power(10, df["Station_Correction"].values))
+
+    stns = []
+    if len(used):
+        _, stns = label_stations(
+            ax, used.index, _corrected(used), used["Dist"]
+        )
+    if len(unused):
+        fresh = [tr_id for tr_id in unused.index if tr_id[:-1] not in stns]
+        if fresh:
+            sel = unused.loc[fresh]
+            label_stations(
+                ax, fresh, _corrected(sel), sel["Dist"], rejected=True
+            )
+
     # Goodness-of-fit annotation (ref plot/amplitudes.py:163-172)
     ax.text(
-        0.98, 0.02, f"r-squared: {mag_r2:.2f}", transform=ax.transAxes,
+        0.98, 0.02, f"r-squared: {r_squared:.2f}", transform=ax.transAxes,
         bbox=dict(boxstyle="round", fc="w", alpha=0.8),
         va="bottom", ha="right", fontsize=16,
     )
 
     return fig, ax
+
+
+def label_stations(ax, tr_ids, amps, dists, rejected=False):
+    """
+    Annotate one label per station, above that station's highest observed
+    amplitude (reference plot/amplitudes.py:177-284). Consecutive trace IDs
+    sharing a station prefix form one group; the label lists the group's
+    component codes, e.g. ``STN[Z,N]``.
+
+    Parameters
+    ----------
+    ax : matplotlib Axes to annotate.
+    tr_ids : sequence of str, trace IDs ordered so same-station IDs are
+        adjacent (the ``.amps`` file ordering).
+    amps : array-like, amplitude (y) values per trace ID.
+    dists : array-like (indexable like a pandas Series), distance (x)
+        values per trace ID.
+    rejected : bool, plot the labels in grey (excluded measurements).
+
+    Returns
+    -------
+    (ax, stns) : the axes and the list of labelled station names.
+
+    """
+
+    amps = np.asarray(amps)
+    dist_arr = np.asarray(dists)
+
+    # Consecutive runs of the same station prefix.
+    groups = []
+    for i, tr_id in enumerate(tr_ids):
+        stn, comp = tr_id[:-1], tr_id[-1]
+        if groups and groups[-1][0] == stn:
+            groups[-1][1].append(comp)
+            groups[-1][2] = i
+        else:
+            groups.append([stn, [comp], i])
+
+    stns = []
+    for stn, comps, last in groups:
+        first = last - len(comps) + 1
+        label = f"{stn}[{','.join(comps)}]"
+        ax.annotate(
+            label, (dist_arr[last], np.max(amps[first:last + 1])),
+            ha="center", va="bottom", fontsize=8,
+            color="gray" if rejected else "black",
+        )
+        stns.append(stn)
+    return ax, stns
 
 
 def plot_amplitudes_vs_distance(magnitude, magnitudes, event, run,

@@ -36,8 +36,11 @@ def _map_slices(coa_map, ijk):
 
 
 @util.timeit()
-def event_summary(run, event, coa_map, lut, xy_files=None, plot_all_stns=True):
+def event_summary(run, event, marginalised_coa_map, lut, xy_files=None,
+                  plot_all_stns=True):
     """Create and save the event summary figure."""
+
+    coa_map = marginalised_coa_map
 
     logging.info("\tPlotting event summary figure...")
 

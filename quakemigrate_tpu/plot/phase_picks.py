@@ -13,8 +13,11 @@ import quakemigrate_tpu.util as util
 
 
 def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
-                 windows):
-    """Build the pick summary figure; returns the figure."""
+                 ttimes, windows):
+    """Build the pick summary figure; returns the figure. ``ttimes`` is
+    the list of modelled traveltimes (seconds, one per phase in ``onsets``
+    order) used for the modelled-arrival markers; pass None to fall back
+    to the window midpoints."""
 
     phases = list(onsets.keys())
     n_onsets = len(phases)
@@ -52,7 +55,7 @@ def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
     base = starttime.matplotlib_date if starttime is not None else 0.0
     per_day = (sampling_rate or 1.0) * 86400.0
 
-    for ax, phase in zip(axes[3:], phases):
+    for i, (ax, phase) in enumerate(zip(axes[3:], phases)):
         onset = onsets[phase]
         n = len(onset)
         window = windows.get(phase)
@@ -61,6 +64,12 @@ def pick_summary(event, station, waveforms, picks, onsets, channel_maps,
         if window:
             ax.axvspan(base + window[0] / per_day, base + window[2] / per_day,
                        alpha=0.15, color="orange")
+        if (ttimes is not None and event.otime is not None
+                and i < len(ttimes)):
+            arrival = (event.otime + ttimes[i]).matplotlib_date
+            ax.axvline(arrival, c="grey", ls="--", lw=1,
+                       label="Modelled arrival")
+        elif window:
             ax.axvline(base + window[1] / per_day, c="grey", ls="--", lw=1,
                        label="Modelled arrival")
         fits = event.picks.get("gaussfits", {}).get(station, {}).get(phase)

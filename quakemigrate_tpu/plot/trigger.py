@@ -26,26 +26,28 @@ _REGION_CLR = "#238b45"
 
 @util.timeit()
 def trigger_summary(
-    trigger,
     events,
-    data,
-    detection_threshold,
     starttime,
     endtime,
+    run,
+    marginal_window,
+    min_event_interval,
+    detection_threshold,
+    threshold_string,
+    normalise_coalescence,
+    lut,
+    data,
     region,
     discarded_events,
-    interactive=False,
+    interactive,
+    xy_files=None,
+    plot_all_stns=True,
 ):
     """
-    Create and save the trigger summary figure. ``trigger`` is the Trigger
-    object itself — run, LUT, threshold description, normalisation choice,
-    window parameters and overlay files are read from it.
+    Create and save the trigger summary figure (reference signature,
+    plot/trigger.py:25-42).
 
     """
-
-    run, lut = trigger.run, trigger.lut
-    normalise_coalescence = trigger.normalise_coalescence
-    threshold_string = trigger._threshold_method_string()
 
     import matplotlib.dates as mdates
 
@@ -92,7 +94,7 @@ def trigger_summary(
     station_list = None
     if availability is not None:
         names = {col.rsplit("_", 1)[0] for col in availability.columns}
-        if not trigger.plot_all_stns:
+        if not plot_all_stns:
             names = {
                 col.rsplit("_", 1)[0]
                 for col in availability.columns
@@ -102,22 +104,22 @@ def trigger_summary(
     lut_plot(lut, fig, gs, station_list=station_list)
     ax_xy, ax_xz, ax_yz = fig.axes[3], fig.axes[4], fig.axes[5]
 
-    if trigger.xy_files is not None:
+    if xy_files is not None:
         from .xy import plot_xy_files
 
-        plot_xy_files(trigger.xy_files, ax_xy)
+        plot_xy_files(xy_files, ax_xy)
 
     # --- Trigger region outline + discarded events ---
     if region is not None:
         _region_outline((ax_xy, ax_xz, ax_yz), region)
         _event_windows((ax_coa, ax_coan), discarded_events,
-                       trigger.marginal_window, discarded=True)
+                       marginal_window, discarded=True)
         _event_scatter(fig, (ax_xy, ax_xz, ax_yz), discarded_events,
                        discarded=True)
 
     # --- Triggered events: trace windows + cross-section scatter ---
     if events is not None and len(events):
-        _event_windows((ax_coa, ax_coan), events, trigger.marginal_window)
+        _event_windows((ax_coa, ax_coan), events, marginal_window)
         _event_scatter(fig, (ax_xy, ax_xz, ax_yz), events)
 
     # --- Detection threshold on the triggering trace ---
@@ -136,8 +138,8 @@ def trigger_summary(
              f"{endtime.strftime('%Y-%m-%d %H:%M:%S')}"
     ax_text.text(0.42, 0.8, window, fontsize=20, fontweight="bold",
                  ha="center")
-    _text_summary(ax_text, events, threshold_string, trigger.marginal_window,
-                  trigger.min_event_interval, normalise_coalescence)
+    _text_summary(ax_text, events, threshold_string, marginal_window,
+                  min_event_interval, normalise_coalescence)
 
     fig.tight_layout(pad=1, h_pad=0)
     plt.subplots_adjust(wspace=0.3, hspace=0.3)

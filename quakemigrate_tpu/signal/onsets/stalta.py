@@ -89,6 +89,15 @@ class STALTAOnset(Onset):
         if self.min_onset_value < 0.01:
             raise ValueError("The `min_onset_value` must be greater than 0.01")
 
+        # Deprecated reference kwargs (ref stalta.py:329-334); the property
+        # setters translate them onto position / bandpass_filters /
+        # sta_lta_windows and print a FutureWarning.
+        self.onset_centred = kwargs.get("onset_centred")
+        self.p_bp_filter = kwargs.get("p_bp_filter")
+        self.s_bp_filter = kwargs.get("s_bp_filter")
+        self.p_onset_win = kwargs.get("p_onset_win")
+        self.s_onset_win = kwargs.get("s_onset_win")
+
     def __str__(self):
         parts = [
             f"\tOnset parameters - using the {self.position} STA/LTA onset",
@@ -335,6 +344,45 @@ class STALTAOnset(Onset):
 
         self._post_pad = np.ceil(ttmax + 2 * self._longest(1))
 
+    # --- Deprecated reference attribute names (ref stalta.py:637-739) ---
+
+    @property
+    def onset_centred(self):
+        """Deprecated: use ``position``."""
+        return self.position
+
+    @onset_centred.setter
+    def onset_centred(self, value):
+        if value is None:
+            return
+        print(
+            "FutureWarning: Parameter name has changed - continuing.\n"
+            "To remove this message, change:\n\t'onset_centred' -> 'position'"
+        )
+        self.position = "centred" if value else "classic"
+
+    def _deprecated_phase_dict(name, table, phase):  # noqa: N805
+        def getter(self):
+            return getattr(self, table)[phase]
+
+        def setter(self, value):
+            if value is None:
+                return
+            print(
+                "FutureWarning: Parameter name has changed - continuing.\n"
+                "To remove this message, refer to the documentation."
+            )
+            getattr(self, table)[phase] = value
+
+        return property(getter, setter, doc=f"Deprecated: use "
+                        f"``{table}['{phase}']`` instead of ``{name}``.")
+
+    p_bp_filter = _deprecated_phase_dict("p_bp_filter", "bandpass_filters", "P")
+    s_bp_filter = _deprecated_phase_dict("s_bp_filter", "bandpass_filters", "S")
+    p_onset_win = _deprecated_phase_dict("p_onset_win", "sta_lta_windows", "P")
+    s_onset_win = _deprecated_phase_dict("s_onset_win", "sta_lta_windows", "S")
+    del _deprecated_phase_dict
+
 
 def _deprecated_position_class(old_name, position):
     """Deprecated reference aliases (ref signal/onsets/stalta.py:742-783)."""
@@ -356,3 +404,36 @@ def _deprecated_position_class(old_name, position):
 
 CentredSTALTAOnset = _deprecated_position_class("CentredSTALTAOnset", "centred")
 ClassicSTALTAOnset = _deprecated_position_class("ClassicSTALTAOnset", "classic")
+
+
+def overlapping_sta_lta_py(signal, nsta, nlta):
+    """
+    Classic (overlapping-window) STA/LTA, reference-shaped standalone
+    backend (ref stalta.py:25-80's pure-Python backend): numpy float64
+    in/out, computed by the batched jitted op.
+
+    """
+
+    return np.asarray(
+        stalta_ops.overlapping_sta_lta(
+            np.ascontiguousarray(signal, dtype=np.float32),
+            int(nsta), int(nlta),
+        ),
+        dtype=np.float64,
+    )
+
+
+def centred_sta_lta_py(signal, nsta, nlta):
+    """
+    Centred STA/LTA, reference-shaped standalone backend (ref
+    stalta.py:83-134's pure-Python backend).
+
+    """
+
+    return np.asarray(
+        stalta_ops.centred_sta_lta(
+            np.ascontiguousarray(signal, dtype=np.float32),
+            int(nsta), int(nlta),
+        ),
+        dtype=np.float64,
+    )

@@ -52,6 +52,11 @@ class GaussianPicker(PhasePicker):
         attr, default = threshold_params[self.threshold_method]
         setattr(self, attr, kwargs.get(attr, default))
 
+        # Deprecated reference kwarg (ref gaussian.py:85-87, 628-637): the
+        # property setter raises with migration instructions.
+        if kwargs.get("pick_threshold"):
+            self.pick_threshold = kwargs["pick_threshold"]
+
         self.plot_picks = kwargs.get("plot_picks", False)
         self.write_seed_ids = kwargs.get("write_seed_ids", False)
         self._fraction_tt = kwargs.get("fraction_tt")
@@ -91,12 +96,13 @@ class GaussianPicker(PhasePicker):
             )
 
         records = []
-        gaussfits, pick_windows = {}, {}
+        gaussfits, pick_windows, ttimes_all = {}, {}, {}
         for station, station_onsets in onset_data.onsets.items():
             phases = list(station_onsets)
             traveltimes = {
                 phase: modelled_tt(phase, station) for phase in phases
             }
+            ttimes_all[station] = [traveltimes[phase] for phase in phases]
 
             windows = {
                 phase: self._pick_window(
@@ -147,7 +153,8 @@ class GaussianPicker(PhasePicker):
         if self.plot_picks:
             logging.info("\t\tPlotting picks...")
             for station in onset_data.onsets:
-                self.plot(event, station, onset_data, picks, run)
+                self.plot(event, station, onset_data, picks,
+                          ttimes_all.get(station), run)
 
         return event, picks
 
@@ -280,8 +287,10 @@ class GaussianPicker(PhasePicker):
     # -- plotting --------------------------------------------------------------------
 
     @util.timeit()
-    def plot(self, event, station, onset_data, picks_df, run):
-        """Write the per-station pick summary figure."""
+    def plot(self, event, station, onset_data, picks_df, traveltimes, run):
+        """Write the per-station pick summary figure. ``traveltimes`` is
+        the list of modelled traveltimes, one per phase (reference
+        pickers/gaussian.py:562-612)."""
 
         import matplotlib.pyplot as plt
 
@@ -300,6 +309,7 @@ class GaussianPicker(PhasePicker):
             picks_df[picks_df["Station"] == station].reset_index(drop=True),
             onset_data.onsets[station],
             onset_data.channel_maps,
+            traveltimes,
             event.picks["pick_windows"][station],
         )
         plt.savefig((outdir / f"{event.uid}_{station}").with_suffix(".pdf"))
@@ -311,3 +321,16 @@ class GaussianPicker(PhasePicker):
         lambda self: self._fraction_tt,
         lambda self, value: setattr(self, "_fraction_tt", value),
     )
+
+    @property
+    def pick_threshold(self):
+        """Deprecated (ref gaussian.py:628-637): select a threshold_method
+        of 'percentile' or 'MAD' instead."""
+
+    @pick_threshold.setter
+    def pick_threshold(self, value):
+        raise AttributeError(
+            "The 'pick_threshold' attribute has been deprecated. Select a "
+            "threshold method from 'percentile' or 'MAD', and see the docs "
+            "for the syntax for the appropriate threshold."
+        )

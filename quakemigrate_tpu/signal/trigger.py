@@ -199,8 +199,12 @@ class Trigger:
             from quakemigrate_tpu.plot.trigger import trigger_summary
 
             trigger_summary(
-                self, events, data, threshold, batchstart, batchend,
-                region, discarded, interactive=interactive_plot,
+                events, batchstart, batchend, self.run,
+                self.marginal_window, self.min_event_interval, threshold,
+                self._threshold_method_string(),
+                self.normalise_coalescence, self.lut, data, region,
+                discarded, interactive_plot, xy_files=self.xy_files,
+                plot_all_stns=self.plot_all_stns,
             )
 
     def _threshold_method_string(self):

@@ -195,7 +195,7 @@ def test_pick_plot_renders(tmp_path):
 
     fig = pick_summary(
         event, "PK1", waveforms, picks, onsets,
-        {"P": "*Z", "S": "*[N,E]"}, windows,
+        {"P": "*Z", "S": "*[N,E]"}, [5.0, 5.1], windows,
     )
     fig.savefig(tmp_path / "picks.pdf")
     assert (tmp_path / "picks.pdf").stat().st_size > 1000
