@@ -15,7 +15,9 @@ class PhasePicker(ABC):
     """Abstract base for phase-picking implementations."""
 
     def __init__(self, **kwargs):
-        self.plot_picks = kwargs.get("plot_picks", False)
+        # Reference default (pickers/base.py:41); GaussianPicker
+        # overrides it to False, as the reference subclass does.
+        self.plot_picks = kwargs.get("plot_picks", True)
 
     def __str__(self):
         return (

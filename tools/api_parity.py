@@ -160,6 +160,171 @@ def _accepts(obj, param):
     )
 
 
+def _literal(node):
+    try:
+        return True, ast.literal_eval(node)
+    except (ValueError, SyntaxError):
+        return False, None
+
+
+def _kwargs_get_defaults(tree, clsname):
+    """{param: literal default} from ``kwargs.get("param", default)``
+    calls in a class's __init__, plus class-level ``_DEFAULTS`` dicts."""
+
+    out = {}
+    for node in tree.body:
+        if not (isinstance(node, ast.ClassDef) and node.name == clsname):
+            continue
+        for sub in node.body:
+            # class-level _DEFAULTS = {...} (this package's idiom)
+            if (isinstance(sub, ast.Assign) and len(sub.targets) == 1
+                    and isinstance(sub.targets[0], ast.Name)
+                    and sub.targets[0].id == "_DEFAULTS"):
+                ok, val = _literal(sub.value)
+                if ok:
+                    out.update(val)
+            if (isinstance(sub, ast.FunctionDef)
+                    and sub.name == "__init__"):
+                for call in ast.walk(sub):
+                    if not (isinstance(call, ast.Call)
+                            and isinstance(call.func, ast.Attribute)
+                            and call.func.attr == "get"
+                            and isinstance(call.func.value, ast.Name)
+                            and call.func.value.id == "kwargs"
+                            and len(call.args) == 2
+                            and isinstance(call.args[0], ast.Constant)):
+                        continue
+                    ok, val = _literal(call.args[1])
+                    if ok:
+                        out[call.args[0].value] = val
+    return out
+
+
+# Known-divergent defaults, each with the reason. All four are the
+# None-sentinel idiom for mutable defaults: the signature shows None and
+# the body resolves it to the reference's value, so an omitted argument
+# behaves identically (the reference puts the mutable literal in the
+# signature, a shared-state pitfall this package deliberately avoids).
+DEFAULTS_ALLOWLIST = {
+    "read_nlloc(phases)": "None -> ['P', 'S'] in body (lut/create.py)",
+    "compute_traveltimes(phases)":
+        "None -> ['P', 'S'] in body (lut/create.py:73)",
+    "Amplitude.__init__(amplitude_params)":
+        "None -> {} in body (local_mag/amplitude.py:81)",
+    "Magnitude.__init__(magnitude_params)":
+        "None -> {} in body (local_mag/magnitude.py:78)",
+}
+
+
+def _signature_defaults(fnode):
+    """{param: literal default} from a def node's signature."""
+
+    a = fnode.args
+    out = {}
+    pos = a.posonlyargs + a.args
+    for param, default in zip(pos[len(pos) - len(a.defaults):], a.defaults):
+        ok, val = _literal(default)
+        if ok:
+            out[param.arg] = val
+    for param, default in zip(a.kwonlyargs, a.kw_defaults):
+        if default is None:
+            continue
+        ok, val = _literal(default)
+        if ok:
+            out[param.arg] = val
+    return out
+
+
+def _repo_signature_defaults(obj):
+    try:
+        sig = inspect.signature(obj)
+    except (TypeError, ValueError):
+        return {}
+    return {
+        name: p.default for name, p in sig.parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+
+
+def compare_defaults():
+    """
+    Cross-check the literal defaults of every mapped symbol — both the
+    ``kwargs.get("name", default)`` idiom (classes) and plain signature
+    defaults (functions and methods): a reference user omitting an
+    argument must get the reference's behaviour.
+    Returns a list of {where, param, reference, repo} mismatches.
+    """
+
+    sys.path.insert(0, str(REPO_ROOT))
+    mismatches = []
+    checked = 0
+
+    def check(where, param, ref_val, repo_val):
+        nonlocal checked
+        checked += 1
+        if repo_val != ref_val and (
+            f"{where}({param})" not in DEFAULTS_ALLOWLIST
+        ):
+            mismatches.append({
+                "where": where, "param": param,
+                "reference": repr(ref_val), "repo": repr(repo_val),
+            })
+
+    for mod_key, target in MODULE_MAP.items():
+        ref_path = REF_ROOT / f"{mod_key}.py"
+        if not ref_path.is_file():
+            continue
+        ref_tree = ast.parse(ref_path.read_text(encoding="utf-8"))
+        repo_mod = importlib.import_module(target)
+        repo_file = getattr(repo_mod, "__file__", None)
+        if repo_file is None:
+            continue
+        repo_tree = ast.parse(
+            pathlib.Path(repo_file).read_text(encoding="utf-8")
+        )
+        for node in ref_tree.body:
+            # Module-level functions: signature defaults
+            if (isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                    and _is_public(node.name)):
+                obj = getattr(repo_mod, node.name, None)
+                if obj is None:
+                    continue
+                repo_defaults = _repo_signature_defaults(obj)
+                for param, ref_val in _signature_defaults(node).items():
+                    if param in repo_defaults:
+                        check(node.name, param, ref_val,
+                              repo_defaults[param])
+            if not (isinstance(node, ast.ClassDef)
+                    and _is_public(node.name)):
+                continue
+            cls = getattr(repo_mod, node.name, None)
+            # kwargs.get defaults
+            ref_defaults = _kwargs_get_defaults(ref_tree, node.name)
+            repo_defaults = _kwargs_get_defaults(repo_tree, node.name)
+            for param, ref_val in ref_defaults.items():
+                if param in repo_defaults:
+                    check(node.name, param, ref_val, repo_defaults[param])
+            # Method signature defaults
+            if cls is None:
+                continue
+            for sub in node.body:
+                if not (isinstance(sub, (ast.FunctionDef,
+                                         ast.AsyncFunctionDef))
+                        and (_is_public(sub.name)
+                             or sub.name == "__init__")):
+                    continue
+                meth = (cls if sub.name == "__init__"
+                        else getattr(cls, sub.name, None))
+                if meth is None:
+                    continue
+                repo_meth_defaults = _repo_signature_defaults(meth)
+                for param, ref_val in _signature_defaults(sub).items():
+                    if param in repo_meth_defaults:
+                        check(f"{node.name}.{sub.name}", param, ref_val,
+                              repo_meth_defaults[param])
+    return checked, mismatches
+
+
 def audit():
     sys.path.insert(0, str(REPO_ROOT))
     ref = extract_reference_surface()
@@ -243,12 +408,17 @@ def audit():
         + sum(len(p) for p in s["functions"].values())
         for s in ref.values()
     )
+    defaults_checked, default_mismatches = compare_defaults()
     return {
         "reference_items_checked": n_items,
         "allowlisted": len(ALLOWLIST),
         "missing_count": len(missing),
         "missing_by_kind": counts,
         "missing": missing,
+        "defaults_checked": defaults_checked,
+        "defaults_allowlisted": len(DEFAULTS_ALLOWLIST),
+        "default_mismatch_count": len(default_mismatches),
+        "default_mismatches": default_mismatches,
     }
 
 
@@ -258,8 +428,11 @@ def main():
     out.write_text(json.dumps(report, indent=1))
     print(f"checked {report['reference_items_checked']} reference API items; "
           f"missing {report['missing_count']} "
-          f"({report['missing_by_kind']}) -> {out.name}")
-    return 0 if report["missing_count"] == 0 else 1
+          f"({report['missing_by_kind']}); "
+          f"{report['defaults_checked']} shared kwargs defaults, "
+          f"{report['default_mismatch_count']} mismatched -> {out.name}")
+    return 0 if (report["missing_count"] == 0
+                 and report["default_mismatch_count"] == 0) else 1
 
 
 if __name__ == "__main__":
