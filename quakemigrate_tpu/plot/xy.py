@@ -26,12 +26,19 @@ def plot_xy_files(xy_files, ax):
 
     xy_files = pathlib.Path(xy_files)
     try:
-        spec = np.genfromtxt(
-            xy_files, delimiter=",", dtype=str, comments="#", ndmin=2
-        )
-    except (OSError, ValueError) as e:
+        lines = xy_files.read_text().splitlines()
+    except OSError as e:
         logging.warning(f"Could not read xy_files spec {xy_files}: {e}")
         return
+
+    # Parse line-by-line: the spec is user-edited, one bad row must not
+    # take down the rest of the overlay (and genfromtxt rejects ragged
+    # rows outright).
+    spec = [
+        [field.strip() for field in line.split(",")]
+        for line in lines
+        if line.strip() and not line.lstrip().startswith("#")
+    ]
 
     for row in spec:
         if len(row) < 4:

@@ -919,3 +919,44 @@ def test_scan_option_and_span_validation(tmp_path):
         scan.locate(starttime="2021-01-01T00:00:00")
     with pytest.raises(util.TimeSpanException):
         scan.detect("2021-01-01T06:00:00", "2021-01-01T06:00:00")
+
+
+def test_plot_xy_files_overlay(tmp_path, caplog):
+    """XY overlay files (spec CSV -> per-file lon/lat polylines) draw one
+    line per well-formed row and skip malformed/missing entries with a
+    warning (reference xy_files convention, ref signal/scan.py:92-96)."""
+
+    import logging as _logging
+
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from quakemigrate_tpu.plot.xy import plot_xy_files
+
+    coast = tmp_path / "coast.xy"
+    coast.write_text("# lon,lat\n-17.1,64.1\n-17.2,64.2\n-17.3,64.15\n")
+    fault = tmp_path / "fault.xy"
+    fault.write_text("-17.25,64.05\n-17.05,64.3\n")
+    spec = tmp_path / "xy_files.csv"
+    spec.write_text(
+        f"{coast},k,0.5,-\n"
+        f"{fault},r,1.0,--\n"
+        f"{tmp_path / 'missing.xy'},b,1.0,-\n"   # unresolvable -> warn
+        "malformed_row_only_one_field\n"          # short row -> warn
+    )
+
+    fig, ax = plt.subplots()
+    with caplog.at_level(_logging.WARNING):
+        plot_xy_files(spec, ax)
+    assert len(ax.lines) == 2
+    np.testing.assert_allclose(ax.lines[0].get_xdata(),
+                               [-17.1, -17.2, -17.3])
+    assert ax.lines[1].get_linestyle() == "--"
+    assert sum("Skipping malformed" in r.message for r in caplog.records) == 1
+    plt.close(fig)
+
+    # None is a no-op (the default)
+    fig, ax = plt.subplots()
+    plot_xy_files(None, ax)
+    assert len(ax.lines) == 0
+    plt.close(fig)
