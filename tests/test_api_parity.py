@@ -19,7 +19,7 @@ def test_api_surface_complete():
     report = audit()
     assert report["reference_items_checked"] > 400
     assert report["missing_count"] == 0, report["missing"]
-    assert report["defaults_checked"] > 50
+    assert report["defaults_checked"] > 100
     assert report["default_mismatch_count"] == 0, (
         report["default_mismatches"]
     )

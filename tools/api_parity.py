@@ -163,7 +163,7 @@ def _accepts(obj, param):
 def _literal(node):
     try:
         return True, ast.literal_eval(node)
-    except (ValueError, SyntaxError):
+    except (ValueError, SyntaxError, TypeError):
         return False, None
 
 
@@ -176,13 +176,18 @@ def _kwargs_get_defaults(tree, clsname):
         if not (isinstance(node, ast.ClassDef) and node.name == clsname):
             continue
         for sub in node.body:
-            # class-level _DEFAULTS = {...} (this package's idiom)
+            # class-level *DEFAULTS = {...} dicts (this package's idiom);
+            # entries with non-literal values (module constants) are
+            # skipped individually.
             if (isinstance(sub, ast.Assign) and len(sub.targets) == 1
                     and isinstance(sub.targets[0], ast.Name)
-                    and sub.targets[0].id == "_DEFAULTS"):
-                ok, val = _literal(sub.value)
-                if ok:
-                    out.update(val)
+                    and sub.targets[0].id.endswith("DEFAULTS")
+                    and isinstance(sub.value, ast.Dict)):
+                for key, value in zip(sub.value.keys, sub.value.values):
+                    k_ok, k = _literal(key)
+                    v_ok, v = _literal(value)
+                    if k_ok and v_ok:
+                        out[k] = v
             if (isinstance(sub, ast.FunctionDef)
                     and sub.name == "__init__"):
                 for call in ast.walk(sub):
