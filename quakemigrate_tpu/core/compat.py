@@ -104,12 +104,9 @@ def find_max_coa(map4d, threads=1):
 def _stalta(kind, signal, nsta, nlta):
     from quakemigrate_tpu.ops import stalta as _s
 
-    signal = np.ascontiguousarray(signal, dtype=np.float64)
+    signal = np.ascontiguousarray(signal, dtype=np.float32)
     fn = getattr(_s, kind)
-    return np.asarray(
-        fn(signal.astype(np.float32), int(nsta), int(nlta)),
-        dtype=np.float64,
-    )
+    return np.asarray(fn(signal, int(nsta), int(nlta)), dtype=np.float64)
 
 
 def overlapping_sta_lta(signal, nsta, nlta):

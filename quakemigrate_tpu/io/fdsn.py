@@ -79,7 +79,10 @@ def _http_get(url, timeout=120):
                 return None
             return response.read()
     except urllib.error.HTTPError as e:
-        if e.code in (204, 404):  # no data matching the request
+        # Only 204 means "no data matching the request" unless the client
+        # asked for nodata=404 (this one never does); a 404 here is a
+        # wrong/misspelt endpoint and must surface, not read as no-data.
+        if e.code == 204:
             return None
         raise util.ArchiveFDSNException(
             f"FDSN request failed with HTTP {e.code}: {url}"

@@ -243,7 +243,9 @@ def _event_scatter(fig, axes, events, discarded=False):
         ax_yz.scatter(z, y, s=50, c="grey")
         return
     c = events["TRIG_COA"].astype(float)
-    vmin, vmax = c.min(), c.max()
+    # Pad the colour range so a single event (min == max) still gets a
+    # consistent in-range colour and a non-degenerate colorbar.
+    vmin, vmax = c.min() * 0.999, c.max() * 1.001
     sc = ax_xy.scatter(x, y, s=50, c=c, vmin=vmin, vmax=vmax)
     ax_xz.scatter(x, z, s=50, c=c, vmin=vmin, vmax=vmax)
     ax_yz.scatter(z, y, s=50, c=c, vmin=vmin, vmax=vmax)

@@ -1451,15 +1451,21 @@ class QuakeScan:
 
         first = prepared[keys[0]]["fused"]
         rest = first[3:]
-        channels = np.ones((mesh_batch,) + first[0].shape,
-                           dtype=first[0].dtype)
-        chan_mask = np.zeros((mesh_batch,) + first[1].shape,
+        channels = np.empty((mesh_batch,) + first[0].shape,
+                            dtype=first[0].dtype)
+        chan_mask = np.empty((mesh_batch,) + first[1].shape,
                              dtype=first[1].dtype)
-        slot_mask = np.zeros((mesh_batch,) + first[2].shape,
+        slot_mask = np.empty((mesh_batch,) + first[2].shape,
                              dtype=first[2].dtype)
         for j, i in enumerate(keys):
             f = prepared[i]["fused"]
             channels[j], chan_mask[j], slot_mask[j] = f[0], f[1], f[2]
+        # Only the inert tail rows need the all-ones/zero-mask fill; a
+        # full-array fill would cost an extra pass over ~GB-scale batches
+        # on the dispatch hot path.
+        channels[len(keys):] = 1.0
+        chan_mask[len(keys):] = 0.0
+        slot_mask[len(keys):] = 0.0
 
         with jax.profiler.TraceAnnotation("qm_detect_fused_batched"):
             out = self._sharded_detect_fused(

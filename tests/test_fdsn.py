@@ -205,11 +205,24 @@ def test_http_error_raises(monkeypatch):
         fdsn.get_waveforms("ZK", "SKR01", "*", "CHZ", T0, T0 + 20)
 
 
-def test_http_404_means_no_data(monkeypatch):
+def test_http_404_raises(monkeypatch):
+    # FDSN's no-data code is 204 unless nodata=404 is requested (which
+    # this client never sends) — a 404 is a broken endpoint, not no-data.
     import urllib.error
 
     def urlopen(url, timeout=None):
         raise urllib.error.HTTPError(url, 404, "none", {}, io.BytesIO())
+
+    monkeypatch.setattr(fdsn.urllib.request, "urlopen", urlopen)
+    with pytest.raises(ArchiveFDSNException, match="HTTP 404"):
+        fdsn.get_waveforms("ZK", "X", "*", "CHZ", T0, T0 + 20)
+
+
+def test_http_204_means_no_data(monkeypatch):
+    import urllib.error
+
+    def urlopen(url, timeout=None):
+        raise urllib.error.HTTPError(url, 204, "none", {}, io.BytesIO())
 
     monkeypatch.setattr(fdsn.urllib.request, "urlopen", urlopen)
     assert len(fdsn.get_waveforms("ZK", "X", "*", "CHZ", T0, T0 + 20)) == 0
