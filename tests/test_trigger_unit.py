@@ -198,3 +198,32 @@ def test_refine_candidates_matches_reference_loop():
         for row, (coa_t, lo, hi) in zip(refined.itertuples(), expected):
             assert row.CoaTime == coa_t, f"case {case}"
             assert row.MinTime == lo and row.MaxTime == hi, f"case {case}"
+
+
+def test_single_event_scatter_colour_range_not_degenerate():
+    """
+    One triggered event means c.min() == c.max(); the colour range must
+    be padded (reference plot/trigger.py pads by *0.999/*1.001) so the
+    event gets a consistent in-range colour and the colorbar spans a
+    non-zero interval.
+
+    """
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from quakemigrate_tpu.plot.trigger import _event_scatter
+
+    events = pd.DataFrame(
+        {"COA_X": [1.0], "COA_Y": [2.0], "COA_Z": [3.0], "TRIG_COA": [5.0]}
+    )
+    fig = plt.figure(figsize=(30, 15))
+    axes = [fig.add_subplot(1, 3, i + 1) for i in range(3)]
+    try:
+        _event_scatter(fig, axes, events)
+        sc = axes[0].collections[0]
+        norm = sc.norm
+        assert norm.vmin < 5.0 < norm.vmax
+    finally:
+        plt.close(fig)
